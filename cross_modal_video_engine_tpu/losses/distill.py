@@ -1,0 +1,58 @@
+"""Teacher->student distillation losses.
+
+Parity with LINAS-engine/model.py:553-580 (criteria) and :834-883 (use):
+  * mse_distill: sum- or mean-reduced MSE between student and teacher
+    embeddings.
+  * kl_distill: torch-KLDivLoss convention, target * (log(target) - input),
+    zero where target <= 0 (torch emits nan there; we clamp — the reference
+    only exercises this with 'kl' off by default).
+  * similarity_distill: SmoothL1 (huber) between the two BxB in-batch
+    similarity matrices, with 'diag' / 'adapt' / 'maxdiag' / plain variants
+    (model.py:845-872).  The svd/eig spectral variants are intentionally
+    unsupported on TPU (non-differentiable/unstable; the reference guards
+    them behind flags that the published runs never set).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def huber(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise SmoothL1: 0.5 d^2 if |d|<1 else |d|-0.5."""
+    d = a - b
+    ad = jnp.abs(d)
+    return jnp.where(ad < 1.0, 0.5 * d * d, ad - 0.5)
+
+
+def mse_distill(student: jnp.ndarray, teacher: jnp.ndarray,
+                reduction: str = "sum") -> jnp.ndarray:
+    sq = (student - teacher) ** 2
+    return jnp.sum(sq) if reduction == "sum" else jnp.mean(sq)
+
+
+def kl_distill(student: jnp.ndarray, teacher: jnp.ndarray,
+               reduction: str = "sum") -> jnp.ndarray:
+    term = jnp.where(teacher > 0, teacher * (jnp.log(jnp.maximum(teacher, 1e-30)) - student), 0.0)
+    return jnp.sum(term) if reduction == "sum" else jnp.mean(term)
+
+
+def similarity_distill(vid_emb: jnp.ndarray, cap_emb: jnp.ndarray,
+                       student_vid_emb: jnp.ndarray, student_cap_emb: jnp.ndarray,
+                       similarity_type: str | None = None,
+                       adapt_weight: jnp.ndarray | None = None,
+                       reduction: str = "sum") -> jnp.ndarray:
+    s1 = jnp.dot(vid_emb, cap_emb.T, preferred_element_type=jnp.float32)
+    s2 = jnp.dot(student_vid_emb, student_cap_emb.T, preferred_element_type=jnp.float32)
+    if similarity_type == "diag":
+        return jnp.sum(jnp.diagonal(huber(s1, s2)))
+    if similarity_type == "maxdiag":
+        return -jnp.sum(jnp.diagonal(s2))
+    if similarity_type == "adapt":
+        assert adapt_weight is not None, "'adapt' needs the learned mask weights"
+        b = adapt_weight.shape[0]
+        w = jax.nn.softmax(adapt_weight, axis=0) if adapt_weight.ndim else adapt_weight
+        return jnp.sum(w * huber(s1, s2)) * b
+    h = huber(s1, s2)
+    return jnp.sum(h) if reduction == "sum" else jnp.mean(h)

@@ -1,0 +1,26 @@
+"""Test config: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding logic is validated on CPU devices
+(xla_force_host_platform_device_count=8) since only one real TPU chip is
+reachable; the driver separately dry-runs the multi-chip path.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# the axon TPU plugin (PYTHONPATH sitecustomize) may have pinned the platform
+# before this conftest runs; force CPU at the config level too.
+jax.config.update("jax_platforms", "cpu")
+# tests compare against float64-ish numpy references; keep matmuls exact.
+jax.config.update("jax_default_matmul_precision", "highest")
