@@ -1,0 +1,58 @@
+"""Device mesh and sharding helpers.
+
+The reference scales with torch.distributed NCCL process groups
+(MCT default_runtime.py dist_params, dist_train.sh launchers).  Here a
+single `jax.sharding.Mesh` covers every parallelism axis; gradient sync,
+eval gather and contrastive all-gather become XLA collectives over ICI
+inserted by GSPMD — no launcher, no process groups.
+
+Axes convention:
+  data   -- batch / index-row sharding (DDP + sharded retrieval index)
+  model  -- tensor parallel for wide layers (unused at reference scale,
+            wired so larger towers can shard without API changes)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (
+        f"mesh {n_data}x{n_model} needs more than {len(devices)} devices")
+    dev_array = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(dev_array, ("data", "model"))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Shard the leading axis over 'data', replicate the rest."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_rows(mesh: Mesh, x: jax.Array | np.ndarray, pad_value: float = 0.0):
+    """Pad the leading axis to a multiple of the data-axis size and place
+    the array row-sharded across the mesh.  Returns (sharded_array, n_valid)."""
+    n = x.shape[0]
+    d = mesh.shape["data"]
+    pad = (-n) % d
+    if pad:
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        x = np.pad(np.asarray(x), widths, constant_values=pad_value)
+    return jax.device_put(x, data_sharding(mesh, x.ndim)), n
+
+
+def host_gather(x: jax.Array) -> np.ndarray:
+    """Fetch a (possibly sharded) array fully to host."""
+    return np.asarray(jax.device_get(x))

@@ -1,0 +1,113 @@
+"""Sharded embedding index with distributed top-k retrieval.
+
+The TPU replacement for the reference's retrieval hot path
+(LINAS evaluation.cal_error + np.argsort, inference.py:79-82;
+MultiFusion validate.py:44-101 batched index scoring):
+
+* the (N, d) embedding matrix lives row-sharded over the mesh 'data' axis
+  (HBM of all chips holds the index, N scales with the pod, not the chip);
+* a query batch is replicated, each shard computes (Q, N/d) similarities
+  with one MXU matmul and reduces them to a local top-k;
+* the k*n_shards candidates ride ICI via the out-sharding all-gather and a
+  final `lax.top_k` merges them — O(Q * k * shards) instead of O(Q * N)
+  crossing the interconnect.
+
+`vs_baseline`: the reference argsorts the full row on host (O(N log N),
+evaluation.py:17-22); here sorting never leaves the device and never sees
+more than k*shards candidates.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..parallel.mesh import data_sharding, make_mesh, shard_rows
+
+
+class RetrievalIndex:
+    """Normalized-embedding retrieval index, optionally mesh-sharded."""
+
+    def __init__(self, embeddings: np.ndarray, ids: Optional[list] = None,
+                 mesh: Optional[Mesh] = None, normalize: bool = True,
+                 dtype=jnp.float32):
+        emb = np.asarray(embeddings, dtype=np.float32)
+        if normalize:
+            n = np.linalg.norm(emb, axis=1, keepdims=True)
+            emb = emb / np.maximum(n, 1e-12)
+        self.n = emb.shape[0]
+        self.dim = emb.shape[1]
+        self.ids = ids
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_shards = self.mesh.shape["data"]
+        emb = emb.astype(dtype)
+        self.emb, _ = shard_rows(self.mesh, emb)
+        self.rows_per_shard = self.emb.shape[0] // self.n_shards
+        self._search = self._build(dtype)
+
+    def _build(self, dtype):
+        mesh = self.mesh
+        rows = self.rows_per_shard
+        n_valid = self.n
+
+        def local_topk(k, q, emb_shard):
+            sims = jnp.dot(q, emb_shard.T, preferred_element_type=jnp.float32)
+            # mask padding rows on the last shard
+            shard = jax.lax.axis_index("data")
+            base = shard * rows
+            col = base + jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
+            sims = jnp.where(col < n_valid, sims, -jnp.inf)
+            vals, idx = jax.lax.top_k(sims, k)
+            return vals, idx + base
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def search(q, k):
+            k = min(k, n_valid)        # never return padding rows
+            kk = min(k, rows)
+            f = shard_map(
+                functools.partial(local_topk, kk),
+                mesh=mesh,
+                in_specs=(P(), P("data", None)),
+                out_specs=(P(None, "data"), P(None, "data")),
+                check_vma=False,
+            )
+            vals, idx = f(q.astype(dtype), self.emb)   # (Q, kk*shards)
+            if vals.shape[1] > k:
+                mvals, pos = jax.lax.top_k(vals, k)
+                midx = jnp.take_along_axis(idx, pos, axis=1)
+                return mvals, midx
+            return vals, idx
+
+        return search
+
+    def search(self, queries: np.ndarray, k: int = 10
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Return (scores, indices): top-k cosine scores per query row."""
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        vals, idx = self._search(qn, k)
+        return np.asarray(vals), np.asarray(idx)
+
+    def search_ids(self, queries: np.ndarray, k: int = 10):
+        vals, idx = self.search(queries, k)
+        assert self.ids is not None, "index built without ids"
+        return vals, [[self.ids[j] for j in row] for row in idx]
+
+    def full_errors(self, queries: np.ndarray) -> np.ndarray:
+        """Dense (Q, N) error matrix (for metric parity paths that need the
+        full ranking, like tester.py's pred_errors_matrix)."""
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+
+        @jax.jit
+        def dense(qq, emb):
+            return -jnp.dot(qq, emb.T, preferred_element_type=jnp.float32)
+
+        out = dense(qn, self.emb)
+        return np.asarray(out)[:, : self.n]
