@@ -1,0 +1,91 @@
+"""Headline benchmark: video embedding throughput (videos/sec/chip).
+
+Runs the flagship CLIP ViT-B/32 vision tower in bfloat16 over batches of
+8-frame 224x224 videos (the MultiFusion feature-extraction shape:
+stride-8 sampling -> 8 frames per video, src/utils.py:22-29) and reports
+sustained videos/sec on one chip.
+
+vs_baseline: BASELINE.json targets >=2x A100 videos/sec/chip.  The
+reference publishes no throughput number; we use a public-knowledge
+estimate of A100 fp16 CLIP ViT-B/32 batched inference (~1400 img/s ->
+~175 videos/s at 8 frames), so target = 350 videos/s and
+vs_baseline = value / 350.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+A100_VIDEOS_PER_SEC_ESTIMATE = 175.0
+TARGET = 2.0 * A100_VIDEOS_PER_SEC_ESTIMATE
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cross_modal_video_engine_tpu.models.clip import CLIPConfig, CLIPModel
+
+    cfg = CLIPConfig(
+        embed_dim=512, image_resolution=224, vision_width=768,
+        vision_layers=12, vision_heads=12, patch_size=32,
+        context_length=77, vocab_size=49408, text_width=512,
+        text_heads=8, text_layers=12, dtype="bfloat16",
+    )
+    model = CLIPModel(cfg)
+    rng = np.random.default_rng(0)
+
+    B, F = 32, 8  # videos per step, frames per video
+    frames = jnp.asarray(rng.standard_normal((B, F, 224, 224, 3)),
+                         jnp.bfloat16)
+
+    # host-side init: params must be jit ARGUMENTS, not closure constants —
+    # closed-over params are inlined into the HLO and blow up compile
+    # payloads (and defeat donation/sharding).
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 224, 224, 3), jnp.float32),
+                             jnp.zeros((1, 77), jnp.int32)),
+        jax.random.key(0))
+    variables = jax.tree.map(
+        lambda s: jnp.asarray(
+            rng.standard_normal(s.shape).astype(np.float32) * 0.02,
+            s.dtype),
+        shapes)
+
+    # N steps inside one jit: the axon relay has ~30 ms per-dispatch
+    # overhead and block_until_ready does not block through it, so
+    # sustained throughput is measured device-side with a fori_loop
+    # (each iteration depends on the previous via the carry) and ONE
+    # host fetch.
+    STEPS = 20
+
+    @jax.jit
+    def embed_loop(variables, frames):
+        def body(i, carry):
+            f = frames + carry * 0.0
+            high, _ = model.apply(variables, f, method="encode_video")
+            return jnp.mean(high).astype(jnp.bfloat16)
+        return jax.lax.fori_loop(0, STEPS, body,
+                                 jnp.bfloat16(0.0))
+
+    np.asarray(embed_loop(variables, frames))   # compile + warmup (fetch!)
+
+    t0 = time.perf_counter()
+    out = np.asarray(embed_loop(variables, frames))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(np.float32(out))
+    videos_per_sec = STEPS * B / dt
+
+    print(json.dumps({
+        "metric": "video_embed_throughput_vitb32_bf16_8f224",
+        "value": round(videos_per_sec, 2),
+        "unit": "videos/sec/chip",
+        "vs_baseline": round(videos_per_sec / TARGET, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

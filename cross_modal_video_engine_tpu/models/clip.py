@@ -1,0 +1,241 @@
+"""CLIP-style dual tower (vision transformer + text transformer).
+
+TPU-native rebuild of the MultiFusion vendored CLIP
+(MultiFusion/src/model/model.py):
+
+* `VisionTower` mirrors VisualTransformer.forward (model.py:282-301):
+  returns (high, low, middle) where `low` is the patch tokens before the
+  transformer, `middle` the post-transformer tokens without CLS, and
+  `high` the projected CLS feature.  `encode_image` on the `CLIPModel`
+  returns (high, middle) like the reference CLIP.encode_image.
+* `TextTower` is the causal text transformer with EOT pooling
+  (model.py:343-360 equivalent).
+* Attention/MLP use fused qkv projections sized to MXU tiles; all compute
+  can run bf16 (`dtype=jnp.bfloat16`) with fp32 LayerNorm, matching the
+  reference's fp16-with-fp32-LN trick (model.py:290-295).
+
+Video encoding folds frames into the batch axis — (B, F, H, W, C) ->
+(B*F, ...) — so the MXU sees one large batch instead of a per-frame python
+loop (the reference encodes frame-by-frame, src/utils.py:22-29).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPConfig:
+    embed_dim: int = 512
+    # vision
+    image_resolution: int = 224
+    vision_width: int = 768
+    vision_layers: int = 12
+    vision_heads: int = 12
+    patch_size: int = 32
+    # text
+    context_length: int = 77
+    vocab_size: int = 49408
+    text_width: int = 512
+    text_heads: int = 8
+    text_layers: int = 12
+    dtype: str = "float32"    # 'bfloat16' for TPU production
+
+    @property
+    def grid(self) -> int:
+        return self.image_resolution // self.patch_size
+
+    def jdtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class LayerNormF32(nn.Module):
+    """LayerNorm computed in fp32 regardless of activation dtype."""
+
+    @nn.compact
+    def __call__(self, x):
+        orig = x.dtype
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln")(
+            x.astype(jnp.float32))
+        return y.astype(orig)
+
+
+class MHA(nn.Module):
+    width: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None,
+                 kv: Optional[jnp.ndarray] = None):
+        """x: (B, L, D) queries; kv: optional (B, S, D) keys/values for
+        cross attention. mask: (L, S) additive (-inf) mask."""
+        D, H = self.width, self.heads
+        hd = D // H
+        kv = x if kv is None else kv
+        q = nn.Dense(D, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(D, dtype=self.dtype, name="k_proj")(kv)
+        v = nn.Dense(D, dtype=self.dtype, name="v_proj")(kv)
+        B, L, _ = q.shape
+        S = k.shape[1]
+        q = q.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+        scale = 1.0 / np.sqrt(hd)
+        logits = jnp.einsum("bhld,bhsd->bhls", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            logits = logits + mask
+        w = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhls,bhsd->bhld", w, v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+        return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
+
+
+class ResidualAttentionBlock(nn.Module):
+    width: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        x = x + MHA(self.width, self.heads, self.dtype, name="attn")(
+            LayerNormF32(name="ln_1")(x), mask)
+        h = LayerNormF32(name="ln_2")(x)
+        h = nn.Dense(self.width * 4, dtype=self.dtype, name="c_fc")(h)
+        h = quick_gelu(h)
+        h = nn.Dense(self.width, dtype=self.dtype, name="c_proj")(h)
+        return x + h
+
+
+class Transformer(nn.Module):
+    width: int
+    layers: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        for i in range(self.layers):
+            x = ResidualAttentionBlock(self.width, self.heads, self.dtype,
+                                       name=f"resblock_{i}")(x, mask)
+        return x
+
+
+class VisionTower(nn.Module):
+    cfg: CLIPConfig
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """images: (B, H, W, 3) -> (high (B, E), low (B, G^2, W),
+        middle (B, G^2, W))."""
+        cfg = self.cfg
+        dt = cfg.jdtype()
+        x = nn.Conv(cfg.vision_width, (cfg.patch_size, cfg.patch_size),
+                    strides=(cfg.patch_size, cfg.patch_size), use_bias=False,
+                    dtype=dt, name="conv1")(images.astype(dt))
+        B = x.shape[0]
+        x = x.reshape(B, -1, cfg.vision_width)                 # (B, G^2, W)
+        low_fea = x
+        cls = self.param("class_embedding",
+                         nn.initializers.normal(cfg.vision_width ** -0.5),
+                         (cfg.vision_width,))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(dt), (B, 1, cfg.vision_width)), x], 1)
+        pos = self.param("positional_embedding",
+                         nn.initializers.normal(cfg.vision_width ** -0.5),
+                         (cfg.grid ** 2 + 1, cfg.vision_width))
+        x = x + pos.astype(dt)
+        x = LayerNormF32(name="ln_pre")(x)
+        x = Transformer(cfg.vision_width, cfg.vision_layers, cfg.vision_heads,
+                        dt, name="transformer")(x)
+        middle_fea = x[:, 1:, :]
+        pooled = LayerNormF32(name="ln_post")(x[:, 0, :])
+        proj = self.param("proj",
+                          nn.initializers.normal(cfg.vision_width ** -0.5),
+                          (cfg.vision_width, cfg.embed_dim))
+        high = jnp.dot(pooled, proj.astype(dt),
+                       preferred_element_type=jnp.float32)
+        return high.astype(jnp.float32), low_fea, middle_fea
+
+
+class TextTower(nn.Module):
+    cfg: CLIPConfig
+
+    @nn.compact
+    def __call__(self, text_ids: jnp.ndarray) -> jnp.ndarray:
+        """text_ids: (B, L) int32; EOT token = highest id in each row."""
+        cfg = self.cfg
+        dt = cfg.jdtype()
+        emb = self.param("token_embedding", nn.initializers.normal(0.02),
+                         (cfg.vocab_size, cfg.text_width))
+        x = emb[text_ids].astype(dt)
+        pos = self.param("positional_embedding", nn.initializers.normal(0.01),
+                         (cfg.context_length, cfg.text_width))
+        L = text_ids.shape[1]
+        x = x + pos[:L].astype(dt)
+        causal = jnp.triu(jnp.full((L, L), -jnp.inf, jnp.float32), k=1)
+        x = Transformer(cfg.text_width, cfg.text_layers, cfg.text_heads, dt,
+                        name="transformer")(x, causal)
+        x = LayerNormF32(name="ln_final")(x)
+        eot = jnp.argmax(text_ids, axis=-1)
+        pooled = x[jnp.arange(x.shape[0]), eot]
+        proj = self.param("text_projection",
+                          nn.initializers.normal(cfg.text_width ** -0.5),
+                          (cfg.text_width, cfg.embed_dim))
+        out = jnp.dot(pooled, proj.astype(dt),
+                      preferred_element_type=jnp.float32)
+        return out.astype(jnp.float32)
+
+
+class CLIPModel(nn.Module):
+    cfg: CLIPConfig
+
+    def setup(self):
+        self.visual = VisionTower(self.cfg, name="visual")
+        self.text = TextTower(self.cfg, name="text")
+        self.logit_scale = self.param("logit_scale",
+                                      lambda k: jnp.asarray(np.log(1 / 0.07),
+                                                            jnp.float32))
+
+    def encode_image(self, images: jnp.ndarray):
+        """(B, H, W, 3) -> (high (B, E), middle (B, G^2, W)), matching the
+        reference CLIP.encode_image tuple contract."""
+        high, _low, middle = self.visual(images)
+        return high, middle
+
+    def encode_video(self, frames: jnp.ndarray):
+        """(B, F, H, W, 3) -> (high (B, F, E), middle (B, F, G^2, W)) —
+        frames folded into the batch for one big MXU pass."""
+        B, F = frames.shape[0], frames.shape[1]
+        flat = frames.reshape((B * F,) + frames.shape[2:])
+        high, _low, middle = self.visual(flat)
+        return (high.reshape(B, F, -1),
+                middle.reshape(B, F, middle.shape[1], middle.shape[2]))
+
+    def encode_text(self, text_ids: jnp.ndarray):
+        return self.text(text_ids)
+
+    def __call__(self, images: jnp.ndarray, text_ids: jnp.ndarray):
+        """Contrastive logits like reference CLIP.forward."""
+        image_features, _ = self.encode_image(images)
+        text_features = self.encode_text(text_ids)
+        image_features = image_features / jnp.linalg.norm(
+            image_features, axis=-1, keepdims=True)
+        text_features = text_features / jnp.linalg.norm(
+            text_features, axis=-1, keepdims=True)
+        scale = jnp.exp(self.logit_scale)
+        logits_per_image = scale * image_features @ text_features.T
+        return logits_per_image, logits_per_image.T

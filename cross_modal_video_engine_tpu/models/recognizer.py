@@ -1,0 +1,108 @@
+"""Video recognizers: classification and label-sequence (caption) heads.
+
+TPU rebuild of MCT/mmaction/models/recognizers:
+
+* `TimeSformerHead` (heads/timesformer_head.py): Dense classifier on the
+  backbone CLS feature, trunc-normal init std 0.02.
+* `Recognizer3D`: backbone -> head -> class scores; `average_clip`
+  averages scores (or probs) over test-time clips/crops
+  (recognizers/base.py:185-228).
+* `Recognizer3DRelseq` (recognizers/recognizer3d_relseq.py:10-190):
+  backbone -> RNNDecoderHead, teacher-forced in train, greedy-feedback at
+  inference; `average_clip(..., seq_gen=True)` averages per-step probs
+  over clips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .decoder_head import RNNDecoderConfig, RNNDecoderHead
+from .timesformer import TimeSformer, TimeSformerConfig
+from ..losses.seqmll import seq_mll_loss
+from ..utils.registry import HEADS, RECOGNIZERS
+
+
+@HEADS.register("TimeSformerHead")
+class TimeSformerHead(nn.Module):
+    num_classes: int
+    init_std: float = 0.02
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Dense(
+            self.num_classes,
+            kernel_init=nn.initializers.truncated_normal(self.init_std),
+            name="fc_cls")(x)
+
+
+def average_clip(scores: jnp.ndarray, num_segs: int,
+                 average_clips: Optional[str] = "prob") -> jnp.ndarray:
+    """(B*num_segs, ...) -> (B, ...), mmaction base.py:185-228 semantics."""
+    scores = scores.reshape((-1, num_segs) + scores.shape[1:])
+    if average_clips == "prob":
+        return jax.nn.softmax(scores, axis=-1).mean(axis=1)
+    if average_clips == "score":
+        return scores.mean(axis=1)
+    if average_clips is None:
+        return scores
+    raise ValueError(average_clips)
+
+
+@RECOGNIZERS.register("Recognizer3D")
+class Recognizer3D(nn.Module):
+    backbone_cfg: TimeSformerConfig
+    num_classes: int
+
+    def setup(self):
+        self.backbone = TimeSformer(self.backbone_cfg, name="backbone")
+        self.cls_head = TimeSformerHead(self.num_classes, name="cls_head")
+
+    def extract_feat(self, videos, *, train: bool = False):
+        return self.backbone(videos, train=train)
+
+    def __call__(self, videos: jnp.ndarray, *, train: bool = False):
+        """videos: (B, T, H, W, 3) -> class scores (B, num_classes)."""
+        feat = self.backbone(videos, train=train)
+        return self.cls_head(feat)
+
+    def forward_test(self, videos: jnp.ndarray, num_segs: int = 1,
+                     average_clips: str = "prob"):
+        scores = self(videos)
+        return average_clip(scores, num_segs, average_clips)
+
+
+@RECOGNIZERS.register("Recognizer3DRelseq")
+class Recognizer3DRelseq(nn.Module):
+    backbone_cfg: TimeSformerConfig
+    decoder_cfg: RNNDecoderConfig
+
+    def setup(self):
+        self.backbone = TimeSformer(self.backbone_cfg, name="backbone")
+        self.cls_head = RNNDecoderHead(self.decoder_cfg, name="cls_head")
+
+    def extract_feat(self, videos, *, train: bool = False):
+        return self.backbone(videos, train=train)
+
+    def __call__(self, videos: jnp.ndarray,
+                 targets_emb: Optional[jnp.ndarray] = None,
+                 mode: str = "inference", *, train: bool = False):
+        feat = self.backbone(videos, train=train)
+        return self.cls_head(feat, targets_emb, mode=mode, train=train)
+
+    def forward_train(self, videos, targets_emb, mask):
+        """Returns the SeqMLL loss (recognizer3d_relseq.py:75-91)."""
+        probs = self(videos, targets_emb, mode="train", train=True)
+        return seq_mll_loss(probs, targets_emb, mask)
+
+    def forward_test(self, videos: jnp.ndarray, num_segs: int = 1):
+        """Greedy decode averaged over clips (seq_gen average, base.py:
+        185-228 + recognizer3d_relseq.py _do_test)."""
+        probs = self(videos, mode="inference")
+        probs = probs.reshape((-1, num_segs) + probs.shape[1:]).mean(axis=1)
+        return probs

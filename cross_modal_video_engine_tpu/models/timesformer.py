@@ -1,0 +1,196 @@
+"""TimeSformer video backbone (divided / joint / space-only attention).
+
+TPU rebuild of MCT/mmaction/models/backbones/timesformer.py:67-346 and the
+divided attention modules (mmaction/models/common/transformer.py:13-178):
+
+* token layout matches the reference exactly: one CLS token + patch-major
+  (p t) flattened patch tokens, spatial pos-embed added per frame, temporal
+  embed added per patch (timesformer.py:258-276);
+* DividedTemporalAttention: LN -> MHA over time per patch -> proj ->
+  zero-init temporal_fc -> residual on patch tokens only
+  (transformer.py:63-87);
+* DividedSpatialAttention: CLS broadcast per frame, LN -> MHA over patches
+  per frame -> frame-mean of CLS response -> residual
+  (transformer.py:141-177);
+* FFNWithNorm: pre-norm MLP with GELU.
+
+All reshapes are pure transposes on (B, P, T, D) so XLA keeps everything on
+the MXU; stochastic depth follows the reference linspace(0, 0.1) schedule.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .clip import MHA
+
+
+@dataclasses.dataclass(frozen=True)
+class TimeSformerConfig:
+    num_frames: int = 8
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dims: int = 768
+    num_heads: int = 12
+    num_layers: int = 12
+    attention_type: str = "divided_space_time"  # | 'joint_space_time' | 'space_only'
+    dropout_ratio: float = 0.0
+    drop_path_max: float = 0.1
+    dtype: str = "float32"
+
+    @property
+    def num_patches(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+    def jdtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+class DropPath(nn.Module):
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        if not train or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class LN(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="ln")(
+            x.astype(jnp.float32)).astype(x.dtype)
+
+
+class DividedSTBlock(nn.Module):
+    cfg: TimeSformerConfig
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        """x: (B, 1 + P*T, D), patch-major (p t) token order."""
+        cfg = self.cfg
+        B = x.shape[0]
+        P, T, D = cfg.num_patches, cfg.num_frames, cfg.embed_dims
+        dp = DropPath(self.drop_path, name="drop_path")
+
+        # --- temporal attention over frames, per patch ---------------------
+        cls0 = x[:, :1, :]
+        patches = x[:, 1:, :]                           # (B, P*T, D)
+        qt = patches.reshape(B * P, T, D)
+        qt = LN(name="temporal_norm")(qt)
+        rt = MHA(D, cfg.num_heads, qt.dtype, name="temporal_attn")(qt)
+        rt = dp(rt.reshape(B, P * T, D), train=train)
+        rt = nn.Dense(D, kernel_init=nn.initializers.zeros,
+                      bias_init=nn.initializers.zeros, name="temporal_fc")(rt)
+        patches = patches + rt
+
+        # --- spatial attention over patches, per frame ---------------------
+        # (B, P*T, D) p-major -> (B*T, P, D)
+        ps = patches.reshape(B, P, T, D).transpose(0, 2, 1, 3).reshape(B * T, P, D)
+        cls_rep = jnp.broadcast_to(cls0, (B, T, D)).reshape(B * T, 1, D)
+        qs = jnp.concatenate([cls_rep, ps], axis=1)     # (B*T, P+1, D)
+        qs = LN(name="spatial_norm")(qs)
+        rs = MHA(D, cfg.num_heads, qs.dtype, name="spatial_attn")(qs)
+        rs = dp(rs, train=train)
+        cls_res = jnp.mean(rs[:, 0, :].reshape(B, T, D), axis=1, keepdims=True)
+        patch_res = rs[:, 1:, :].reshape(B, T, P, D).transpose(0, 2, 1, 3) \
+            .reshape(B, P * T, D)
+        x = x + jnp.concatenate([cls_res, patch_res], axis=1)
+
+        # --- FFN with pre-norm ---------------------------------------------
+        h = LN(name="ffn_norm")(x)
+        h = nn.Dense(D * 4, name="ffn_fc1")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(D, name="ffn_fc2")(h)
+        return x + dp(h, train=train)
+
+
+class JointBlock(nn.Module):
+    cfg: TimeSformerConfig
+    drop_path: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        cfg = self.cfg
+        dp = DropPath(self.drop_path, name="drop_path")
+        h = LN(name="norm1")(x)
+        x = x + dp(MHA(cfg.embed_dims, cfg.num_heads, h.dtype, name="attn")(h),
+                   train=train)
+        h = LN(name="norm2")(x)
+        h = nn.Dense(cfg.embed_dims * 4, name="ffn_fc1")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(cfg.embed_dims, name="ffn_fc2")(h)
+        return x + dp(h, train=train)
+
+
+class TimeSformer(nn.Module):
+    cfg: TimeSformerConfig
+
+    @nn.compact
+    def __call__(self, videos: jnp.ndarray, *, train: bool = False,
+                 return_tokens: bool = False):
+        """videos: (B, T, H, W, 3) -> cls feature (B, D), optionally the full
+        token sequence."""
+        cfg = self.cfg
+        dt = cfg.jdtype()
+        B, T = videos.shape[0], videos.shape[1]
+        assert T == cfg.num_frames, (T, cfg.num_frames)
+        P, D = cfg.num_patches, cfg.embed_dims
+
+        flat = videos.reshape((B * T,) + videos.shape[2:]).astype(dt)
+        x = nn.Conv(D, (cfg.patch_size, cfg.patch_size),
+                    strides=(cfg.patch_size, cfg.patch_size),
+                    name="patch_embed")(flat)            # (B*T, g, g, D)
+        x = x.reshape(B * T, P, D)
+
+        cls = self.param("cls_token", nn.initializers.truncated_normal(0.02),
+                         (1, 1, D))
+        pos = self.param("pos_embed", nn.initializers.truncated_normal(0.02),
+                         (1, P + 1, D))
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(dt), (B * T, 1, D)), x], axis=1)
+        x = x + pos.astype(dt)
+        x = nn.Dropout(cfg.dropout_ratio, deterministic=not train,
+                       name="drop_after_pos")(x)
+
+        if cfg.attention_type != "space_only":
+            time_embed = self.param("time_embed",
+                                    nn.initializers.truncated_normal(0.02),
+                                    (1, cfg.num_frames, D))
+            cls_tokens = x.reshape(B, T, P + 1, D)[:, 0, :1, :]  # first frame CLS
+            patches = x[:, 1:, :].reshape(B, T, P, D).transpose(0, 2, 1, 3)
+            patches = patches + time_embed.astype(dt)
+            patches = nn.Dropout(cfg.dropout_ratio, deterministic=not train,
+                                 name="drop_after_time")(patches)
+            x = jnp.concatenate(
+                [cls_tokens, patches.reshape(B, P * T, D)], axis=1)
+        # space_only keeps per-frame sequences (B*T, P+1, D)
+
+        dpr = np.linspace(0, cfg.drop_path_max, cfg.num_layers)
+        for i in range(cfg.num_layers):
+            if cfg.attention_type == "divided_space_time":
+                x = DividedSTBlock(cfg, float(dpr[i]), name=f"block_{i}")(
+                    x, train=train)
+            else:
+                x = JointBlock(cfg, float(dpr[i]), name=f"block_{i}")(
+                    x, train=train)
+
+        x = LN(name="norm")(x)
+        if cfg.attention_type == "space_only":
+            x = x.reshape(B, T, P + 1, D).mean(axis=1)   # frame average
+        cls_feat = x[:, 0].astype(jnp.float32)
+        if return_tokens:
+            return cls_feat, x.astype(jnp.float32)
+        return cls_feat
