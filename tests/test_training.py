@@ -1,0 +1,130 @@
+"""Training-loop tests: losses go down, schedules fire, combiner learns."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fixtures import make_collection, tiny_config
+
+from cross_modal_video_engine_tpu.cli.common import load_dataset
+from cross_modal_video_engine_tpu.cli.retrieval_trainer import train
+from cross_modal_video_engine_tpu.models.combiner import Combiner, CombinerConfig
+from cross_modal_video_engine_tpu.models.dual_encoding import DualEncoding
+from cross_modal_video_engine_tpu.train.linas_trainer import (
+    EpochScheduler, LinasTrainConfig, get_learning_rate, init_train_state,
+    make_optimizer, make_train_step, set_learning_rate, TrainState)
+from cross_modal_video_engine_tpu.train.combiner_trainer import (
+    CombinerTrainConfig, composed_rank_eval, init_combiner_state,
+    make_combiner_optimizer, make_combiner_train_step)
+
+rng = np.random.default_rng(17)
+
+
+def test_linas_train_step_reduces_loss(tmp_path):
+    info = make_collection(str(tmp_path), n_videos=8, caps_per_video=3)
+    ds = load_dataset(str(tmp_path), info["collection"], info["feature"],
+                      support_set_number=2)
+    cfg = tiny_config(info)
+    tcfg = LinasTrainConfig(learning_rate=5e-3, cost_style="mean",
+                            distill_with_triplet=True)
+    model = DualEncoding(cfg)
+    tx = make_optimizer(tcfg)
+    videos, text, support, _ = next(ds.train_batches(8, 0))
+    state = init_train_state(model, tx, videos, text, support)
+    step = make_train_step(model, tcfg, tx)
+    k = jax.random.key(0)
+    first = None
+    for i in range(12):
+        k, sub = jax.random.split(k)
+        state, logs = step(state, videos, text, support, sub)
+        if first is None:
+            first = float(logs["loss"])
+    assert float(logs["loss"]) < first, (first, float(logs["loss"]))
+    assert np.isfinite(float(logs["distill"]))
+
+
+def test_epoch_scheduler_semantics():
+    tcfg = LinasTrainConfig(learning_rate=1.0, lr_decay_rate=0.99)
+    model_cfg_sched = EpochScheduler(tcfg)
+    # fake state holding only opt hyperparams
+    tx = make_optimizer(tcfg)
+    params = {"w": jnp.ones(3)}
+    state = TrainState(params, {}, tx.init(params))
+    # improving epoch: just *0.99
+    state, best, stop = model_cfg_sched.on_epoch_end(state, 10.0)
+    assert best and not stop
+    np.testing.assert_allclose(get_learning_rate(state), 0.99, rtol=1e-6)
+    # 3 non-improving epochs -> halve on the 3rd
+    for i in range(3):
+        state, best, stop = model_cfg_sched.on_epoch_end(state, 5.0)
+        assert not best
+    lr = get_learning_rate(state)
+    np.testing.assert_allclose(lr, 0.99 * 0.99**3 * 0.5, rtol=1e-5)
+    # 6 total non-improving -> stop
+    for i in range(3):
+        state, best, stop = model_cfg_sched.on_epoch_end(state, 5.0)
+    assert stop
+
+
+def test_full_train_loop_tiny(tmp_path):
+    """2-epoch end-to-end train() on the tiny fixture: writes history,
+    best checkpoint, val_metric_hist.txt."""
+    import os
+    info = make_collection(str(tmp_path), n_videos=6, caps_per_video=3)
+    ds = load_dataset(str(tmp_path), info["collection"], info["feature"],
+                      support_set_number=2)
+    cfg = tiny_config(info)
+    tcfg = LinasTrainConfig(learning_rate=1e-3, cost_style="mean")
+    out = str(tmp_path / "run")
+    os.makedirs(out, exist_ok=True)
+    state, history, best = train(cfg, tcfg, ds, ds, out, batch_size=6,
+                                 num_epochs=2, log_every=0)
+    assert len(history) == 2
+    assert os.path.exists(os.path.join(out, "val_metric_hist.txt"))
+    assert os.path.exists(best)
+
+
+def test_combiner_training_learns():
+    """Synthetic composed retrieval: target = ref + text-direction shift.
+    After training, recall@1 with reference masking must beat chance."""
+    D, B, F, L = 16, 16, 2, 4
+    ccfg = CombinerConfig(clip_feature_dim=D, projection_dim=16,
+                          hidden_dim=32, n_heads=2)
+    model = Combiner(ccfg)
+    n = 32
+    base = rng.standard_normal((n, D)).astype(np.float32)
+    text_dir = rng.standard_normal((n, D)).astype(np.float32)
+    target = (base + text_dir).astype(np.float32)
+
+    def feats(x):
+        high = jnp.asarray(np.repeat(x[:, None, :], F, 1))
+        middle = jnp.asarray(
+            np.repeat(np.repeat(x[:, None, :], F, 1)[:, :, None, :], L, 2))
+        return high, middle
+
+    ref_feats = feats(base)
+    tgt_feats = feats(target)
+    text_feats = jnp.asarray(text_dir)
+
+    tcfg = CombinerTrainConfig(learning_rate=3e-3)
+    tx = make_combiner_optimizer(tcfg)
+    state = init_combiner_state(model, tx, ref_feats, text_feats, tgt_feats)
+    step = make_combiner_train_step(model, tx)
+    k = jax.random.key(0)
+    losses = []
+    for i in range(60):
+        k, sub = jax.random.split(k)
+        state, loss = step(state, ref_feats, text_feats, tgt_feats, sub)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, (losses[0], losses[-1])
+
+    # eval with reference masking: index = refs + targets stacked
+    index_high = jnp.concatenate([ref_feats[0], tgt_feats[0]], axis=0)
+    reference_rows = jnp.arange(n)           # refs occupy rows 0..n-1
+    gt_rows = jnp.arange(n) + n              # targets at rows n..2n-1
+    order, metrics = composed_rank_eval(
+        model, state.params, ref_feats, text_feats, index_high,
+        reference_rows, gt_rows)
+    assert metrics["recall_at1"] > 50.0, metrics
+    # masked reference must never be ranked first
+    assert not np.any(order[:, 0] == np.asarray(reference_rows))
