@@ -76,6 +76,17 @@ class Recognizer3D(nn.Module):
         scores = self(videos)
         return average_clip(scores, num_segs, average_clips)
 
+    # -- explainability surface (torch-hook replacement) -------------------
+    def forward_with_capture(self, videos, layers):
+        """Class scores + captured token sequences at `layers`."""
+        feat, captured = self.backbone(videos, capture_layers=tuple(layers))
+        return self.cls_head(feat), captured
+
+    def score_from_layer(self, tokens, layer: int):
+        """Class scores recomputed from layer `layer` tokens (grad target)."""
+        feat = self.backbone.forward_from(tokens, layer)
+        return self.cls_head(feat)
+
 
 @RECOGNIZERS.register("Recognizer3DRelseq")
 class Recognizer3DRelseq(nn.Module):

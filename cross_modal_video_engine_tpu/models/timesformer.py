@@ -138,59 +138,94 @@ class JointBlock(nn.Module):
 class TimeSformer(nn.Module):
     cfg: TimeSformerConfig
 
-    @nn.compact
-    def __call__(self, videos: jnp.ndarray, *, train: bool = False,
-                 return_tokens: bool = False):
-        """videos: (B, T, H, W, 3) -> cls feature (B, D), optionally the full
+    def setup(self):
+        cfg = self.cfg
+        self.patch_embed = nn.Conv(
+            cfg.embed_dims, (cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size), name="patch_embed")
+        self.cls_token = self.param(
+            "cls_token", nn.initializers.truncated_normal(0.02),
+            (1, 1, cfg.embed_dims))
+        self.pos_embed = self.param(
+            "pos_embed", nn.initializers.truncated_normal(0.02),
+            (1, cfg.num_patches + 1, cfg.embed_dims))
+        self.drop_after_pos = nn.Dropout(cfg.dropout_ratio)
+        if cfg.attention_type != "space_only":
+            self.time_embed = self.param(
+                "time_embed", nn.initializers.truncated_normal(0.02),
+                (1, cfg.num_frames, cfg.embed_dims))
+            self.drop_after_time = nn.Dropout(cfg.dropout_ratio)
+        dpr = np.linspace(0, cfg.drop_path_max, cfg.num_layers)
+        block_cls = (DividedSTBlock if cfg.attention_type ==
+                     "divided_space_time" else JointBlock)
+        self.blocks = [block_cls(cfg, float(dpr[i]), name=f"block_{i}")
+                       for i in range(cfg.num_layers)]
+        self.final_norm = LN(name="norm")
+
+    def _pool(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        x = self.final_norm(x)
+        if cfg.attention_type == "space_only":
+            x = x.reshape(-1, cfg.num_frames, cfg.num_patches + 1,
+                          cfg.embed_dims).mean(axis=1)
+        return x, x[:, 0].astype(jnp.float32)
+
+    def embed_tokens(self, videos: jnp.ndarray, *, train: bool = False):
+        """Patch-embed + cls/pos/time embeddings -> the layer-0 input
         token sequence."""
         cfg = self.cfg
         dt = cfg.jdtype()
         B, T = videos.shape[0], videos.shape[1]
         assert T == cfg.num_frames, (T, cfg.num_frames)
         P, D = cfg.num_patches, cfg.embed_dims
-
         flat = videos.reshape((B * T,) + videos.shape[2:]).astype(dt)
-        x = nn.Conv(D, (cfg.patch_size, cfg.patch_size),
-                    strides=(cfg.patch_size, cfg.patch_size),
-                    name="patch_embed")(flat)            # (B*T, g, g, D)
-        x = x.reshape(B * T, P, D)
-
-        cls = self.param("cls_token", nn.initializers.truncated_normal(0.02),
-                         (1, 1, D))
-        pos = self.param("pos_embed", nn.initializers.truncated_normal(0.02),
-                         (1, P + 1, D))
+        x = self.patch_embed(flat).reshape(B * T, P, D)
         x = jnp.concatenate(
-            [jnp.broadcast_to(cls.astype(dt), (B * T, 1, D)), x], axis=1)
-        x = x + pos.astype(dt)
-        x = nn.Dropout(cfg.dropout_ratio, deterministic=not train,
-                       name="drop_after_pos")(x)
-
+            [jnp.broadcast_to(self.cls_token.astype(dt), (B * T, 1, D)), x],
+            axis=1)
+        x = x + self.pos_embed.astype(dt)
+        x = self.drop_after_pos(x, deterministic=not train)
         if cfg.attention_type != "space_only":
-            time_embed = self.param("time_embed",
-                                    nn.initializers.truncated_normal(0.02),
-                                    (1, cfg.num_frames, D))
-            cls_tokens = x.reshape(B, T, P + 1, D)[:, 0, :1, :]  # first frame CLS
+            cls_tokens = x.reshape(B, T, P + 1, D)[:, 0, :1, :]
             patches = x[:, 1:, :].reshape(B, T, P, D).transpose(0, 2, 1, 3)
-            patches = patches + time_embed.astype(dt)
-            patches = nn.Dropout(cfg.dropout_ratio, deterministic=not train,
-                                 name="drop_after_time")(patches)
+            patches = patches + self.time_embed.astype(dt)
+            patches = self.drop_after_time(patches, deterministic=not train)
             x = jnp.concatenate(
                 [cls_tokens, patches.reshape(B, P * T, D)], axis=1)
-        # space_only keeps per-frame sequences (B*T, P+1, D)
+        return x
 
-        dpr = np.linspace(0, cfg.drop_path_max, cfg.num_layers)
-        for i in range(cfg.num_layers):
-            if cfg.attention_type == "divided_space_time":
-                x = DividedSTBlock(cfg, float(dpr[i]), name=f"block_{i}")(
-                    x, train=train)
-            else:
-                x = JointBlock(cfg, float(dpr[i]), name=f"block_{i}")(
-                    x, train=train)
-
-        x = LN(name="norm")(x)
-        if cfg.attention_type == "space_only":
-            x = x.reshape(B, T, P + 1, D).mean(axis=1)   # frame average
-        cls_feat = x[:, 0].astype(jnp.float32)
+    def __call__(self, videos: jnp.ndarray, *, train: bool = False,
+                 return_tokens: bool = False,
+                 capture_layers: Tuple[int, ...] = ()):
+        """videos: (B, T, H, W, 3) -> cls feature (B, D), optionally the full
+        token sequence.  `capture_layers` additionally returns the token
+        sequences after those block indices (the OutputHook equivalent,
+        ref core/hooks/output.py:8-123) as a dict {layer: (B, L, D)}."""
+        x = self.embed_tokens(videos, train=train)
+        captured = {}
+        for i, block in enumerate(self.blocks):
+            x = block(x, train=train)
+            if i in capture_layers:
+                captured[i] = x.astype(jnp.float32)
+        x, cls_feat = self._pool(x)
+        if capture_layers:
+            if return_tokens:
+                return cls_feat, x.astype(jnp.float32), captured
+            return cls_feat, captured
         if return_tokens:
             return cls_feat, x.astype(jnp.float32)
+        return cls_feat
+
+    def forward_from(self, tokens: jnp.ndarray, layer: int, *,
+                     train: bool = False) -> jnp.ndarray:
+        """Continue the forward pass from the token sequence AFTER block
+        `layer` (exclusive) to the final cls feature — the functional
+        replacement for torch backward hooks (utils/get_grads.py:16-146):
+        grads w.r.t. a captured activation are jax.grad through this."""
+        x = tokens.astype(self.cfg.jdtype())
+        for i, block in enumerate(self.blocks):
+            if i <= layer:
+                continue
+            x = block(x, train=train)
+        _, cls_feat = self._pool(x)
         return cls_feat

@@ -1,0 +1,226 @@
+"""YOLOv5-style object detector (concept-mask generator).
+
+TPU rebuild of the MCT yolov5 fork's inference path (MCT/yolov5/
+models/yolo.py + models/common.py): CSP backbone (Conv/C3/SPPF), PANet
+neck, 3-scale anchor-based Detect head, followed by host-side NMS.  Only
+what the explainability pipeline needs (detect.py) is built — training a
+detector is out of scope for parity (the reference uses stock pretrained
+weights).
+
+Width/depth multiples select n/s/m/l variants like yolov5 yamls.
+Activation is SiLU; detection decode follows yolov5's
+(2*sigmoid(xy)-0.5+grid)*stride and (2*sigmoid(wh))^2*anchor convention.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+# yolov5 P5 anchors (pixels at strides 8/16/32)
+DEFAULT_ANCHORS = (
+    ((10, 13), (16, 30), (33, 23)),
+    ((30, 61), (62, 45), (59, 119)),
+    ((116, 90), (156, 198), (373, 326)),
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class YoloConfig:
+    num_classes: int = 80
+    depth_multiple: float = 0.33     # yolov5n/s
+    width_multiple: float = 0.25     # yolov5n
+    img_size: int = 640
+    anchors: Tuple = DEFAULT_ANCHORS
+
+    def depth(self, n: int) -> int:
+        return max(1, round(n * self.depth_multiple))
+
+    def width(self, c: int) -> int:
+        return int(np.ceil(c * self.width_multiple / 8) * 8)
+
+
+class ConvBnSiLU(nn.Module):
+    out: int
+    k: int = 1
+    s: int = 1
+    p: int = -1   # -1 = autopad k//2 (yolov5 stem uses explicit p=2 for k=6)
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        pad = self.k // 2 if self.p < 0 else self.p
+        x = nn.Conv(self.out, (self.k, self.k), strides=(self.s, self.s),
+                    padding=[(pad, pad), (pad, pad)], use_bias=False,
+                    name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, name="bn")(x)
+        return nn.silu(x)
+
+
+class Bottleneck(nn.Module):
+    out: int
+    shortcut: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        y = ConvBnSiLU(self.out, 1, name="cv1")(x, train=train)
+        y = ConvBnSiLU(self.out, 3, name="cv2")(y, train=train)
+        return x + y if (self.shortcut and x.shape[-1] == self.out) else y
+
+
+class C3(nn.Module):
+    out: int
+    n: int = 1
+    shortcut: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        c_ = self.out // 2
+        a = ConvBnSiLU(c_, 1, name="cv1")(x, train=train)
+        for i in range(self.n):
+            a = Bottleneck(c_, self.shortcut, name=f"m{i}")(a, train=train)
+        b = ConvBnSiLU(c_, 1, name="cv2")(x, train=train)
+        return ConvBnSiLU(self.out, 1, name="cv3")(
+            jnp.concatenate([a, b], -1), train=train)
+
+
+class SPPF(nn.Module):
+    out: int
+    k: int = 5
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        c_ = x.shape[-1] // 2
+        x = ConvBnSiLU(c_, 1, name="cv1")(x, train=train)
+        p = self.k // 2
+        pool = lambda y: nn.max_pool(y, (self.k, self.k), strides=(1, 1),
+                                     padding=[(p, p), (p, p)])
+        y1 = pool(x)
+        y2 = pool(y1)
+        y3 = pool(y2)
+        return ConvBnSiLU(self.out, 1, name="cv2")(
+            jnp.concatenate([x, y1, y2, y3], -1), train=train)
+
+
+class YoloV5(nn.Module):
+    cfg: YoloConfig
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, *, train: bool = False):
+        """images: (B, H, W, 3) float in [0,1].  Returns raw per-scale maps
+        [(B, Hi, Wi, 3*(5+nc))] at strides 8/16/32."""
+        cfg = self.cfg
+        w, d = cfg.width, cfg.depth
+        x = ConvBnSiLU(w(64), 6, 2, p=2, name="stem")(images, train=train)
+        x = ConvBnSiLU(w(128), 3, 2, name="down1")(x, train=train)
+        x = C3(w(128), d(3), name="c3_1")(x, train=train)
+        x = ConvBnSiLU(w(256), 3, 2, name="down2")(x, train=train)
+        p3 = C3(w(256), d(6), name="c3_2")(x, train=train)
+        x = ConvBnSiLU(w(512), 3, 2, name="down3")(p3, train=train)
+        p4 = C3(w(512), d(9), name="c3_3")(x, train=train)
+        x = ConvBnSiLU(w(1024), 3, 2, name="down4")(p4, train=train)
+        x = C3(w(1024), d(3), name="c3_4")(x, train=train)
+        p5 = SPPF(w(1024), name="sppf")(x, train=train)
+
+        # PANet top-down
+        u5 = ConvBnSiLU(w(512), 1, name="up5_conv")(p5, train=train)
+        u = jax.image.resize(u5, (u5.shape[0], u5.shape[1] * 2,
+                                  u5.shape[2] * 2, u5.shape[3]), "nearest")
+        n4 = C3(w(512), d(3), False, name="n4")(
+            jnp.concatenate([u, p4], -1), train=train)
+        u4 = ConvBnSiLU(w(256), 1, name="up4_conv")(n4, train=train)
+        u = jax.image.resize(u4, (u4.shape[0], u4.shape[1] * 2,
+                                  u4.shape[2] * 2, u4.shape[3]), "nearest")
+        n3 = C3(w(256), d(3), False, name="n3")(
+            jnp.concatenate([u, p3], -1), train=train)
+
+        # bottom-up
+        dpath = ConvBnSiLU(w(256), 3, 2, name="pan3")(n3, train=train)
+        n4b = C3(w(512), d(3), False, name="n4b")(
+            jnp.concatenate([dpath, u4], -1), train=train)
+        dpath = ConvBnSiLU(w(512), 3, 2, name="pan4")(n4b, train=train)
+        n5b = C3(w(1024), d(3), False, name="n5b")(
+            jnp.concatenate([dpath, u5], -1), train=train)
+
+        no = 3 * (5 + cfg.num_classes)
+        outs = []
+        for i, feat in enumerate((n3, n4b, n5b)):
+            outs.append(nn.Conv(no, (1, 1), name=f"detect_{i}")(feat))
+        return outs
+
+
+def decode_predictions(raw_maps: Sequence[jnp.ndarray], cfg: YoloConfig
+                       ) -> jnp.ndarray:
+    """yolov5 head decode -> (B, N, 5+nc) with xywh in input pixels."""
+    strides = (8, 16, 32)
+    outs = []
+    nc = cfg.num_classes
+    for raw, stride, anchors in zip(raw_maps, strides, cfg.anchors):
+        B, H, W, _ = raw.shape
+        x = raw.reshape(B, H, W, 3, 5 + nc)
+        x = jax.nn.sigmoid(x)
+        gy = jnp.arange(H, dtype=jnp.float32)[:, None]
+        gx = jnp.arange(W, dtype=jnp.float32)[None, :]
+        grid = jnp.stack([jnp.broadcast_to(gx, (H, W)),
+                          jnp.broadcast_to(gy, (H, W))], -1)  # (H, W, 2) xy
+        anch = jnp.asarray(anchors, jnp.float32)               # (3, 2)
+        xy = (x[..., :2] * 2.0 - 0.5 + grid[:, :, None, :]) * stride
+        wh = (x[..., 2:4] * 2.0) ** 2 * anch[None, None, :, :]
+        rest = x[..., 4:]
+        out = jnp.concatenate([xy, wh, rest], -1)
+        outs.append(out.reshape(B, H * W * 3, 5 + nc))
+    return jnp.concatenate(outs, axis=1)
+
+
+def nms(boxes_xywh: np.ndarray, scores: np.ndarray, classes: np.ndarray,
+        iou_thres: float = 0.45, max_det: int = 300) -> np.ndarray:
+    """Class-aware NMS on host; boxes in xywh. Returns kept row indices."""
+    if len(boxes_xywh) == 0:
+        return np.zeros((0,), np.int64)
+    x1 = boxes_xywh[:, 0] - boxes_xywh[:, 2] / 2
+    y1 = boxes_xywh[:, 1] - boxes_xywh[:, 3] / 2
+    x2 = boxes_xywh[:, 0] + boxes_xywh[:, 2] / 2
+    y2 = boxes_xywh[:, 1] + boxes_xywh[:, 3] / 2
+    # offset by class so boxes of different classes never suppress
+    off = classes.astype(np.float64) * 4096.0
+    x1o, x2o = x1 + off, x2 + off
+    areas = (x2 - x1) * (y2 - y1)
+    order = np.argsort(-scores)
+    keep = []
+    while order.size and len(keep) < max_det:
+        i = order[0]
+        keep.append(i)
+        xx1 = np.maximum(x1o[i], x1o[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2o[i], x2o[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        inter = np.clip(xx2 - xx1, 0, None) * np.clip(yy2 - yy1, 0, None)
+        iou = inter / np.maximum(areas[i] + areas[order[1:]] - inter, 1e-9)
+        order = order[1:][iou <= iou_thres]
+    return np.asarray(keep, np.int64)
+
+
+def postprocess(preds: np.ndarray, conf_thres: float = 0.25,
+                iou_thres: float = 0.45, max_det: int = 300
+                ) -> List[np.ndarray]:
+    """(B, N, 5+nc) -> per image (n, 6): x1,y1,x2,y2,conf,cls
+    (yolov5 utils/general.py non_max_suppression semantics)."""
+    out = []
+    for p in preds:
+        conf = p[:, 4:5] * p[:, 5:]
+        cls = conf.argmax(1)
+        score = conf[np.arange(len(conf)), cls]
+        m = score > conf_thres
+        p, cls, score = p[m], cls[m], score[m]
+        keep = nms(p[:, :4], score, cls, iou_thres, max_det)
+        b = p[keep]
+        xyxy = np.stack([b[:, 0] - b[:, 2] / 2, b[:, 1] - b[:, 3] / 2,
+                         b[:, 0] + b[:, 2] / 2, b[:, 1] + b[:, 3] / 2], 1)
+        out.append(np.concatenate(
+            [xyxy, score[keep, None], cls[keep, None].astype(np.float64)], 1))
+    return out
