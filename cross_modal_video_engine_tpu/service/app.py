@@ -1,0 +1,84 @@
+"""HTTP service backing the four demo capabilities.
+
+The reference web demo (Video-engine-web/) is static Bootstrap pages with
+hard-coded results — no live backend (SURVEY §0).  This service is the
+missing backend: a stdlib http.server JSON API with one endpoint per
+capability:
+
+  POST /retrieval           {"query": str, "topK": int}
+  POST /composed_retrieval  {"reference_video": str, "text": str, "topK"}
+  POST /caption             {"video": str}
+  POST /explain             {"video": str, "topK": int}
+  GET  /health
+
+Handlers are injected as callables, so the service layer is independent
+of which models are loaded (see cli/serve.py for wiring).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Dict, Optional
+
+
+class EngineService:
+    """Callable registry for the four capabilities."""
+
+    def __init__(self):
+        self.handlers: Dict[str, Callable[[dict], dict]] = {}
+
+    def register(self, route: str, fn: Callable[[dict], dict]) -> None:
+        self.handlers[route.strip("/")] = fn
+
+    def dispatch(self, route: str, payload: dict) -> dict:
+        route = route.strip("/")
+        if route == "health":
+            return {"status": "ok",
+                    "routes": sorted(self.handlers)}
+        if route not in self.handlers:
+            raise KeyError(route)
+        return self.handlers[route](payload)
+
+
+def create_server(service: EngineService, host: str = "127.0.0.1",
+                  port: int = 8765) -> ThreadingHTTPServer:
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.strip("/") == "health":
+                self._send(200, service.dispatch("health", {}))
+            else:
+                self._send(404, {"error": f"unknown route {self.path}"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                result = service.dispatch(self.path, payload)
+                self._send(200, result)
+            except KeyError:
+                self._send(404, {"error": f"unknown route {self.path}"})
+            except Exception as e:  # surface handler errors as 500 JSON
+                self._send(500, {"error": str(e)})
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_in_thread(service: EngineService, host: str = "127.0.0.1",
+                    port: int = 8765):
+    server = create_server(service, host, port)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server, t

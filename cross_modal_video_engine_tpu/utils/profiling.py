@@ -1,0 +1,72 @@
+"""Profiling / tracing.
+
+The reference has only wall-clock meters (SURVEY §5).  Here:
+  * `trace(logdir)` — context manager around jax.profiler for XLA/TPU
+    traces viewable in TensorBoard/Perfetto;
+  * `StageTimer` — per-stage host timing that correctly synchronizes
+    device work (fetches a scalar) before stamping;
+  * `device_time` — time a jitted fn's device execution via an
+    in-jit repetition loop, robust to async dispatch relays where
+    block_until_ready does not block (see .claude/skills/verify).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    import jax
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StageTimer:
+    def __init__(self):
+        self.totals: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
+
+    @contextlib.contextmanager
+    def stage(self, name: str, sync_value=None):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if sync_value is not None:
+                np.asarray(sync_value)  # force device sync
+            dt = time.perf_counter() - t0
+            self.totals[name] = self.totals.get(name, 0.0) + dt
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def report(self) -> Dict[str, Dict[str, float]]:
+        return {k: {"total_s": v, "count": self.counts[k],
+                    "mean_s": v / self.counts[k]}
+                for k, v in self.totals.items()}
+
+
+def device_time(fn: Callable, *args, steps: int = 10) -> float:
+    """Seconds per call of `fn(*args)` measured with an in-jit loop and a
+    single synchronizing host fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(*a):
+        def body(i, carry):
+            out = fn(*jax.tree.map(lambda x: x + carry * 0, a))
+            leaves = jax.tree.leaves(out)
+            return jnp.asarray(leaves[0], jnp.float32).mean()
+        return jax.lax.fori_loop(0, steps, body, jnp.float32(0))
+
+    np.asarray(run(*args))             # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(run(*args))
+    return (time.perf_counter() - t0) / steps

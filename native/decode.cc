@@ -1,0 +1,168 @@
+// Native video decoder: libavformat/avcodec/swscale.
+//
+// The reference delegates decode to decord/PyAV/OpenCV from Python
+// (MCT loading.py:725-1247, MultiFusion utils.py:15).  This library decodes
+// a selected set of frame indices of one container straight into a caller-
+// provided RGB24 buffer, sequentially scanning the stream (one seek to the
+// keyframe before the earliest wanted frame, then demux/decode forward) —
+// the access pattern of SampleFrames-style samplers.
+//
+// C ABI (ctypes):
+//   vd_open(path, out int32[3]{n_frames_estimate, width, height}) -> handle
+//   vd_decode(handle, indices*, n, out_u8*, out_w, out_h) -> 0 on success
+//       out buffer: n * out_h * out_w * 3 bytes (RGB24, bilinear resize if
+//       out_w/out_h differ from stream size)
+//   vd_close(handle)
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+}
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Decoder {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  int stream_idx = -1;
+  int width = 0;
+  int height = 0;
+  int64_t n_frames = 0;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* vd_open(const char* path, int32_t* info_out) {
+  auto* d = new Decoder;
+  if (avformat_open_input(&d->fmt, path, nullptr, nullptr) < 0) {
+    delete d;
+    return nullptr;
+  }
+  if (avformat_find_stream_info(d->fmt, nullptr) < 0) {
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  const AVCodec* dec = nullptr;
+  d->stream_idx = av_find_best_stream(d->fmt, AVMEDIA_TYPE_VIDEO, -1, -1,
+                                      &dec, 0);
+  if (d->stream_idx < 0) {
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  AVStream* st = d->fmt->streams[d->stream_idx];
+  d->codec = avcodec_alloc_context3(dec);
+  avcodec_parameters_to_context(d->codec, st->codecpar);
+  d->codec->thread_count = 0;  // auto
+  if (avcodec_open2(d->codec, dec, nullptr) < 0) {
+    avcodec_free_context(&d->codec);
+    avformat_close_input(&d->fmt);
+    delete d;
+    return nullptr;
+  }
+  d->width = d->codec->width;
+  d->height = d->codec->height;
+  d->n_frames = st->nb_frames;
+  if (d->n_frames <= 0 && st->avg_frame_rate.den > 0 &&
+      d->fmt->duration > 0) {
+    d->n_frames = av_rescale(d->fmt->duration, st->avg_frame_rate.num,
+                             st->avg_frame_rate.den * (int64_t)AV_TIME_BASE);
+  }
+  if (info_out) {
+    info_out[0] = static_cast<int32_t>(d->n_frames);
+    info_out[1] = d->width;
+    info_out[2] = d->height;
+  }
+  return d;
+}
+
+int vd_decode(void* handle, const int64_t* indices, int64_t n,
+              uint8_t* out, int out_w, int out_h) {
+  auto* d = static_cast<Decoder*>(handle);
+  if (!d || n <= 0) return -1;
+  if (out_w <= 0) out_w = d->width;
+  if (out_h <= 0) out_h = d->height;
+
+  // map wanted frame index -> output slots (indices may repeat/unsorted)
+  std::vector<std::pair<int64_t, int64_t>> want;  // (frame_idx, out_slot)
+  for (int64_t i = 0; i < n; ++i) want.emplace_back(indices[i], i);
+  std::sort(want.begin(), want.end());
+
+  av_seek_frame(d->fmt, d->stream_idx, 0, AVSEEK_FLAG_BACKWARD);
+  avcodec_flush_buffers(d->codec);
+
+  SwsContext* sws = sws_getContext(
+      d->width, d->height, d->codec->pix_fmt, out_w, out_h, AV_PIX_FMT_RGB24,
+      SWS_BILINEAR, nullptr, nullptr, nullptr);
+  if (!sws) return -2;
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int64_t decoded = 0;   // running frame counter
+  size_t next_want = 0;
+  const size_t frame_bytes = static_cast<size_t>(out_w) * out_h * 3;
+  int ret = 0;
+
+  auto emit = [&](AVFrame* f) {
+    while (next_want < want.size() && want[next_want].first == decoded) {
+      uint8_t* dst[1] = {out + want[next_want].second * frame_bytes};
+      int dst_stride[1] = {out_w * 3};
+      sws_scale(sws, f->data, f->linesize, 0, d->height, dst, dst_stride);
+      ++next_want;
+    }
+    ++decoded;
+  };
+
+  while (next_want < want.size() &&
+         av_read_frame(d->fmt, pkt) >= 0) {
+    if (pkt->stream_index == d->stream_idx) {
+      if (avcodec_send_packet(d->codec, pkt) == 0) {
+        while (avcodec_receive_frame(d->codec, frame) == 0) emit(frame);
+      }
+    }
+    av_packet_unref(pkt);
+  }
+  // drain
+  avcodec_send_packet(d->codec, nullptr);
+  while (next_want < want.size() &&
+         avcodec_receive_frame(d->codec, frame) == 0) {
+    emit(frame);
+  }
+  avcodec_flush_buffers(d->codec);
+  if (next_want < want.size()) {
+    // requested frames beyond the stream: repeat-last semantics
+    if (next_want == 0) {
+      ret = -3;
+    } else {
+      const uint8_t* last =
+          out + want[next_want - 1].second * frame_bytes;
+      for (size_t i = next_want; i < want.size(); ++i) {
+        memcpy(out + want[i].second * frame_bytes, last, frame_bytes);
+      }
+    }
+  }
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  sws_freeContext(sws);
+  return ret;
+}
+
+void vd_close(void* handle) {
+  auto* d = static_cast<Decoder*>(handle);
+  if (!d) return;
+  avcodec_free_context(&d->codec);
+  avformat_close_input(&d->fmt);
+  delete d;
+}
+
+}  // extern "C"
