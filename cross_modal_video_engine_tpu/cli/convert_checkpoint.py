@@ -1,0 +1,88 @@
+"""Torch -> TPU checkpoint conversion CLI.
+
+  python -m cross_modal_video_engine_tpu.cli.convert_checkpoint \
+      --type linas --src model_best.pth.tar --dst ckpt_dir \
+      [--config config.json]
+
+Types:
+  linas  — LINAS Dual_Encoding .pth.tar (model list + embedded opt;
+           relevant opt fields are translated into DualEncodingConfig)
+  clip   — OpenAI-layout CLIP state dict (.pt with or without 'state_dict')
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from ..convert.torch_import import (
+    convert_clip_vit, convert_linas_dual_encoding, load_torch_checkpoint)
+from ..models.clip import CLIPConfig
+from ..models.dual_encoding import DualEncodingConfig
+from ..train.checkpoint import save_checkpoint
+
+
+def _parse_sizes(s):
+    return tuple(int(x) for x in str(s).split("-"))
+
+
+def linas_config_from_opt(opt) -> DualEncodingConfig:
+    """Translate the reference argparse namespace embedded in the ckpt
+    (trainer.py:288-295) into DualEncodingConfig."""
+    g = lambda k, d=None: getattr(opt, k, d)
+    return DualEncodingConfig(
+        visual_feat_dim=g("visual_feat_dim", 2048),
+        visual_rnn_size=g("visual_rnn_size", 512),
+        visual_kernel_num=g("visual_kernel_num", 512),
+        visual_kernel_sizes=_parse_sizes(g("visual_kernel_sizes", "2-3-4-5")),
+        vocab_size=g("vocab_size", 7807),
+        bow_vocab_size=g("bow_vocab_size", 7183),
+        word_dim=g("word_dim", 500),
+        text_rnn_size=g("text_rnn_size", 512),
+        text_kernel_num=g("text_kernel_num", 512),
+        text_kernel_sizes=_parse_sizes(g("text_kernel_sizes", "2-3-4")),
+        hidden_size=g("hidden_size", 1024),
+        common_dim=_parse_sizes(g("visual_mapping_layers", "0-1536"))[-1],
+        text_resblock_number=g("text_resblock_number", 0),
+        dropout=g("dropout", 0.2),
+        concate=g("concate", "full"),
+        gru_pool=g("gru_pool", "mean"),
+        style=g("style", "distill_from_best_model"),
+        teacher_model=g("teacher_model", "GT"),
+        student_model=g("student_model", "de+map"),
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--type", required=True, choices=["linas", "clip"])
+    parser.add_argument("--src", required=True)
+    parser.add_argument("--dst", required=True)
+    parser.add_argument("--config", default=None,
+                        help="json config overriding/replacing embedded opt")
+    args = parser.parse_args(argv)
+
+    ckpt = load_torch_checkpoint(args.src)
+    if args.type == "linas":
+        if args.config:
+            cfg = DualEncodingConfig(**json.load(open(args.config)))
+        else:
+            cfg = linas_config_from_opt(ckpt["opt"])
+        variables = convert_linas_dual_encoding(ckpt["model"], cfg)
+        meta = {"epoch": ckpt.get("epoch"), "best_rsum": ckpt.get("best_rsum"),
+                "source": args.src}
+    else:
+        sd = ckpt.get("state_dict", ckpt)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        assert args.config, "--config (CLIPConfig json) required for clip"
+        cfg = CLIPConfig(**json.load(open(args.config)))
+        variables = convert_clip_vit(sd, cfg)
+        meta = {"source": args.src}
+
+    save_checkpoint(args.dst, variables, cfg, meta)
+    print(f"converted {args.type} checkpoint -> {args.dst}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""Recognition datasets (mmaction datasets family).
+
+Rebuilds of MCT/mmaction/datasets:
+
+* `VideoDataset` — `filename label` annotation lines, decode+pipeline per
+  sample (video_dataset.py);
+* `RawframeDataset` — `frame_dir total_frames label` lines, frames read as
+  `img_{idx:05d}.jpg` (rawframe_dataset.py);
+* `VideoDatasetRelseq` — `filename a,b->c->d` label-sequence annotations
+  expanded to a (max_len, num_classes) multi-hot matrix + mask
+  (video_dataset_relseq.py:17-79);
+* `ShardedSampler` — deterministic per-epoch shard split, the
+  jax.process-level replacement for DistributedSampler
+  (samplers/distributed_sampler.py:11-53): same seeded shuffle on every
+  host, each host takes its contiguous stride slice.
+
+Batches come out dense and fixed-shape (tail padded, `n_valid` reported).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .pipelines import Compose
+
+
+class BaseVideoDataset:
+    def __init__(self, ann_file: str, pipeline: Compose,
+                 data_prefix: Optional[str] = None, start_index: int = 0):
+        self.ann_file = ann_file
+        self.pipeline = pipeline
+        self.data_prefix = data_prefix
+        self.start_index = start_index
+        self.video_infos = self.load_annotations()
+
+    def load_annotations(self) -> List[Dict]:
+        raise NotImplementedError
+
+    def __len__(self) -> int:
+        return len(self.video_infos)
+
+    def __getitem__(self, idx: int) -> Dict:
+        results = dict(self.video_infos[idx])
+        results.setdefault("start_index", self.start_index)
+        return self.pipeline(results)
+
+    def batches(self, batch_size: int, order: Optional[Sequence[int]] = None
+                ) -> Iterator[Tuple[np.ndarray, List[Dict], int]]:
+        order = list(order if order is not None else range(len(self)))
+        for i in range(0, len(order), batch_size):
+            sel = order[i:i + batch_size]
+            n = len(sel)
+            while len(sel) < batch_size:
+                sel.append(sel[0])
+            items = [self[j] for j in sel]
+            imgs = np.stack([it["imgs"] for it in items])
+            yield imgs, items, n
+
+
+class VideoDataset(BaseVideoDataset):
+    def load_annotations(self) -> List[Dict]:
+        infos = []
+        with open(self.ann_file) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                filename, label = parts[0], int(parts[1])
+                if self.data_prefix:
+                    filename = os.path.join(self.data_prefix, filename)
+                infos.append(dict(filename=filename, label=label))
+        return infos
+
+
+class RawframeDataset(BaseVideoDataset):
+    filename_tmpl = "img_{:05d}.jpg"
+
+    def load_annotations(self) -> List[Dict]:
+        infos = []
+        with open(self.ann_file) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                frame_dir, total, label = parts[0], int(parts[1]), int(parts[2])
+                if self.data_prefix:
+                    frame_dir = os.path.join(self.data_prefix, frame_dir)
+                infos.append(dict(frame_dir=frame_dir, total_frames=total,
+                                  label=label,
+                                  filename_tmpl=self.filename_tmpl))
+        return infos
+
+
+class VideoDatasetRelseq(BaseVideoDataset):
+    """Label-sequence dataset for the caption head."""
+
+    def __init__(self, ann_file: str, pipeline: Compose, num_classes: int,
+                 max_len: int = 5, **kwargs):
+        self.num_classes = num_classes
+        self.max_len = max_len
+        super().__init__(ann_file, pipeline, **kwargs)
+
+    def load_annotations(self) -> List[Dict]:
+        infos = []
+        with open(self.ann_file) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                filename, label = parts[0], parts[1]
+                steps = label.split("->")
+                mat = np.zeros((self.max_len, self.num_classes), np.float32)
+                mask = np.zeros((self.max_len,), np.float32)
+                for t, step in enumerate(steps[: self.max_len]):
+                    for rel in step.split(","):
+                        if rel != "":
+                            mat[t, int(rel)] = 1.0
+                    mask[t] = 1.0
+                if self.data_prefix:
+                    filename = os.path.join(self.data_prefix, filename)
+                infos.append(dict(filename=filename, label=mat, mask=mask))
+        return infos
+
+
+class ShardedSampler:
+    """Deterministic shuffled shard per (epoch, host) — the DistributedSampler
+    equivalent for multi-process JAX: every host computes the same
+    permutation, takes rank::world_size, pads to equal length."""
+
+    def __init__(self, n: int, world_size: int = 1, rank: int = 0,
+                 shuffle: bool = True, seed: int = 0):
+        self.n = n
+        self.world_size = world_size
+        self.rank = rank
+        self.shuffle = shuffle
+        self.seed = seed
+
+    def indices(self, epoch: int) -> List[int]:
+        order = np.arange(self.n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + epoch)
+            rng.shuffle(order)
+        per = int(np.ceil(self.n / self.world_size))
+        padded = np.concatenate([order, order[: per * self.world_size - self.n]])
+        return list(padded[self.rank::self.world_size])

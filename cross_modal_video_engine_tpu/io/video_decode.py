@@ -110,6 +110,26 @@ class OpenCVDecode(DecordDecode):
     pass
 
 
+@PIPELINES.register("RawFrameDecode")
+class RawFrameDecode:
+    """loading.py:1249: read img_{idx:05d}.jpg frames from frame_dir."""
+
+    def __call__(self, results: Dict) -> Dict:
+        tmpl = results.get("filename_tmpl", "img_{:05d}.jpg")
+        d = results["frame_dir"]
+        imgs = []
+        for idx in results["frame_inds"]:
+            p = os.path.join(d, tmpl.format(int(idx) + 1))
+            img = cv2.imread(p)
+            if img is None:
+                raise IOError(f"missing frame {p}")
+            imgs.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+        results["imgs"] = imgs
+        results["original_shape"] = imgs[0].shape[:2]
+        results["img_shape"] = imgs[0].shape[:2]
+        return results
+
+
 def write_test_video(path: str, frames: np.ndarray, fps: int = 10) -> None:
     """Write an RGB uint8 (T, H, W, 3) array as an mp4 (test fixture)."""
     t, h, w, _ = frames.shape

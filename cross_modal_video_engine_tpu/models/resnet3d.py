@@ -1,0 +1,255 @@
+"""3D-CNN video backbones: ResNet3D, SlowOnly, SlowFast, X3D.
+
+TPU rebuilds of the MCT/mmaction backbone family
+(mmaction/models/backbones/resnet3d.py, resnet3d_slowfast.py, x3d.py):
+
+* `ResNet3D` — inflated ResNet with (1+3)D-style stage config:
+  `conv1_t / stage temporal kernels` follow the SlowOnly/SlowFast recipes
+  (pathway configs below);
+* `SlowFast` — two ResNet3D pathways (slow: low rate, more channels;
+  fast: high rate, thin) with fast->slow lateral time-strided conv
+  fusion after each stage;
+* `X3D` — mobile-style expanded 3D bottlenecks with SE and swish.
+
+Everything is channels-last (N, T, H, W, C); temporal convs use
+lax-friendly `nn.Conv` with 3D kernels so XLA maps them onto the MXU as
+implicit GEMMs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..utils.registry import BACKBONES
+
+
+def _bn(train: bool, name: str):
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-5, name=name)
+
+
+class Bottleneck3D(nn.Module):
+    planes: int
+    spatial_stride: int = 1
+    temporal_kernel: int = 3       # 3 -> 3x1x1 conv1 (inflated), 1 -> 2D-like
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        tk = self.temporal_kernel
+        out = nn.Conv(self.planes, (tk, 1, 1),
+                      padding=((tk // 2, tk // 2), (0, 0), (0, 0)),
+                      use_bias=False, name="conv1")(x)
+        out = nn.relu(_bn(train, "bn1")(out))
+        s = self.spatial_stride
+        out = nn.Conv(self.planes, (1, 3, 3), strides=(1, s, s),
+                      padding=((0, 0), (1, 1), (1, 1)), use_bias=False,
+                      name="conv2")(out)
+        out = nn.relu(_bn(train, "bn2")(out))
+        out = nn.Conv(self.planes * self.expansion, (1, 1, 1),
+                      use_bias=False, name="conv3")(out)
+        out = _bn(train, "bn3")(out)
+        if s != 1 or x.shape[-1] != self.planes * self.expansion:
+            sc = nn.Conv(self.planes * self.expansion, (1, 1, 1),
+                         strides=(1, s, s), use_bias=False,
+                         name="downsample")(x)
+            sc = _bn(train, "bn_down")(sc)
+        else:
+            sc = x
+        return nn.relu(out + sc)
+
+
+@dataclasses.dataclass(frozen=True)
+class ResNet3DConfig:
+    stage_blocks: Tuple[int, ...] = (3, 4, 6, 3)       # depth 50
+    base_channels: int = 64
+    conv1_kernel_t: int = 1        # SlowOnly: 1; I3D/SlowFast-fast: 5
+    conv1_stride_t: int = 1
+    pool1_stride_t: int = 1
+    stage_temporal_kernels: Tuple[int, ...] = (1, 1, 3, 3)  # SlowOnly recipe
+    channel_ratio: int = 1         # fast pathway uses 8x thinner channels
+
+
+@BACKBONES.register("ResNet3D")
+class ResNet3D(nn.Module):
+    cfg: ResNet3DConfig
+
+    @nn.compact
+    def __call__(self, videos: jnp.ndarray, *, train: bool = False,
+                 return_stages: bool = False):
+        """videos: (B, T, H, W, 3) -> pooled feature (B, C) or stage list."""
+        cfg = self.cfg
+        c0 = cfg.base_channels // cfg.channel_ratio
+        kt = cfg.conv1_kernel_t
+        x = nn.Conv(c0, (kt, 7, 7), strides=(cfg.conv1_stride_t, 2, 2),
+                    padding=((kt // 2, kt // 2), (3, 3), (3, 3)),
+                    use_bias=False, name="conv1")(videos)
+        x = nn.relu(_bn(train, "bn1")(x))
+        x = nn.max_pool(x, (1, 3, 3), strides=(cfg.pool1_stride_t, 2, 2),
+                        padding=((0, 0), (1, 1), (1, 1)))
+        stages = []
+        planes = c0
+        for i, (blocks, tk) in enumerate(zip(cfg.stage_blocks,
+                                             cfg.stage_temporal_kernels)):
+            stride = 1 if i == 0 else 2
+            x = Bottleneck3D(planes, stride, tk, name=f"layer{i+1}_0")(
+                x, train=train)
+            for j in range(1, blocks):
+                x = Bottleneck3D(planes, 1, tk, name=f"layer{i+1}_{j}")(
+                    x, train=train)
+            stages.append(x)
+            planes *= 2
+        if return_stages:
+            return stages
+        return jnp.mean(x, axis=(1, 2, 3))             # global avg pool
+
+
+SLOWONLY_CFG = ResNet3DConfig()  # 1x1x1 conv1, temporal kernels late
+
+
+@dataclasses.dataclass(frozen=True)
+class SlowFastConfig:
+    depth_blocks: Tuple[int, ...] = (3, 4, 6, 3)
+    alpha: int = 4                 # fast frame rate multiple (slow takes
+                                   # every alpha-th frame of the fast input)
+    beta_inv: int = 8              # fast channel thinning
+    base_channels: int = 64
+    lateral_kernel_t: int = 5
+
+
+@BACKBONES.register("SlowFast")
+class SlowFast(nn.Module):
+    cfg: SlowFastConfig
+
+    @nn.compact
+    def __call__(self, videos: jnp.ndarray, *, train: bool = False):
+        """videos: (B, T, H, W, 3) fast-rate input.  Slow pathway samples
+        every alpha-th frame.  Returns concat pooled (B, C_slow + C_fast)."""
+        cfg = self.cfg
+        fast_in = videos
+        slow_in = videos[:, ::cfg.alpha]
+
+        # fast pathway: thin channels, temporal conv1
+        fast_cfg = ResNet3DConfig(
+            stage_blocks=cfg.depth_blocks, base_channels=cfg.base_channels,
+            conv1_kernel_t=5, stage_temporal_kernels=(3, 3, 3, 3),
+            channel_ratio=cfg.beta_inv)
+        fast_stages = ResNet3D(fast_cfg, name="fast")(fast_in, train=train,
+                                                      return_stages=True)
+
+        # slow pathway with lateral fusion from fast after each stage
+        c0 = cfg.base_channels
+        kt = 1
+        x = nn.Conv(c0, (kt, 7, 7), strides=(1, 2, 2),
+                    padding=((0, 0), (3, 3), (3, 3)), use_bias=False,
+                    name="slow_conv1")(slow_in)
+        x = nn.relu(_bn(train, "slow_bn1")(x))
+        x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2),
+                        padding=((0, 0), (1, 1), (1, 1)))
+        planes = c0
+        tks = (1, 1, 3, 3)
+        for i, blocks in enumerate(cfg.depth_blocks):
+            stride = 1 if i == 0 else 2
+            # lateral fusion BEFORE the stage: time-strided conv brings the
+            # fast pathway's previous stage to the slow frame rate
+            if i > 0:
+                fast_feat = fast_stages[i - 1]
+                lk = cfg.lateral_kernel_t
+                lateral = nn.Conv(
+                    fast_feat.shape[-1] * 2, (lk, 1, 1),
+                    strides=(cfg.alpha, 1, 1),
+                    padding=((lk // 2, lk // 2), (0, 0), (0, 0)),
+                    use_bias=False, name=f"lateral_{i}")(fast_feat)
+                t = min(x.shape[1], lateral.shape[1])
+                x = jnp.concatenate([x[:, :t], lateral[:, :t]], axis=-1)
+            x = Bottleneck3D(planes, stride, tks[i], name=f"slow_l{i+1}_0")(
+                x, train=train)
+            for j in range(1, blocks):
+                x = Bottleneck3D(planes, 1, tks[i], name=f"slow_l{i+1}_{j}")(
+                    x, train=train)
+            planes *= 2
+        slow_pool = jnp.mean(x, axis=(1, 2, 3))
+        fast_pool = jnp.mean(fast_stages[-1], axis=(1, 2, 3))
+        return jnp.concatenate([slow_pool, fast_pool], axis=-1)
+
+
+class SEBlock(nn.Module):
+    ratio: float = 1 / 16
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        s = jnp.mean(x, axis=(1, 2, 3))
+        s = nn.relu(nn.Dense(max(1, int(c * self.ratio)), name="fc1")(s))
+        s = jax.nn.sigmoid(nn.Dense(c, name="fc2")(s))
+        return x * s[:, None, None, None, :]
+
+
+class X3DBlock(nn.Module):
+    planes: int
+    inner: int
+    spatial_stride: int = 1
+    use_se: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        out = nn.Conv(self.inner, (1, 1, 1), use_bias=False, name="conv1")(x)
+        out = nn.relu(_bn(train, "bn1")(out))
+        s = self.spatial_stride
+        # depthwise 3x3x3
+        out = nn.Conv(self.inner, (3, 3, 3), strides=(1, s, s),
+                      padding=((1, 1), (1, 1), (1, 1)),
+                      feature_group_count=self.inner, use_bias=False,
+                      name="conv2")(out)
+        out = _bn(train, "bn2")(out)
+        if self.use_se:
+            out = SEBlock(name="se")(out)
+        out = nn.swish(out)
+        out = nn.Conv(self.planes, (1, 1, 1), use_bias=False,
+                      name="conv3")(out)
+        out = _bn(train, "bn3")(out)
+        if s != 1 or x.shape[-1] != self.planes:
+            sc = nn.Conv(self.planes, (1, 1, 1), strides=(1, s, s),
+                         use_bias=False, name="downsample")(x)
+            sc = _bn(train, "bn_down")(sc)
+        else:
+            sc = x
+        return nn.relu(out + sc)
+
+
+@dataclasses.dataclass(frozen=True)
+class X3DConfig:
+    stage_blocks: Tuple[int, ...] = (3, 5, 11, 7)      # X3D-M
+    stage_channels: Tuple[int, ...] = (24, 48, 96, 192)
+    expansion: float = 2.25
+    feat_dim: int = 432
+
+
+@BACKBONES.register("X3D")
+class X3D(nn.Module):
+    cfg: X3DConfig
+
+    @nn.compact
+    def __call__(self, videos: jnp.ndarray, *, train: bool = False):
+        cfg = self.cfg
+        x = nn.Conv(24, (1, 3, 3), strides=(1, 2, 2),
+                    padding=((0, 0), (1, 1), (1, 1)), use_bias=False,
+                    name="stem_s")(videos)
+        x = nn.Conv(24, (5, 1, 1), padding=((2, 2), (0, 0), (0, 0)),
+                    feature_group_count=24, use_bias=False,
+                    name="stem_t")(x)
+        x = nn.relu(_bn(train, "stem_bn")(x))
+        for i, (blocks, ch) in enumerate(zip(cfg.stage_blocks,
+                                             cfg.stage_channels)):
+            inner = int(ch * cfg.expansion)
+            x = X3DBlock(ch, inner, 2, name=f"s{i+1}_0")(x, train=train)
+            for j in range(1, blocks):
+                x = X3DBlock(ch, inner, 1, name=f"s{i+1}_{j}")(x, train=train)
+        x = nn.Conv(cfg.feat_dim, (1, 1, 1), use_bias=False, name="conv5")(x)
+        x = nn.relu(_bn(train, "bn5")(x))
+        return jnp.mean(x, axis=(1, 2, 3))
