@@ -63,11 +63,32 @@ class RetrievalIndex:
             base = shard * rows
             col = base + jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
             sims = jnp.where(col < n_valid, sims, -jnp.inf)
-            vals, idx = jax.lax.top_k(sims, k)
+            # hierarchical top-k: lax.top_k over millions of columns is a
+            # giant sort; split into groups, top-k per group (small last
+            # dim -> fast), then merge the G*k candidates.
+            Q, R = sims.shape
+            GROUP = 2048
+            if R > 4 * GROUP and k <= GROUP:
+                pad = (-R) % GROUP
+                if pad:
+                    sims = jnp.pad(sims, ((0, 0), (0, pad)),
+                                   constant_values=-jnp.inf)
+                g = sims.shape[1] // GROUP
+                sims_g = sims.reshape(Q, g, GROUP)
+                v1, i1 = jax.lax.top_k(sims_g, k)          # (Q, g, k)
+                flat_idx = (i1 + (jnp.arange(g) * GROUP)[None, :, None])
+                v1 = v1.reshape(Q, g * k)
+                flat_idx = flat_idx.reshape(Q, g * k)
+                vals, pos = jax.lax.top_k(v1, k)
+                idx = jnp.take_along_axis(flat_idx, pos, axis=1)
+            else:
+                vals, idx = jax.lax.top_k(sims, k)
             return vals, idx + base
 
+        # emb is a jit ARGUMENT: closing over it would inline the (possibly
+        # multi-GB) index into the HLO as a constant.
         @functools.partial(jax.jit, static_argnames=("k",))
-        def search(q, k):
+        def search(emb, q, k):
             k = min(k, n_valid)        # never return padding rows
             kk = min(k, rows)
             f = shard_map(
@@ -77,7 +98,7 @@ class RetrievalIndex:
                 out_specs=(P(None, "data"), P(None, "data")),
                 check_vma=False,
             )
-            vals, idx = f(q.astype(dtype), self.emb)   # (Q, kk*shards)
+            vals, idx = f(q.astype(dtype), emb)        # (Q, kk*shards)
             if vals.shape[1] > k:
                 mvals, pos = jax.lax.top_k(vals, k)
                 midx = jnp.take_along_axis(idx, pos, axis=1)
@@ -91,7 +112,7 @@ class RetrievalIndex:
         """Return (scores, indices): top-k cosine scores per query row."""
         q = jnp.asarray(np.asarray(queries, np.float32))
         qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        vals, idx = self._search(qn, k)
+        vals, idx = self._search(self.emb, qn, k)
         return np.asarray(vals), np.asarray(idx)
 
     def search_ids(self, queries: np.ndarray, k: int = 10):
