@@ -32,6 +32,25 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     return Mesh(dev_array, ("data", "model"))
 
 
+def make_multislice_mesh(n_model: int = 1,
+                         devices: Optional[Sequence[jax.Device]] = None
+                         ) -> Mesh:
+    """(dcn, data, model) mesh for multi-slice pods: the leading axis maps
+    across slices (DCN) so data parallelism's gradient psum crosses DCN
+    once while tensor collectives stay on ICI within a slice.  Slice count
+    is discovered from device.slice_index (1 on single-slice/CPU)."""
+    devices = list(devices if devices is not None else jax.devices())
+    slice_ids = sorted({getattr(d, "slice_index", 0) for d in devices})
+    n_slices = len(slice_ids)
+    per_slice = len(devices) // n_slices
+    order = sorted(devices, key=lambda d: (getattr(d, "slice_index", 0),
+                                           d.id))
+    n_data = per_slice // n_model
+    dev_array = np.asarray(order[: n_slices * n_data * n_model]).reshape(
+        n_slices, n_data, n_model)
+    return Mesh(dev_array, ("dcn", "data", "model"))
+
+
 def data_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
     """Shard the leading axis over 'data', replicate the rest."""
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
