@@ -88,6 +88,46 @@ class Recognizer3D(nn.Module):
         return self.cls_head(feat)
 
 
+@RECOGNIZERS.register("Recognizer2D")
+class Recognizer2D(nn.Module):
+    """2D recognizer: per-frame backbone (e.g. TSMResNet) emitting
+    (B, num_segs, C) features + a consensus head (TSNHead).  Mirrors
+    mmaction Recognizer2D's segment folding."""
+
+    backbone: nn.Module
+    cls_head: nn.Module
+
+    def __call__(self, videos: jnp.ndarray, *, train: bool = False):
+        feats = self.backbone(videos, train=train)      # (B, T, C)
+        return self.cls_head(feats, train=train)
+
+    def forward_test(self, videos: jnp.ndarray,
+                     average_clips: str = "prob"):
+        scores = self(videos)
+        if average_clips == "prob":
+            return jax.nn.softmax(scores, axis=-1)
+        return scores
+
+
+@RECOGNIZERS.register("Recognizer3DCLIP")
+class Recognizer3DCLIP(nn.Module):
+    """Recognition over a CLIP vision tower (ref Recognizer3D_CLIP):
+    frame features from the tower, mean-pooled over time, linear head."""
+
+    clip_vision: nn.Module
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, videos: jnp.ndarray, *, train: bool = False):
+        B, T = videos.shape[0], videos.shape[1]
+        flat = videos.reshape((B * T,) + videos.shape[2:])
+        high, _low, _mid = self.clip_vision(flat)
+        feat = high.reshape(B, T, -1).mean(axis=1)
+        return nn.Dense(self.num_classes,
+                        kernel_init=nn.initializers.normal(0.01),
+                        name="fc_cls")(feat)
+
+
 @RECOGNIZERS.register("Recognizer3DRelseq")
 class Recognizer3DRelseq(nn.Module):
     backbone_cfg: TimeSformerConfig
