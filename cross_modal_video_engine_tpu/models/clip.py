@@ -175,13 +175,22 @@ class TextTower(nn.Module):
     cfg: CLIPConfig
 
     @nn.compact
-    def __call__(self, text_ids: jnp.ndarray) -> jnp.ndarray:
-        """text_ids: (B, L) int32; EOT token = highest id in each row."""
+    def __call__(self, text_ids: jnp.ndarray,
+                 img_tokens: Optional[jnp.ndarray] = None,
+                 split_ind: int = 4) -> jnp.ndarray:
+        """text_ids: (B, L) int32; EOT token = highest id in each row.
+        img_tokens: optional (B, text_width) image features spliced in
+        place of the `split_ind` placeholder token — the pic2word-style
+        compositional encoding (ref encode_text_img_retrieval,
+        model.py:496-527)."""
         cfg = self.cfg
         dt = cfg.jdtype()
         emb = self.param("token_embedding", nn.initializers.normal(0.02),
                          (cfg.vocab_size, cfg.text_width))
         x = emb[text_ids].astype(dt)
+        if img_tokens is not None:
+            is_split = (text_ids == split_ind)[..., None]
+            x = jnp.where(is_split, img_tokens[:, None, :].astype(dt), x)
         pos = self.param("positional_embedding", nn.initializers.normal(0.01),
                          (cfg.context_length, cfg.text_width))
         L = text_ids.shape[1]
@@ -227,6 +236,16 @@ class CLIPModel(nn.Module):
 
     def encode_text(self, text_ids: jnp.ndarray):
         return self.text(text_ids)
+
+    def encode_text_img_retrieval(self, text_ids: jnp.ndarray,
+                                  img_tokens: jnp.ndarray,
+                                  split_ind: int = 4):
+        """Compositional query: image feature replaces the placeholder
+        token (pic2word / ref model.py:496-527)."""
+        if text_ids.shape[0] == 1 and img_tokens.shape[0] > 1:
+            text_ids = jnp.broadcast_to(
+                text_ids, (img_tokens.shape[0], text_ids.shape[1]))
+        return self.text(text_ids, img_tokens, split_ind)
 
     def __call__(self, images: jnp.ndarray, text_ids: jnp.ndarray):
         """Contrastive logits like reference CLIP.forward."""

@@ -128,6 +128,35 @@ class Recognizer3DCLIP(nn.Module):
                         name="fc_cls")(feat)
 
 
+@RECOGNIZERS.register("Recognizer3DCaption")
+class Recognizer3DCaption(nn.Module):
+    """Video backbone + token-level caption transformer (north-star
+    autoregressive captioning with KV cache + greedy/beam)."""
+
+    backbone_cfg: "TimeSformerConfig"
+    caption_cfg: "object"   # CaptionConfig
+
+    def setup(self):
+        from .caption_transformer import CaptionTransformer
+        self.backbone = TimeSformer(self.backbone_cfg, name="backbone")
+        self.caption_head = CaptionTransformer(self.caption_cfg,
+                                               name="caption_head")
+
+    def _enc_tokens(self, videos, train=False):
+        _, tokens = self.backbone(videos, train=train, return_tokens=True)
+        return tokens
+
+    def __call__(self, videos, token_ids, *, train: bool = False):
+        """Teacher forcing: returns (B, T, vocab) logits."""
+        enc = self._enc_tokens(videos, train)
+        return self.caption_head(enc, token_ids, mode="train")
+
+    def generate(self, videos, mode: str = "greedy", beam_width: int = 4):
+        enc = self._enc_tokens(videos)
+        return self.caption_head(enc, None, mode=mode,
+                                 beam_width=beam_width)
+
+
 @RECOGNIZERS.register("Recognizer3DRelseq")
 class Recognizer3DRelseq(nn.Module):
     backbone_cfg: TimeSformerConfig
