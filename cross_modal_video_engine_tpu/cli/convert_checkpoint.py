@@ -16,9 +16,11 @@ import argparse
 import json
 
 from ..convert.torch_import import (
-    convert_clip_vit, convert_linas_dual_encoding, load_torch_checkpoint)
+    convert_clip_vit, convert_linas_dual_encoding, convert_timesformer,
+    load_torch_checkpoint)
 from ..models.clip import CLIPConfig
 from ..models.dual_encoding import DualEncodingConfig
+from ..models.timesformer import TimeSformerConfig
 from ..train.checkpoint import save_checkpoint
 
 
@@ -55,7 +57,8 @@ def linas_config_from_opt(opt) -> DualEncodingConfig:
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--type", required=True, choices=["linas", "clip"])
+    parser.add_argument("--type", required=True,
+                        choices=["linas", "clip", "timesformer"])
     parser.add_argument("--src", required=True)
     parser.add_argument("--dst", required=True)
     parser.add_argument("--config", default=None,
@@ -71,6 +74,19 @@ def main(argv=None):
         variables = convert_linas_dual_encoding(ckpt["model"], cfg)
         meta = {"epoch": ckpt.get("epoch"), "best_rsum": ckpt.get("best_rsum"),
                 "source": args.src}
+    elif args.type == "timesformer":
+        sd = ckpt.get("state_dict", ckpt)
+        assert args.config, ("--config json required: TimeSformerConfig "
+                             "fields under 'backbone' + 'num_classes'")
+        blob = json.load(open(args.config))
+        ts_cfg = TimeSformerConfig(**blob["backbone"])
+        variables = convert_timesformer(sd, ts_cfg)
+        save_checkpoint(args.dst, variables,
+                        {"backbone": blob["backbone"],
+                         "num_classes": blob["num_classes"]},
+                        {"source": args.src})
+        print(f"converted timesformer checkpoint -> {args.dst}")
+        return
     else:
         sd = ckpt.get("state_dict", ckpt)
         if hasattr(sd, "state_dict"):

@@ -1,3 +1,4 @@
 from .torch_import import (
-    convert_linas_dual_encoding, convert_clip_vit, load_torch_checkpoint,
+    convert_linas_dual_encoding, convert_clip_vit, convert_timesformer,
+    load_torch_checkpoint,
 )

@@ -142,6 +142,72 @@ def convert_linas_dual_encoding(state_dicts: List[Optional[Dict]], cfg
 
 
 # --------------------------------------------------------------------------
+# TimeSformer (mmaction layout)
+# --------------------------------------------------------------------------
+
+def _mha_from_inproj(sd: Dict, prefix: str) -> Dict:
+    """torch MultiheadAttention in_proj -> q/k/v/out Dense params."""
+    w = _np(sd[f"{prefix}.in_proj_weight"])
+    b = _np(sd[f"{prefix}.in_proj_bias"])
+    D = w.shape[1]
+    return {
+        "q_proj": {"kernel": w[:D].T, "bias": b[:D]},
+        "k_proj": {"kernel": w[D:2 * D].T, "bias": b[D:2 * D]},
+        "v_proj": {"kernel": w[2 * D:].T, "bias": b[2 * D:]},
+        "out_proj": _dense(sd, f"{prefix}.out_proj"),
+    }
+
+
+def _ts_ln(sd: Dict, name: str) -> Dict:
+    return {"ln": {"scale": _np(sd[f"{name}.weight"]),
+                   "bias": _np(sd[f"{name}.bias"])}}
+
+
+def convert_timesformer(sd: Dict, cfg, cls_head_key: str = "cls_head.fc_cls",
+                        backbone_prefix: str = "backbone.") -> Dict:
+    """mmaction TimeSformer (divided_space_time) state dict -> flax
+    variables for models.recognizer.Recognizer3D.
+
+    Layer naming follows the mmcv BaseTransformerLayer layout the MCT
+    checkpoints use:
+      transformer_layers.layers.{i}.attentions.0.*  (temporal, w/ norm +
+        temporal_fc), attentions.1.* (spatial, w/ norm),
+      ffns.0.{norm, layers.0.0, layers.1}.
+    """
+    bp = backbone_prefix
+    backbone: Dict[str, Any] = {
+        "patch_embed": {
+            "kernel": _np(sd[f"{bp}patch_embed.projection.weight"])
+            .transpose(2, 3, 1, 0),
+            "bias": _np(sd[f"{bp}patch_embed.projection.bias"]),
+        },
+        "cls_token": _np(sd[f"{bp}cls_token"]),
+        "pos_embed": _np(sd[f"{bp}pos_embed"]),
+        "time_embed": _np(sd[f"{bp}time_embed"]),
+        "norm": _ts_ln(sd, f"{bp}norm"),
+    }
+    i = 0
+    while f"{bp}transformer_layers.layers.{i}.attentions.0.attn.in_proj_weight" in sd:
+        lp = f"{bp}transformer_layers.layers.{i}"
+        backbone[f"block_{i}"] = {
+            "temporal_norm": _ts_ln(sd, f"{lp}.attentions.0.norm"),
+            "temporal_attn": _mha_from_inproj(sd, f"{lp}.attentions.0.attn"),
+            "temporal_fc": _dense(sd, f"{lp}.attentions.0.temporal_fc"),
+            "spatial_norm": _ts_ln(sd, f"{lp}.attentions.1.norm"),
+            "spatial_attn": _mha_from_inproj(sd, f"{lp}.attentions.1.attn"),
+            "ffn_norm": _ts_ln(sd, f"{lp}.ffns.0.norm"),
+            "ffn_fc1": _dense(sd, f"{lp}.ffns.0.layers.0.0"),
+            "ffn_fc2": _dense(sd, f"{lp}.ffns.0.layers.1"),
+        }
+        i += 1
+
+    params: Dict[str, Any] = {"backbone": backbone}
+    if cls_head_key and f"{cls_head_key}.weight" in sd:
+        params["cls_head"] = {"fc_cls": _dense(sd, cls_head_key)}
+    return {"params": params}
+
+
+# --------------------------------------------------------------------------
 # CLIP ViT (OpenAI layout)
 # --------------------------------------------------------------------------
 

@@ -95,6 +95,9 @@ class DividedSTBlock(nn.Module):
         rt = nn.Dense(D, kernel_init=nn.initializers.zeros,
                       bias_init=nn.initializers.zeros, name="temporal_fc")(rt)
         patches = patches + rt
+        # the spatial block's residual includes the temporal update
+        # (ref transformer.py:84-86: new_query = cat(cls, identity + res_t))
+        x = jnp.concatenate([cls0, patches], axis=1)
 
         # --- spatial attention over patches, per frame ---------------------
         # (B, P*T, D) p-major -> (B*T, P, D)
