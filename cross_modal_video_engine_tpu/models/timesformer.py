@@ -43,10 +43,18 @@ class TimeSformerConfig:
     dropout_ratio: float = 0.0
     drop_path_max: float = 0.1
     dtype: str = "float32"
+    # tubelet_size > 1 + joint_space_time = VideoMAE-style ViT: the patch
+    # embed becomes a 3D conv over (tubelet, p, p) and the temporal axis
+    # shrinks to num_frames // tubelet_size (ref backbones/videomae.py).
+    tubelet_size: int = 1
 
     @property
     def num_patches(self) -> int:
         return (self.img_size // self.patch_size) ** 2
+
+    @property
+    def time_tokens(self) -> int:
+        return self.num_frames // self.tubelet_size
 
     def jdtype(self):
         return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
@@ -82,7 +90,7 @@ class DividedSTBlock(nn.Module):
         """x: (B, 1 + P*T, D), patch-major (p t) token order."""
         cfg = self.cfg
         B = x.shape[0]
-        P, T, D = cfg.num_patches, cfg.num_frames, cfg.embed_dims
+        P, T, D = cfg.num_patches, cfg.time_tokens, cfg.embed_dims
         dp = DropPath(self.drop_path, name="drop_path")
 
         # --- temporal attention over frames, per patch ---------------------
@@ -143,9 +151,16 @@ class TimeSformer(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.patch_embed = nn.Conv(
-            cfg.embed_dims, (cfg.patch_size, cfg.patch_size),
-            strides=(cfg.patch_size, cfg.patch_size), name="patch_embed")
+        if cfg.tubelet_size > 1:
+            self.patch_embed = nn.Conv(
+                cfg.embed_dims,
+                (cfg.tubelet_size, cfg.patch_size, cfg.patch_size),
+                strides=(cfg.tubelet_size, cfg.patch_size, cfg.patch_size),
+                name="patch_embed")
+        else:
+            self.patch_embed = nn.Conv(
+                cfg.embed_dims, (cfg.patch_size, cfg.patch_size),
+                strides=(cfg.patch_size, cfg.patch_size), name="patch_embed")
         self.cls_token = self.param(
             "cls_token", nn.initializers.truncated_normal(0.02),
             (1, 1, cfg.embed_dims))
@@ -156,7 +171,7 @@ class TimeSformer(nn.Module):
         if cfg.attention_type != "space_only":
             self.time_embed = self.param(
                 "time_embed", nn.initializers.truncated_normal(0.02),
-                (1, cfg.num_frames, cfg.embed_dims))
+                (1, cfg.time_tokens, cfg.embed_dims))
             self.drop_after_time = nn.Dropout(cfg.dropout_ratio)
         dpr = np.linspace(0, cfg.drop_path_max, cfg.num_layers)
         block_cls = (DividedSTBlock if cfg.attention_type ==
@@ -169,7 +184,7 @@ class TimeSformer(nn.Module):
         cfg = self.cfg
         x = self.final_norm(x)
         if cfg.attention_type == "space_only":
-            x = x.reshape(-1, cfg.num_frames, cfg.num_patches + 1,
+            x = x.reshape(-1, cfg.time_tokens, cfg.num_patches + 1,
                           cfg.embed_dims).mean(axis=1)
         return x, x[:, 0].astype(jnp.float32)
 
@@ -178,11 +193,16 @@ class TimeSformer(nn.Module):
         token sequence."""
         cfg = self.cfg
         dt = cfg.jdtype()
-        B, T = videos.shape[0], videos.shape[1]
-        assert T == cfg.num_frames, (T, cfg.num_frames)
+        B, T_in = videos.shape[0], videos.shape[1]
+        assert T_in == cfg.num_frames, (T_in, cfg.num_frames)
         P, D = cfg.num_patches, cfg.embed_dims
-        flat = videos.reshape((B * T,) + videos.shape[2:]).astype(dt)
-        x = self.patch_embed(flat).reshape(B * T, P, D)
+        T = cfg.time_tokens
+        if cfg.tubelet_size > 1:
+            x = self.patch_embed(videos.astype(dt))     # (B, T', g, g, D)
+            x = x.reshape(B * T, P, D)
+        else:
+            flat = videos.reshape((B * T_in,) + videos.shape[2:]).astype(dt)
+            x = self.patch_embed(flat).reshape(B * T, P, D)
         x = jnp.concatenate(
             [jnp.broadcast_to(self.cls_token.astype(dt), (B * T, 1, D)), x],
             axis=1)
