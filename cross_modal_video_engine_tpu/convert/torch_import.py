@@ -142,6 +142,25 @@ def convert_linas_dual_encoding(state_dicts: List[Optional[Dict]], cfg
 
 
 # --------------------------------------------------------------------------
+# RNNDecoderHead (caption head)
+# --------------------------------------------------------------------------
+
+def convert_rnn_decoder_head(sd: Dict, prefix: str = "cls_head.") -> Dict:
+    """Reference RNNDecoderHead state dict (decoder_head.py:49-120:
+    rnn=GRU(dim_hidden+num_classes, dim_hidden), start_emb=Embedding(1,C),
+    out=Linear) -> flax RNNDecoderHead params."""
+    return {
+        "start_emb": _np(sd[f"{prefix}start_emb.weight"]),
+        "rnn_wi": _np(sd[f"{prefix}rnn.weight_ih_l0"]).T,
+        "rnn_bi": _np(sd[f"{prefix}rnn.bias_ih_l0"]),
+        "rnn_wh": _np(sd[f"{prefix}rnn.weight_hh_l0"]).T,
+        "rnn_bh": _np(sd[f"{prefix}rnn.bias_hh_l0"]),
+        "out_kernel": _np(sd[f"{prefix}out.weight"]).T,
+        "out_bias": _np(sd[f"{prefix}out.bias"]),
+    }
+
+
+# --------------------------------------------------------------------------
 # TimeSformer (mmaction layout)
 # --------------------------------------------------------------------------
 

@@ -20,7 +20,7 @@ more than k*shards candidates.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -119,6 +119,39 @@ class RetrievalIndex:
         vals, idx = self.search(queries, k)
         assert self.ids is not None, "index built without ids"
         return vals, [[self.ids[j] for j in row] for row in idx]
+
+    # -- incremental updates (serving path) --------------------------------
+    def add(self, embeddings: np.ndarray, ids: Optional[list] = None,
+            normalize: bool = True) -> None:
+        """Append rows to the index (re-pads + re-places the sharded
+        matrix; the search program is shape-stable until the padded row
+        count crosses a shard boundary)."""
+        new = np.asarray(embeddings, np.float32)
+        if normalize:
+            n = np.linalg.norm(new, axis=1, keepdims=True)
+            new = new / np.maximum(n, 1e-12)
+        current = np.asarray(jax.device_get(self.emb))[: self.n]
+        mat = np.concatenate([current, new.astype(current.dtype)], axis=0)
+        if self.ids is not None:
+            assert ids is not None and len(ids) == len(new)
+            self.ids = list(self.ids) + list(ids)
+        self.n = mat.shape[0]
+        self.emb, _ = shard_rows(self.mesh, mat)
+        self.rows_per_shard = self.emb.shape[0] // self.n_shards
+        self._search = self._build(self.emb.dtype)
+
+    def remove(self, row_indices: Sequence[int]) -> None:
+        """Drop rows by index (host-side rebuild)."""
+        keep = np.ones(self.n, bool)
+        keep[np.asarray(list(row_indices), np.int64)] = False
+        current = np.asarray(jax.device_get(self.emb))[: self.n]
+        mat = current[keep]
+        if self.ids is not None:
+            self.ids = [i for i, k in zip(self.ids, keep) if k]
+        self.n = mat.shape[0]
+        self.emb, _ = shard_rows(self.mesh, mat)
+        self.rows_per_shard = self.emb.shape[0] // self.n_shards
+        self._search = self._build(self.emb.dtype)
 
     def full_errors(self, queries: np.ndarray) -> np.ndarray:
         """Dense (Q, N) error matrix (for metric parity paths that need the

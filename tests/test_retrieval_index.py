@@ -68,3 +68,20 @@ def test_search_ids_and_full_errors():
     errs = idx.full_errors(q)
     assert errs.shape == (2, n)
     assert errs[0].argmin() == 0 and errs[1].argmin() == 1
+
+
+def test_index_add_remove():
+    n, d = 20, 8
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    names = [f"v{i}" for i in range(n)]
+    idx = RetrievalIndex(emb, ids=names, mesh=make_mesh())
+    new = rng.standard_normal((3, d)).astype(np.float32)
+    idx.add(new, ids=["n0", "n1", "n2"])
+    assert idx.n == 23
+    q = new[1:2] + 0.001 * rng.standard_normal((1, d)).astype(np.float32)
+    _, id_rows = idx.search_ids(q, k=1)
+    assert id_rows == [["n1"]]
+    idx.remove([21])                      # drop n1
+    assert idx.n == 22 and "n1" not in idx.ids
+    _, id_rows = idx.search_ids(q, k=1)
+    assert id_rows[0][0] != "n1"
