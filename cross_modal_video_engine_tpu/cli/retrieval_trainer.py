@@ -29,7 +29,10 @@ from .retrieval_tester import evaluate
 
 def train(model_cfg: DualEncodingConfig, train_cfg: LinasTrainConfig,
           train_set, val_set, out_dir: str, batch_size: int = 128,
-          seed: int = 0, log_every: int = 10, num_epochs: int | None = None):
+          seed: int = 0, log_every: int = 10, num_epochs: int | None = None,
+          resume: str | None = None, checkpoint_interval: int = 0):
+    from ..train.resume import load_train_state, save_train_state
+
     model = DualEncoding(model_cfg)
     tx = make_optimizer(train_cfg)
 
@@ -41,9 +44,18 @@ def train(model_cfg: DualEncodingConfig, train_cfg: LinasTrainConfig,
     save_best = best_checkpoint_manager(out_dir)
     rng = jax.random.key(seed + 1)
 
+    start_epoch = 0
+    if resume:
+        state, loop = load_train_state(resume, state)
+        start_epoch = int(loop.get("epoch", -1)) + 1
+        scheduler.best = float(loop.get("best", -np.inf))
+        scheduler.no_impr = int(loop.get("no_impr", 0))
+        print(f"resumed from {resume}: epoch {start_epoch}, "
+              f"best={scheduler.best:.2f}")
+
     history = []
     epochs = num_epochs or train_cfg.num_epochs
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
         losses = []
         for i, (videos, text, support, n) in enumerate(
@@ -70,6 +82,11 @@ def train(model_cfg: DualEncodingConfig, train_cfg: LinasTrainConfig,
             save_best(variables, model_cfg, rsum, {"epoch": epoch})
         with open(os.path.join(out_dir, "val_metric_hist.txt"), "a") as f:
             f.write(f"{epoch} {rsum:.4f}\n")
+        if checkpoint_interval and (epoch + 1) % checkpoint_interval == 0:
+            save_train_state(
+                os.path.join(out_dir, f"epoch_{epoch}"), state,
+                {"epoch": epoch, "best": scheduler.best,
+                 "no_impr": scheduler.no_impr})
         if stop:
             print(f"early stop at epoch {epoch}")
             break
@@ -93,6 +110,10 @@ def main(argv=None):
     parser.add_argument("--visual_feat_dim", type=int, default=2048)
     parser.add_argument("--config_json", default=None,
                         help="JSON dict of DualEncodingConfig overrides")
+    parser.add_argument("--resume", default=None,
+                        help="epoch_N train-state dir to resume from")
+    parser.add_argument("--checkpoint_interval", type=int, default=0,
+                        help="save full train state every N epochs")
     args = parser.parse_args(argv)
 
     train_set = load_dataset(args.rootpath, args.trainCollection,
@@ -113,7 +134,9 @@ def main(argv=None):
                                  num_epochs=args.num_epochs)
     os.makedirs(args.out_dir, exist_ok=True)
     state, history, best = train(model_cfg, train_cfg, train_set, val_set,
-                                 args.out_dir, args.batch_size)
+                                 args.out_dir, args.batch_size,
+                                 resume=args.resume,
+                                 checkpoint_interval=args.checkpoint_interval)
     print(json.dumps(history[-1]))
     return history
 

@@ -128,3 +128,29 @@ def test_combiner_training_learns():
     assert metrics["recall_at1"] > 50.0, metrics
     # masked reference must never be ranked first
     assert not np.any(order[:, 0] == np.asarray(reference_rows))
+
+
+def test_resume_training(tmp_path):
+    """Interrupt-and-resume: resumed run continues from the saved epoch
+    with optimizer state and scheduler memory intact."""
+    import os
+    from cross_modal_video_engine_tpu.train.resume import latest_checkpoint
+    info = make_collection(str(tmp_path), n_videos=6, caps_per_video=3)
+    ds = load_dataset(str(tmp_path), info["collection"], info["feature"],
+                      support_set_number=2)
+    cfg = tiny_config(info)
+    tcfg = LinasTrainConfig(learning_rate=1e-3, cost_style="mean")
+    out = str(tmp_path / "run")
+    os.makedirs(out, exist_ok=True)
+    from cross_modal_video_engine_tpu.cli.retrieval_trainer import train
+    state, hist1, _ = train(cfg, tcfg, ds, ds, out, batch_size=6,
+                            num_epochs=2, log_every=0,
+                            checkpoint_interval=1)
+    ck = latest_checkpoint(out)
+    assert ck is not None and ck.endswith("epoch_1")
+    state2, hist2, _ = train(cfg, tcfg, ds, ds, out, batch_size=6,
+                             num_epochs=4, log_every=0, resume=ck)
+    # resumed run starts at epoch 2
+    assert [h["epoch"] for h in hist2] == [2, 3]
+    # learning rate continued decaying from the restored optimizer state
+    assert hist2[0]["lr"] < 1e-3 * 0.99
