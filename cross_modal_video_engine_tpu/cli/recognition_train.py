@@ -1,0 +1,133 @@
+"""Config-driven recognition training CLI (MCT tools/train.py equivalent).
+
+Config is a python file in the unified Config format (mmcv-style dicts,
+`_base_` inheritance, dotted --cfg-options), e.g.:
+
+    model = dict(
+        backbone=dict(num_frames=8, img_size=224, patch_size=16,
+                      embed_dims=768, num_heads=12, num_layers=12),
+        num_classes=400)
+    data = dict(
+        train=dict(ann_file='train.txt', data_prefix='videos/'),
+        val=dict(ann_file='val.txt', data_prefix='videos/'),
+        pipeline=[dict(type='DecordInit'), ...],
+        videos_per_gpu=8)
+    optimizer = dict(optimizer='sgd', learning_rate=0.005)
+    total_epochs = 15
+    eval_interval = 1
+
+Runs the EpochBasedRunner-equivalent loop: train epochs, EvalHook-style
+validation (top-k/mean-class-acc), per-epoch train-state checkpoints,
+save-best, resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.datasets import ShardedSampler, VideoDataset
+from ..data.pipelines import build_pipeline
+from ..models.recognizer import Recognizer3D
+from ..models.timesformer import TimeSformerConfig
+from ..train.checkpoint import best_checkpoint_manager
+from ..train.recognition_trainer import (
+    RecognitionTrainConfig, RecTrainState, evaluate_classification,
+    make_cls_train_step, make_rec_optimizer)
+from ..train.resume import (latest_checkpoint, load_train_state,
+                            save_train_state)
+
+
+def _label_batches(ds, batch_size, order=None):
+    for imgs, items, n in ds.batches(batch_size, order):
+        clips = jnp.asarray(imgs[:, 0].astype(np.float32))
+        labels = jnp.asarray([it["label"] for it in items], jnp.int32)
+        yield clips, labels, n
+
+
+def train_from_config(cfg: Config, work_dir: str,
+                      resume: str | None = None,
+                      num_epochs: int | None = None):
+    backbone = TimeSformerConfig(**{
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in cfg["model.backbone"].items()})
+    model = Recognizer3D(backbone, num_classes=cfg["model.num_classes"])
+
+    pipe = build_pipeline(cfg["data.pipeline"])
+    train_ds = VideoDataset(cfg["data.train.ann_file"], pipe,
+                            cfg.get("data.train.data_prefix"))
+    val_ds = VideoDataset(cfg["data.val.ann_file"], pipe,
+                          cfg.get("data.val.data_prefix"))
+    bs = cfg.get("data.videos_per_gpu", 8)
+
+    tcfg = RecognitionTrainConfig(**cfg.get("optimizer", {}))
+    tx = make_rec_optimizer(tcfg)
+    clips0, labels0, _ = next(_label_batches(train_ds, bs))
+    variables = model.init(jax.random.key(0), clips0)
+    state = RecTrainState(variables["params"], tx.init(variables["params"]),
+                          jnp.zeros((), jnp.int32))
+    step = make_cls_train_step(model, tx)
+    save_best = best_checkpoint_manager(work_dir)
+    sampler = ShardedSampler(len(train_ds), shuffle=True)
+    rng = jax.random.key(1)
+
+    start_epoch = 0
+    if resume:
+        state, loop = load_train_state(resume, state)
+        start_epoch = int(loop.get("epoch", -1)) + 1
+
+    epochs = num_epochs or cfg.get("total_epochs", tcfg.num_epochs)
+    eval_interval = cfg.get("eval_interval", tcfg.eval_interval)
+    history = []
+    for epoch in range(start_epoch, epochs):
+        losses, accs = [], []
+        for clips, labels, n in _label_batches(train_ds, bs,
+                                               sampler.indices(epoch)):
+            rng, sub = jax.random.split(rng)
+            state, logs = step(state, clips, labels, sub)
+            losses.append(float(logs["loss"]))
+            accs.append(float(logs["top1_acc"]))
+        rec = {"epoch": epoch, "loss": float(np.mean(losses)),
+               "train_top1": float(np.mean(accs))}
+        if (epoch + 1) % eval_interval == 0:
+            report = evaluate_classification(
+                model, state.params, _label_batches(val_ds, bs))
+            rec.update(report)
+            save_best({"params": state.params},
+                      {"backbone": cfg["model.backbone"],
+                       "num_classes": cfg["model.num_classes"]},
+                      report["top1_acc"], {"epoch": epoch})
+        save_train_state(os.path.join(work_dir, f"epoch_{epoch}"), state,
+                         {"epoch": epoch})
+        history.append(rec)
+        print(json.dumps(rec))
+    return state, history
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("config")
+    parser.add_argument("--work_dir", required=True)
+    parser.add_argument("--resume", nargs="?", const="auto", default=None)
+    parser.add_argument("--total_epochs", type=int, default=None)
+    parser.add_argument("--cfg-options", nargs="*", default=[])
+    args = parser.parse_args(argv)
+
+    cfg = Config.fromfile(args.config).merge_from_options(args.cfg_options)
+    os.makedirs(args.work_dir, exist_ok=True)
+    resume = args.resume
+    if resume == "auto":
+        resume = latest_checkpoint(args.work_dir)
+    state, history = train_from_config(cfg, args.work_dir, resume,
+                                       args.total_epochs)
+    return history
+
+
+if __name__ == "__main__":
+    main()

@@ -406,6 +406,9 @@ class Compose:
 
 def build_pipeline(cfgs: Sequence[Dict]) -> Compose:
     """Build from mmaction-style [{'type': 'SampleFrames', ...}, ...]."""
+    # decode ops (DecordInit/DecordDecode/RawFrameDecode/...) register on
+    # import of io.video_decode — ensure it happened regardless of entry
+    from ..io import video_decode  # noqa: F401
     ops = []
     for cfg in cfgs:
         cfg = dict(cfg)

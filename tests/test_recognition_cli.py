@@ -1,0 +1,76 @@
+"""Recognition train/test CLI end-to-end on a tiny fixture."""
+
+import json
+import os
+
+import numpy as np
+
+from cross_modal_video_engine_tpu.cli import recognition_test, recognition_train
+from cross_modal_video_engine_tpu.io.video_decode import write_test_video
+
+rng = np.random.default_rng(441)
+
+
+def _fixture(tmp_path, n=6):
+    vdir = tmp_path / "videos"
+    vdir.mkdir()
+    lines = []
+    for i in range(n):
+        label = i % 2
+        # brightness encodes the class so training can learn
+        base = 40 if label == 0 else 215
+        frames = np.clip(base + rng.integers(-20, 20, (12, 32, 32, 3)),
+                         0, 255).astype(np.uint8)
+        write_test_video(str(vdir / f"v{i}.mp4"), frames)
+        lines.append(f"v{i}.mp4 {label}")
+    ann = tmp_path / "ann.txt"
+    ann.write_text("\n".join(lines))
+
+    cfg = tmp_path / "config.py"
+    cfg.write_text(f"""
+model = dict(
+    backbone=dict(num_frames=4, img_size=16, patch_size=8, embed_dims=16,
+                  num_heads=2, num_layers=1, drop_path_max=0.0),
+    num_classes=2)
+data = dict(
+    train=dict(ann_file=r'{ann}', data_prefix=r'{vdir}'),
+    val=dict(ann_file=r'{ann}', data_prefix=r'{vdir}'),
+    pipeline=[
+        dict(type='DecordInit'),
+        dict(type='SampleFrames', clip_len=4, frame_interval=2,
+             num_clips=1, test_mode=True),
+        dict(type='DecordDecode'),
+        dict(type='Resize', scale=(16, 16), keep_ratio=False),
+        dict(type='Normalize', mean=[127.5]*3, std=[127.5]*3),
+        dict(type='FormatShape', input_format='NTHWC'),
+    ],
+    videos_per_gpu=6)
+optimizer = dict(optimizer='adamw', learning_rate=3e-3, grad_clip=1.0)
+total_epochs = 8
+eval_interval = 2
+""")
+    return str(cfg)
+
+
+def test_recognition_train_and_test_cli(tmp_path):
+    cfg = _fixture(tmp_path)
+    work = str(tmp_path / "work")
+    history = recognition_train.main([cfg, "--work_dir", work])
+    assert len(history) == 8
+    # learned the brightness rule
+    assert history[-1]["train_top1"] >= 0.8
+    best = os.path.join(work, "model_best")
+    assert os.path.exists(best)
+
+    report = recognition_test.main([
+        cfg, "--checkpoint", best,
+        "--out", str(tmp_path / "scores.npz")])
+    assert report["top1_acc"] >= 0.8
+    assert "mean_class_accuracy" in report
+    saved = np.load(str(tmp_path / "scores.npz"))
+    assert saved["scores"].shape == (6, 2)
+
+    # resume from latest epoch
+    history2 = recognition_train.main([cfg, "--work_dir", work,
+                                       "--resume", "--total_epochs", "9"])
+    assert [h["epoch"] for h in history2] == [8]
