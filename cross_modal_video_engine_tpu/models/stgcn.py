@@ -1,0 +1,122 @@
+"""ST-GCN: spatial-temporal graph convolution for skeleton recognition.
+
+TPU rebuild of MCT/mmaction/models/skeleton_gcn (STGCN): spatial graph
+convolution over the joint adjacency (partitioned into identity/
+centripetal/centrifugal subsets per the ST-GCN paper) followed by
+temporal 1D convolution, with a learnable edge-importance mask per layer.
+
+The graph conv is one einsum per subset — (B*T, V, C) x (V, V) x weights
+— so the whole network is matmuls on the MXU.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..utils.registry import BACKBONES
+
+# COCO-17 skeleton edges (joint pairs) as the default layout
+COCO_EDGES = ((0, 1), (0, 2), (1, 3), (2, 4), (0, 5), (0, 6), (5, 7),
+              (7, 9), (6, 8), (8, 10), (5, 11), (6, 12), (11, 13),
+              (13, 15), (12, 14), (14, 16), (11, 12), (5, 6))
+
+
+def build_partitioned_adjacency(num_joints: int = 17,
+                                edges: Tuple = COCO_EDGES,
+                                center: int = 0) -> np.ndarray:
+    """(3, V, V): identity / centripetal / centrifugal normalized subsets
+    (the 'spatial' partition strategy)."""
+    V = num_joints
+    adj = np.eye(V)
+    for a, b in edges:
+        adj[a, b] = adj[b, a] = 1
+    # hop distance to the center joint
+    dist = np.full(V, 1e9)
+    dist[center] = 0
+    for _ in range(V):
+        for a, b in edges:
+            dist[a] = min(dist[a], dist[b] + 1)
+            dist[b] = min(dist[b], dist[a] + 1)
+    deg = adj.sum(1)
+    norm = adj / np.maximum(deg[None, :], 1)
+    subsets = np.zeros((3, V, V))
+    for i in range(V):
+        for j in range(V):
+            if norm[i, j] == 0:
+                continue
+            if i == j:
+                subsets[0, i, j] = norm[i, j]
+            elif dist[j] < dist[i]:
+                subsets[1, i, j] = norm[i, j]       # centripetal
+            else:
+                subsets[2, i, j] = norm[i, j]       # centrifugal
+    return subsets.astype(np.float32)
+
+
+class STGCNBlock(nn.Module):
+    out_channels: int
+    adjacency: Tuple   # static (3, V, V) as nested tuples
+    temporal_stride: int = 1
+    temporal_kernel: int = 9
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        """x: (B, T, V, C)."""
+        A = jnp.asarray(np.asarray(self.adjacency, np.float32))
+        K, V, _ = A.shape
+        B, T, _, C = x.shape
+        edge = self.param("edge_importance", nn.initializers.ones,
+                          (K, V, V))
+        Aw = A * edge
+        # spatial graph conv: per-subset linear then neighborhood mix
+        feats = nn.Dense(self.out_channels * K, use_bias=False,
+                         name="gcn")(x)
+        feats = feats.reshape(B, T, V, K, self.out_channels)
+        y = jnp.einsum("btvkc,kwv->btwc", feats, Aw,
+                       preferred_element_type=jnp.float32)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bn_gcn")(y)
+        y = nn.relu(y)
+        # temporal conv over T per joint
+        tk, s = self.temporal_kernel, self.temporal_stride
+        y = nn.Conv(self.out_channels, (tk, 1), strides=(s, 1),
+                    padding=((tk // 2, tk // 2), (0, 0)), name="tcn")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="bn_tcn")(y)
+        if s != 1 or C != self.out_channels:
+            sc = nn.Conv(self.out_channels, (1, 1), strides=(s, 1),
+                         name="residual")(x)
+        else:
+            sc = x
+        return nn.relu(y + sc)
+
+
+@dataclasses.dataclass(frozen=True)
+class STGCNConfig:
+    num_joints: int = 17
+    in_channels: int = 3             # (x, y, score)
+    channels: Tuple[int, ...] = (64, 64, 128, 128, 256, 256)
+    temporal_strides: Tuple[int, ...] = (1, 1, 2, 1, 2, 1)
+
+
+@BACKBONES.register("STGCN")
+class STGCN(nn.Module):
+    cfg: STGCNConfig
+
+    @nn.compact
+    def __call__(self, keypoints: jnp.ndarray, *, train: bool = False):
+        """keypoints: (B, T, V, C) -> pooled feature (B, channels[-1])."""
+        cfg = self.cfg
+        A = build_partitioned_adjacency(cfg.num_joints)
+        A_t = tuple(tuple(tuple(r) for r in s) for s in A)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="data_bn")(keypoints)
+        for i, (c, s) in enumerate(zip(cfg.channels, cfg.temporal_strides)):
+            x = STGCNBlock(c, A_t, s, name=f"block_{i}")(x, train=train)
+        return jnp.mean(x, axis=(1, 2))
