@@ -89,7 +89,11 @@ def _distill(cfg: LinasTrainConfig, student, teacher):
             + kl_distill(student, teacher, red))
 
 
-def make_train_step(model: DualEncoding, cfg: LinasTrainConfig, tx):
+def make_train_step(model: DualEncoding, cfg: LinasTrainConfig, tx,
+                    mesh=None):
+    """mesh: optional jax.sharding.Mesh — batches shard over the 'data'
+    axis, params/optimizer replicate; GSPMD inserts the gradient psum
+    (the DDP-allreduce equivalent).  None = single-device jit."""
     mcfg = model.cfg
     tl_cfg = TripletLossConfig(cfg.margin, cfg.measure, cfg.max_violation,
                                cfg.cost_style, cfg.direction)
@@ -153,7 +157,31 @@ def make_train_step(model: DualEncoding, cfg: LinasTrainConfig, tx):
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, new_bs, opt_state), logs
 
-    return jax.jit(train_step)
+    if mesh is None:
+        return jax.jit(train_step)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+
+    def shard_batch_tree(tree):
+        return jax.tree.map(
+            lambda x: batch_sh if getattr(x, "ndim", 0) >= 1 else repl, tree)
+
+    # build the sharded jit lazily once per batch structure
+    cache = {}
+
+    def step(state, videos, text, support, rng):
+        key = support is None
+        if key not in cache:
+            in_sh = (jax.tree.map(lambda _: repl, state),
+                     shard_batch_tree(videos), shard_batch_tree(text),
+                     None if support is None else shard_batch_tree(support),
+                     repl)
+            cache[key] = jax.jit(train_step, in_shardings=in_sh)
+        return cache[key](state, videos, text, support, rng)
+
+    return step
 
 
 def init_train_state(model: DualEncoding, tx, videos, text, support,

@@ -154,3 +154,54 @@ def test_resume_training(tmp_path):
     assert [h["epoch"] for h in hist2] == [2, 3]
     # learning rate continued decaying from the restored optimizer state
     assert hist2[0]["lr"] < 1e-3 * 0.99
+
+
+def test_mesh_data_parallel_training():
+    """Batch sharded over the 8-device 'data' axis: step runs, loss is
+    replicated and finite, params update identically to single-device."""
+    from cross_modal_video_engine_tpu.parallel.mesh import make_mesh
+    from cross_modal_video_engine_tpu.models.dual_encoding import (
+        DualEncodingConfig, make_video_batch, make_text_batch)
+    cfg = DualEncodingConfig(
+        visual_feat_dim=12, visual_rnn_size=4, visual_kernel_num=2,
+        visual_kernel_sizes=(2,), vocab_size=20, bow_vocab_size=10,
+        word_dim=6, text_rnn_size=4, text_kernel_num=2,
+        text_kernel_sizes=(2,), hidden_size=8, common_dim=8)
+    tcfg = LinasTrainConfig(learning_rate=1e-3, cost_style="mean")
+    model = DualEncoding(cfg)
+    tx = make_optimizer(tcfg)
+    B = 16  # divisible by 8 devices
+    feats = [rng.standard_normal((5, 12)).astype(np.float32)
+             for _ in range(B)]
+    videos = make_video_batch(feats, 8)
+    ids = [[1, 4, 2]] * B
+    text = make_text_batch(ids, rng.random((B, 10)).astype(np.float32), 6)
+    from cross_modal_video_engine_tpu.models.dual_encoding import TextBatch
+    support = TextBatch(
+        ids=jnp.ones((B, 2, 6), jnp.int32),
+        bows=jnp.zeros((B, 2, 10), jnp.float32),
+        lengths=jnp.full((B, 2), 3, jnp.int32),
+        mask=jnp.ones((B, 2, 6), jnp.float32))
+
+    state = init_train_state(model, tx, videos, text, support)
+    mesh = make_mesh()
+    step_sharded = make_train_step(model, tcfg, tx, mesh=mesh)
+    step_single = make_train_step(model, tcfg, tx)
+    k = jax.random.key(0)
+    s1, logs1 = step_sharded(state, videos, text, support, k)
+    s2, logs2 = step_single(state, videos, text, support, k)
+    np.testing.assert_allclose(float(logs1["loss"]), float(logs2["loss"]),
+                               rtol=1e-4)
+    # parameter updates agree between sharded and single-device execution.
+    # Adam turns near-zero gradients whose SIGN depends on float reduction
+    # order into +-lr steps, so bound the divergence by 2*lr instead of
+    # demanding bitwise-equal params (a structural sharding bug would give
+    # O(1) differences).
+    lr = 1e-3
+    n_big = 0
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        diff = np.abs(np.asarray(a) - np.asarray(b))
+        assert diff.max() <= 2.1 * lr, diff.max()
+        n_big += int((diff > 0.5 * lr).sum())
+    total = sum(np.asarray(x).size for x in jax.tree.leaves(s1.params))
+    assert n_big / total < 0.05, f"{n_big}/{total} params diverged"
