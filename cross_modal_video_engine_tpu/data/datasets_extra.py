@@ -1,0 +1,137 @@
+"""Long-tail datasets: HVU (multi-task multilabel), Pose (skeleton),
+AVA (spatiotemporal boxes).
+
+Rebuilds of the remaining mmaction dataset family:
+
+* `HVUDataset` — JSON annotations with per-CATEGORY label lists
+  (action/scene/object/...); each category gets its own multi-hot target
+  (hvu_dataset.py semantics);
+* `PoseDataset` — pickled skeleton annotations (keypoint (M, T, V, C)
+  arrays + label) batched to fixed (T, V, C) for the STGCN backbone;
+* `AVADataset` — CSV rows `video,timestamp,x1,y1,x2,y2,action,entity`;
+  groups boxes per keyframe for detection-style recognition.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import pickle
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class HVUDataset:
+    def __init__(self, ann_file: str, categories: Sequence[str],
+                 category_nums: Dict[str, int],
+                 data_prefix: Optional[str] = None, pipeline=None):
+        self.categories = list(categories)
+        self.category_nums = dict(category_nums)
+        self.pipeline = pipeline
+        with open(ann_file) as f:
+            raw = json.load(f)
+        self.video_infos = []
+        for item in raw:
+            filename = item["filename"]
+            if data_prefix:
+                filename = os.path.join(data_prefix, filename)
+            targets = {}
+            for cat in self.categories:
+                onehot = np.zeros(self.category_nums[cat], np.float32)
+                for lab in item.get("label", {}).get(cat, []):
+                    onehot[int(lab)] = 1.0
+                targets[cat] = onehot
+            self.video_infos.append(dict(filename=filename, label=targets))
+
+    def __len__(self) -> int:
+        return len(self.video_infos)
+
+    def __getitem__(self, idx: int) -> Dict:
+        results = dict(self.video_infos[idx], start_index=0)
+        return self.pipeline(results) if self.pipeline else results
+
+
+class PoseDataset:
+    """Pickled list of dicts: {'keypoint': (M, T, V, C), 'label': int}."""
+
+    def __init__(self, ann_file: str, clip_len: int = 48,
+                 num_joints: int = 17):
+        with open(ann_file, "rb") as f:
+            self.annos = pickle.load(f)
+        self.clip_len = clip_len
+        self.num_joints = num_joints
+
+    def __len__(self) -> int:
+        return len(self.annos)
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, int]:
+        a = self.annos[idx]
+        kp = np.asarray(a["keypoint"], np.float32)
+        if kp.ndim == 4:                 # (M persons, T, V, C) -> first
+            kp = kp[0]
+        T = kp.shape[0]
+        if T >= self.clip_len:            # uniform sample
+            sel = np.round(np.linspace(0, T - 1, self.clip_len)).astype(int)
+            kp = kp[sel]
+        else:                             # loop pad
+            reps = int(np.ceil(self.clip_len / T))
+            kp = np.tile(kp, (reps, 1, 1))[: self.clip_len]
+        return kp, int(a["label"])
+
+    def batches(self, batch_size: int
+                ) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
+        for i in range(0, len(self), batch_size):
+            items = [self[j] for j in range(i, min(i + batch_size,
+                                                   len(self)))]
+            n = len(items)
+            while len(items) < batch_size:
+                items.append(items[0])
+            kps = np.stack([it[0] for it in items])
+            labels = np.asarray([it[1] for it in items], np.int64)
+            yield kps, labels, n
+
+
+class AVADataset:
+    """CSV annotation rows: video_id,timestamp,x1,y1,x2,y2,action_id,entity.
+    Boxes are normalized [0,1] coordinates like the AVA release."""
+
+    def __init__(self, ann_file: str, num_classes: int = 81,
+                 data_prefix: Optional[str] = None):
+        self.num_classes = num_classes
+        self.data_prefix = data_prefix
+        keyframes: Dict[Tuple[str, float], Dict] = {}
+        with open(ann_file) as f:
+            for row in csv.reader(f):
+                if not row:
+                    continue
+                vid, ts = row[0], float(row[1])
+                box = tuple(float(v) for v in row[2:6])
+                action = int(row[6])
+                entity = row[7] if len(row) > 7 else ""
+                key = (vid, ts)
+                kf = keyframes.setdefault(
+                    key, {"video": vid, "timestamp": ts, "entities": {}})
+                ent = kf["entities"].setdefault(
+                    entity, {"box": box,
+                             "labels": np.zeros(num_classes, np.float32)})
+                if 0 <= action < num_classes:
+                    ent["labels"][action] = 1.0
+        self.keyframes = []
+        for (vid, ts), kf in sorted(keyframes.items()):
+            boxes = np.asarray([e["box"] for e in kf["entities"].values()],
+                               np.float32)
+            labels = np.stack([e["labels"]
+                               for e in kf["entities"].values()])
+            filename = vid
+            if data_prefix:
+                filename = os.path.join(data_prefix, vid)
+            self.keyframes.append(dict(filename=filename, timestamp=ts,
+                                       boxes=boxes, labels=labels))
+
+    def __len__(self) -> int:
+        return len(self.keyframes)
+
+    def __getitem__(self, idx: int) -> Dict:
+        return dict(self.keyframes[idx])
