@@ -74,6 +74,10 @@ class MHA(nn.Module):
     width: int
     heads: int
     dtype: jnp.dtype = jnp.float32
+    # route self-attention through the Pallas flash kernel — worth it for
+    # long token streams (S >= ~1024, see ops/flash_attention.py); only
+    # valid when there is no additive mask and kv is None
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
@@ -82,6 +86,7 @@ class MHA(nn.Module):
         cross attention. mask: (L, S) additive (-inf) mask."""
         D, H = self.width, self.heads
         hd = D // H
+        is_self = kv is None
         kv = x if kv is None else kv
         q = nn.Dense(D, dtype=self.dtype, name="q_proj")(x)
         k = nn.Dense(D, dtype=self.dtype, name="k_proj")(kv)
@@ -92,6 +97,11 @@ class MHA(nn.Module):
         k = k.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
         scale = 1.0 / np.sqrt(hd)
+        if self.use_flash and is_self and mask is None:
+            from ..ops.flash_attention import flash_attention
+            out = flash_attention(q, k, v, scale)
+            out = out.transpose(0, 2, 1, 3).reshape(B, L, D).astype(self.dtype)
+            return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
         logits = jnp.einsum("bhld,bhsd->bhls", q, k,
                             preferred_element_type=jnp.float32) * scale
         if mask is not None:

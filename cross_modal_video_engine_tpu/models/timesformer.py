@@ -47,6 +47,9 @@ class TimeSformerConfig:
     # embed becomes a 3D conv over (tubelet, p, p) and the temporal axis
     # shrinks to num_frames // tubelet_size (ref backbones/videomae.py).
     tubelet_size: int = 1
+    # joint attention over long token streams (1 + P*T >= ~1024) can route
+    # through the Pallas flash kernel
+    use_flash_attention: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -137,7 +140,8 @@ class JointBlock(nn.Module):
         cfg = self.cfg
         dp = DropPath(self.drop_path, name="drop_path")
         h = LN(name="norm1")(x)
-        x = x + dp(MHA(cfg.embed_dims, cfg.num_heads, h.dtype, name="attn")(h),
+        x = x + dp(MHA(cfg.embed_dims, cfg.num_heads, h.dtype,
+                       use_flash=cfg.use_flash_attention, name="attn")(h),
                    train=train)
         h = LN(name="norm2")(x)
         h = nn.Dense(cfg.embed_dims * 4, name="ffn_fc1")(h)
