@@ -63,3 +63,29 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
 
 def batch_spec(mesh: Mesh):
     return NamedSharding(mesh, P("data"))
+
+
+def opt_state_shardings(opt_state: Any, params: Any, mesh: Mesh) -> Any:
+    """Shardings for an optax state tree.
+
+    Param-shaped subtrees (adam mu/nu, sgd trace, ...) follow the same
+    partition rules as the params they mirror; everything else (step
+    counts, empty states) replicates.  The result matches `opt_state`'s
+    pytree structure exactly, so it can be passed to jit
+    in_shardings/out_shardings or jax.device_put.
+    """
+    param_shardings = partition_params(params, mesh)
+    params_def = jax.tree.structure(params)
+    repl = NamedSharding(mesh, P())
+
+    def is_params_like(x):
+        if x is None:
+            return False
+        try:
+            return jax.tree.structure(x) == params_def
+        except Exception:
+            return False
+
+    return jax.tree.map(
+        lambda x: param_shardings if is_params_like(x) else repl,
+        opt_state, is_leaf=is_params_like)
