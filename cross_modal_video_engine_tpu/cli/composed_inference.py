@@ -49,12 +49,14 @@ def extract_video_features(clip_model, variables, path: str,
 
 
 def build_combiner_inputs(high: np.ndarray, middle: np.ndarray,
-                          frames: int = 8, tokens: int = 16):
-    """adaptive-avg-pool middle to (frames, tokens, D), high to (frames, D)
-    (reference inference.py:58-59)."""
+                          frames: int = 8, tokens: int = 16,
+                          dim: Optional[int] = None):
+    """adaptive-avg-pool middle to (frames, tokens, dim or D), high to
+    (frames, D) (reference inference.py:58-59; for RN50x4 middles the
+    channel axis pools 1280 -> 640 too)."""
     from ..data.composed_dataset import adaptive_avg_pool_axis
     h = adaptive_avg_pool_axis(high, frames, axis=0)
-    m = pool_middle_feature(middle, frames, tokens)
+    m = pool_middle_feature(middle, frames, tokens, dim=dim)
     return h, m
 
 
@@ -85,16 +87,24 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     clip_vars, clip_cfg_d, _ = load_checkpoint(args.clip_checkpoint)
-    clip_cfg = CLIPConfig(**clip_cfg_d)
-    clip_model = CLIPModel(clip_cfg)
+    if "patch_size" in clip_cfg_d:
+        clip_cfg = CLIPConfig(**clip_cfg_d)
+        clip_model = CLIPModel(clip_cfg)
+    else:   # ModifiedResNet tower (RN50x4 contract, inference.py:179-196)
+        from ..models.clip_resnet import CLIPResNetConfig, CLIPResNetModel
+        clip_cfg_d["vision_layers"] = tuple(clip_cfg_d["vision_layers"])
+        clip_cfg = CLIPResNetConfig(**clip_cfg_d)
+        clip_model = CLIPResNetModel(clip_cfg)
     comb_vars, comb_cfg_d, _ = load_checkpoint(args.combiner_checkpoint)
-    combiner = Combiner(CombinerConfig(**comb_cfg_d))
+    comb_cfg = CombinerConfig(**comb_cfg_d)
+    combiner = Combiner(comb_cfg)
     tok = BPETokenizer(args.merges)
 
     # reference video features (live extraction)
     rh, rm = extract_video_features(clip_model, clip_vars, args.input_vdo,
                                     dim=clip_cfg.image_resolution)
-    ref_high, ref_middle = build_combiner_inputs(rh, rm)
+    ref_high, ref_middle = build_combiner_inputs(
+        rh, rm, dim=comb_cfg.clip_feature_dim)
 
     # text features
     ids = jnp.asarray(tok.tokenize(args.input_modified_text,

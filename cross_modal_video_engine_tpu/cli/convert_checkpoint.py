@@ -5,9 +5,17 @@
       [--config config.json]
 
 Types:
-  linas  — LINAS Dual_Encoding .pth.tar (model list + embedded opt;
-           relevant opt fields are translated into DualEncodingConfig)
-  clip   — OpenAI-layout CLIP state dict (.pt with or without 'state_dict')
+  linas       — LINAS Dual_Encoding .pth.tar (model list + embedded opt;
+                relevant opt fields are translated into DualEncodingConfig)
+  clip        — OpenAI-layout CLIP ViT state dict (.pt with or without
+                'state_dict')
+  clip_resnet — OpenAI-layout CLIP ModifiedResNet state dict (RN50x4 etc,
+                the MultiFusion tower — inference.py:179-196); config is
+                derived from the state dict, --config overrides
+  combiner    — MultiFusion combiner_arithmetic.pt (inference.py:218-223);
+                config derived from the state dict
+  timesformer — mmaction TimeSformer (needs --config)
+  yolov5      — ultralytics yolov5 .pt (detect weights; config derived)
 """
 
 from __future__ import annotations
@@ -58,7 +66,8 @@ def linas_config_from_opt(opt) -> DualEncodingConfig:
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--type", required=True,
-                        choices=["linas", "clip", "timesformer"])
+                        choices=["linas", "clip", "clip_resnet", "combiner",
+                                 "timesformer", "yolov5"])
     parser.add_argument("--src", required=True)
     parser.add_argument("--dst", required=True)
     parser.add_argument("--config", default=None,
@@ -87,6 +96,39 @@ def main(argv=None):
                         {"source": args.src})
         print(f"converted timesformer checkpoint -> {args.dst}")
         return
+    elif args.type == "clip_resnet":
+        from ..convert.torch_import import (
+            convert_clip_resnet, clip_resnet_config_from_sd)
+        from ..models.clip_resnet import CLIPResNetConfig
+        sd = ckpt.get("state_dict", ckpt)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        kwargs = clip_resnet_config_from_sd(sd)
+        if args.config:
+            kwargs.update(json.load(open(args.config)))
+        cfg = CLIPResNetConfig(**kwargs)
+        variables = convert_clip_resnet(sd, cfg)
+        meta = {"source": args.src, "model_type": "clip_resnet"}
+    elif args.type == "combiner":
+        from ..convert.torch_import import (
+            convert_combiner, combiner_config_from_sd)
+        from ..models.combiner import CombinerConfig
+        sd = ckpt.get("Combiner", ckpt.get("state_dict", ckpt))
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        kwargs = combiner_config_from_sd(sd)
+        if args.config:
+            kwargs.update(json.load(open(args.config)))
+        cfg = CombinerConfig(**kwargs)
+        variables = convert_combiner(sd)
+        meta = {"source": args.src}
+    elif args.type == "yolov5":
+        from ..convert.torch_import import (
+            convert_yolov5, yolo_config_from_torch)
+        model = ckpt.get("model", ckpt)
+        cfg, sd = yolo_config_from_torch(model)
+        variables = convert_yolov5(sd, cfg)
+        meta = {"source": args.src}
     else:
         sd = ckpt.get("state_dict", ckpt)
         if hasattr(sd, "state_dict"):

@@ -288,3 +288,246 @@ def convert_clip_vit(sd: Dict, cfg) -> Dict:
         "text": text,
         "logit_scale": _np(sd["logit_scale"]),
     }}
+
+
+# --------------------------------------------------------------------------
+# CLIP ModifiedResNet (OpenAI layout, e.g. RN50x4 — the checkpoint
+# MultiFusion inference loads, MultiFusion/src/inference.py:179-196)
+# --------------------------------------------------------------------------
+
+def _bn(sd: Dict, name: str):
+    """torch BatchNorm2d -> (params, batch_stats)."""
+    return ({"scale": _np(sd[f"{name}.weight"]),
+             "bias": _np(sd[f"{name}.bias"])},
+            {"mean": _np(sd[f"{name}.running_mean"]),
+             "var": _np(sd[f"{name}.running_var"])})
+
+
+def _conv(sd: Dict, name: str) -> Dict:
+    """torch Conv2d (O, I, kh, kw) -> flax (kh, kw, I, O), no bias."""
+    return {"kernel": _np(sd[f"{name}.weight"]).transpose(2, 3, 1, 0)}
+
+
+def _bottleneck(sd: Dict, prefix: str):
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in (1, 2, 3):
+        params[f"conv{i}"] = _conv(sd, f"{prefix}.conv{i}")
+        params[f"bn{i}"], stats[f"bn{i}"] = _bn(sd, f"{prefix}.bn{i}")
+    if f"{prefix}.downsample.0.weight" in sd:
+        params["conv_down"] = _conv(sd, f"{prefix}.downsample.0")
+        params["bn_down"], stats["bn_down"] = _bn(sd,
+                                                  f"{prefix}.downsample.1")
+    return params, stats
+
+
+def clip_resnet_config_from_sd(sd: Dict) -> Dict[str, Any]:
+    """Derive CLIPResNetConfig kwargs from an OpenAI CLIP-RN state dict
+    (counts/widths read off shapes, like the reference clip.load's
+    build_model)."""
+    def n_blocks(layer):
+        i = 0
+        while f"visual.layer{layer}.{i}.conv1.weight" in sd:
+            i += 1
+        return i
+
+    width = int(sd["visual.conv1.weight"].shape[0]) * 2
+    embed_dim = int(_np(sd["text_projection"]).shape[1])
+    spatial = int(round(
+        (_np(sd["visual.attnpool.positional_embedding"]).shape[0] - 1)
+        ** 0.5))
+    text_width = int(_np(sd["ln_final.weight"]).shape[0])
+    t = 0
+    while f"transformer.resblocks.{t}.ln_1.weight" in sd:
+        t += 1
+    return dict(
+        embed_dim=embed_dim,
+        vision_layers=tuple(n_blocks(i) for i in (1, 2, 3, 4)),
+        vision_width=width,
+        image_resolution=spatial * 32,
+        context_length=int(_np(sd["positional_embedding"]).shape[0]),
+        vocab_size=int(_np(sd["token_embedding.weight"]).shape[0]),
+        text_width=text_width,
+        text_heads=text_width // 64,
+        text_layers=t,
+    )
+
+
+def convert_clip_resnet(sd: Dict, cfg) -> Dict:
+    """OpenAI CLIP-RN state dict -> flax variables for
+    models.clip_resnet.CLIPResNetModel (params + batch_stats)."""
+    visual: Dict[str, Any] = {}
+    vstats: Dict[str, Any] = {}
+    for i in (1, 2, 3):
+        visual[f"conv{i}"] = _conv(sd, f"visual.conv{i}")
+        visual[f"bn{i}"], vstats[f"bn{i}"] = _bn(sd, f"visual.bn{i}")
+    for layer_i, n in zip((1, 2, 3, 4), cfg.vision_layers):
+        for b in range(n):
+            name = f"layer{layer_i}_{b}"
+            visual[name], vstats[name] = _bottleneck(
+                sd, f"visual.layer{layer_i}.{b}")
+    visual["attnpool"] = {
+        "positional_embedding":
+            _np(sd["visual.attnpool.positional_embedding"]),
+        "q_proj": _dense(sd, "visual.attnpool.q_proj"),
+        "k_proj": _dense(sd, "visual.attnpool.k_proj"),
+        "v_proj": _dense(sd, "visual.attnpool.v_proj"),
+        "c_proj": _dense(sd, "visual.attnpool.c_proj"),
+    }
+
+    text = {
+        "token_embedding": _np(sd["token_embedding.weight"]),
+        "positional_embedding": _np(sd["positional_embedding"]),
+        "ln_final": _ln(sd, "ln_final"),
+        "text_projection": _np(sd["text_projection"]),
+        "transformer": {},
+    }
+    for i in range(cfg.text_layers):
+        text["transformer"][f"resblock_{i}"] = _resblock(
+            sd, f"transformer.resblocks.{i}")
+
+    return {
+        "params": {
+            "visual": visual,
+            "text": text,
+            "logit_scale": _np(sd["logit_scale"]),
+        },
+        "batch_stats": {"visual": vstats},
+    }
+
+
+# --------------------------------------------------------------------------
+# MultiFusion Combiner (combiner_arithmetic.pt layout,
+# MultiFusion/src/combiner.py:81-180)
+# --------------------------------------------------------------------------
+
+def combiner_config_from_sd(sd: Dict) -> Dict[str, Any]:
+    return dict(
+        clip_feature_dim=int(_np(sd["output_layer.weight"]).shape[0]),
+        projection_dim=int(_np(sd["text_projection_layer.weight"]).shape[0]),
+        hidden_dim=int(_np(sd["combiner_layer.weight"]).shape[0]),
+        middle_mix="conv4x4",
+    )
+
+
+# --------------------------------------------------------------------------
+# YOLOv5 (ultralytics .pt layout — the pretrained detector the reference
+# explainability pipeline shells out to, MCT/yolov5/detect.py:114-233)
+# --------------------------------------------------------------------------
+
+# sequential module index (yolov5 P5 yaml order) -> flax module name in
+# models.yolo.YoloV5
+_YOLO_IDX2NAME = {
+    0: "stem", 1: "down1", 2: "c3_1", 3: "down2", 4: "c3_2", 5: "down3",
+    6: "c3_3", 7: "down4", 8: "c3_4", 9: "sppf", 10: "up5_conv", 13: "n4",
+    14: "up4_conv", 17: "n3", 18: "pan3", 20: "n4b", 21: "pan4", 23: "n5b",
+}
+
+
+def _yolo_cbs(sd: Dict, prefix: str):
+    """ultralytics Conv (conv+bn+SiLU) -> ConvBnSiLU params/stats."""
+    params = {"conv": _conv(sd, f"{prefix}.conv")}
+    params["bn"], stats = _bn(sd, f"{prefix}.bn")
+    return params, {"bn": stats}
+
+
+def _yolo_c3(sd: Dict, prefix: str):
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for cv in ("cv1", "cv2", "cv3"):
+        params[cv], stats[cv] = _yolo_cbs(sd, f"{prefix}.{cv}")
+    j = 0
+    while f"{prefix}.m.{j}.cv1.conv.weight" in sd:
+        bp: Dict[str, Any] = {}
+        bs: Dict[str, Any] = {}
+        bp["cv1"], bs["cv1"] = _yolo_cbs(sd, f"{prefix}.m.{j}.cv1")
+        bp["cv2"], bs["cv2"] = _yolo_cbs(sd, f"{prefix}.m.{j}.cv2")
+        params[f"m{j}"] = bp
+        stats[f"m{j}"] = bs
+        j += 1
+    return params, stats
+
+
+def yolo_config_from_torch(model_or_sd):
+    """(DetectionModel | state dict) -> (YoloConfig, flat state dict).
+    nc / multiples / anchors are derived from shapes (and the model's yaml
+    when available); anchors are rescaled from grid units back to pixels."""
+    from ..models.yolo import YoloConfig
+    if hasattr(model_or_sd, "state_dict"):
+        m = model_or_sd.float()
+        sd = dict(m.state_dict())
+        yaml = dict(getattr(m, "yaml", {}) or {})
+    else:
+        sd = dict(model_or_sd)
+        yaml = {}
+    det = max(int(k.split(".")[1]) for k in sd
+              if k.startswith("model.") and k.endswith(".anchors"))
+    no = int(_np(sd[f"model.{det}.m.0.weight"]).shape[0])
+    nc = yaml.get("nc", no // 3 - 5)
+    wm = float(yaml.get("width_multiple",
+                        _np(sd["model.0.conv.weight"]).shape[0] / 64.0))
+    n2 = 0
+    while f"model.2.m.{n2}.cv1.conv.weight" in sd:
+        n2 += 1
+    dm = float(yaml.get("depth_multiple", n2 / 3.0))
+    anch = _np(sd[f"model.{det}.anchors"]).astype(np.float64)   # (3, 3, 2)
+    anchors = tuple(
+        tuple(tuple(float(v) for v in a) for a in anch[i] * s)
+        for i, s in enumerate((8, 16, 32)))
+    cfg = YoloConfig(num_classes=int(nc), depth_multiple=dm,
+                     width_multiple=wm, anchors=anchors)
+    return cfg, sd
+
+
+def convert_yolov5(sd: Dict, cfg) -> Dict:
+    """ultralytics yolov5 state dict -> flax variables for
+    models.yolo.YoloV5 (params + batch_stats)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for idx, name in _YOLO_IDX2NAME.items():
+        prefix = f"model.{idx}"
+        if f"{prefix}.conv.weight" in sd:           # plain Conv
+            params[name], stats[name] = _yolo_cbs(sd, prefix)
+        elif f"{prefix}.cv3.conv.weight" in sd:     # C3
+            params[name], stats[name] = _yolo_c3(sd, prefix)
+        else:                                       # SPPF
+            p: Dict[str, Any] = {}
+            s: Dict[str, Any] = {}
+            p["cv1"], s["cv1"] = _yolo_cbs(sd, f"{prefix}.cv1")
+            p["cv2"], s["cv2"] = _yolo_cbs(sd, f"{prefix}.cv2")
+            params[name], stats[name] = p, s
+    det = max(int(k.split(".")[1]) for k in sd
+              if k.startswith("model.") and k.endswith(".anchors"))
+    for i in range(3):
+        w = _np(sd[f"model.{det}.m.{i}.weight"])     # (no, C, 1, 1)
+        params[f"detect_{i}"] = {
+            "kernel": w.transpose(2, 3, 1, 0),
+            "bias": _np(sd[f"model.{det}.m.{i}.bias"]),
+        }
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_combiner(sd: Dict) -> Dict:
+    """Reference Combiner state dict -> flax variables for
+    models.combiner.Combiner with middle_mix='conv4x4' (the checkpoint
+    contract — see CombinerConfig.middle_mix)."""
+    w = _np(sd["m_remained.weight"])                  # (C, C, 1, 1)
+    params: Dict[str, Any] = {
+        "text_projection_layer": _dense(sd, "text_projection_layer"),
+        "image_projection_layer": _dense(sd, "image_projection_layer"),
+        "combiner_layer": _dense(sd, "combiner_layer"),
+        "output_layer": _dense(sd, "output_layer"),
+        "dynamic_scalar_fc1": _dense(sd, "dynamic_scalar.0"),
+        "dynamic_scalar_fc2": _dense(sd, "dynamic_scalar.3"),
+        "m_remained_kernel": w[:, :, 0, 0].T,          # (C_in, C_out)
+        "m_remained_bias": _np(sd["m_remained.bias"]),
+        "m_residual": _dense(sd, "m_residual"),
+        "self_attn_1": {
+            "ln_1": _ln(sd, "self_attn_1.ln_1"),
+            "ln_2": _ln(sd, "self_attn_1.ln_2"),
+            "attn": _mha_from_inproj(sd, "self_attn_1.attn"),
+            "c_fc": _dense(sd, "self_attn_1.mlp.c_fc"),
+            "c_proj": _dense(sd, "self_attn_1.mlp.c_proj"),
+        },
+    }
+    return {"params": params}

@@ -35,11 +35,19 @@ def adaptive_avg_pool_axis(x: np.ndarray, out_size: int, axis: int
 
 
 def pool_middle_feature(middle: np.ndarray, frames: int = 8,
-                        tokens: int = 16) -> np.ndarray:
-    """(F, L, D) -> (frames, tokens, D), the adaptive_avg_pool2d the
-    reference applies before the combiner (inference.py:58-59)."""
+                        tokens: int = 16,
+                        dim: Optional[int] = None) -> np.ndarray:
+    """(F, L, D) -> (frames, tokens, dim or D), the adaptive_avg_pool2d
+    the reference applies before the combiner (inference.py:58-59) —
+    which pools over BOTH the token and channel axes (RN50x4: (324, 1280)
+    -> (16, 640)).  Axis-wise pooling equals torch's 2-d adaptive pool
+    because each output bin is a rectangle and a mean of within-bin means
+    over one axis is the rectangle mean."""
     out = adaptive_avg_pool_axis(middle, frames, axis=0)
-    return adaptive_avg_pool_axis(out, tokens, axis=1)
+    out = adaptive_avg_pool_axis(out, tokens, axis=1)
+    if dim is not None:
+        out = adaptive_avg_pool_axis(out, dim, axis=2)
+    return out
 
 
 class FeatureStore:

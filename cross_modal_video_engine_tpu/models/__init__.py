@@ -5,7 +5,8 @@ from .dual_encoding import (
     make_video_batch, make_text_batch,
 )
 from .clip import CLIPConfig, CLIPModel, VisionTower, TextTower
-from .clip_resnet import ModifiedResNet, ModifiedResNetConfig
+from .clip_resnet import (ModifiedResNet, ModifiedResNetConfig,
+                          CLIPResNetModel, CLIPResNetConfig)
 from .combiner import Combiner, CombinerConfig
 from .timesformer import TimeSformer, TimeSformerConfig
 from .resnet3d import (ResNet3D, ResNet3DConfig, SlowFast, SlowFastConfig,

@@ -31,9 +31,12 @@ class ModifiedResNetConfig:
     heads: int = 40
     image_resolution: int = 288
     # which stage's map is the 'middle' feature the Combiner consumes.
-    # The MultiFusion h5 dumps store 640-d middles for RN50x4 -> the
-    # 640-channel stage (stage 2 here); set 3 for the raw layer3 map.
-    middle_stage: int = 2
+    # Reference contract (model.py:180-188): middle = the raw layer3 map
+    # (16*width channels; RN50x4: 1280 at 18x18), which inference.py:58-59
+    # then adaptive-avg-pools over (tokens, channels) to (16, 640).
+    # Stage 2 (8*width = 640 channels) is kept as an option for pipelines
+    # that want combiner-ready middles without the channel pooling.
+    middle_stage: int = 3
 
 
 class BottleneckBlock(nn.Module):
@@ -138,3 +141,90 @@ class ModifiedResNet(nn.Module):
         high = AttentionPool2d(w * 8 * 4, cfg.heads, cfg.output_dim,
                                name="attnpool")(x)
         return high, middle
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPResNetConfig:
+    """Full CLIP dual tower with the ModifiedResNet visual (the RN50x4
+    checkpoint MultiFusion loads, src/inference.py:179-196)."""
+    embed_dim: int = 640
+    vision_layers: Tuple[int, int, int, int] = (4, 6, 10, 6)
+    vision_width: int = 80
+    image_resolution: int = 288
+    middle_stage: int = 3
+    context_length: int = 77
+    vocab_size: int = 49408
+    text_width: int = 640
+    text_heads: int = 10
+    text_layers: int = 12
+    dtype: str = "float32"
+
+    def vision_cfg(self) -> ModifiedResNetConfig:
+        return ModifiedResNetConfig(
+            layers=tuple(self.vision_layers), width=self.vision_width,
+            output_dim=self.embed_dim,
+            heads=self.vision_width * 32 // 64,
+            image_resolution=self.image_resolution,
+            middle_stage=self.middle_stage)
+
+    def text_cfg(self):
+        from .clip import CLIPConfig
+        return CLIPConfig(
+            embed_dim=self.embed_dim, context_length=self.context_length,
+            vocab_size=self.vocab_size, text_width=self.text_width,
+            text_heads=self.text_heads, text_layers=self.text_layers,
+            dtype=self.dtype)
+
+
+class CLIPResNetModel(nn.Module):
+    """CLIP with ModifiedResNet visual + causal text transformer — the
+    tower pair of the reference RN50x4 checkpoint.  `encode_image` returns
+    (high, middle=layer3 map tokens) matching CLIP.encode_image's tuple
+    (model.py:172-188)."""
+
+    cfg: CLIPResNetConfig
+
+    def setup(self):
+        from .clip import TextTower
+        self.visual = ModifiedResNet(self.cfg.vision_cfg(), name="visual")
+        self.text = TextTower(self.cfg.text_cfg(), name="text")
+        self.logit_scale = self.param(
+            "logit_scale", lambda k: jnp.asarray(np.log(1 / 0.07),
+                                                 jnp.float32))
+
+    def encode_image(self, images: jnp.ndarray):
+        """(B, H, W, 3) -> (high (B, E), middle (B, h*w, C)).
+
+        The middle "tokens" reproduce the reference's exact element order:
+        inference.py:58 reshapes the torch NCHW layer3 buffer straight to
+        (F, h*w, C) WITHOUT a transpose, so each row mixes channels and
+        spatial positions.  The downstream combiner checkpoint was trained
+        on that order, so we flatten c-major and re-chunk the same way.
+        """
+        high, middle = self.visual(images)
+        B, H, W, C = middle.shape
+        middle = middle.transpose(0, 3, 1, 2).reshape(B, H * W, C)
+        return high, middle
+
+    def encode_video(self, frames: jnp.ndarray):
+        """(B, F, H, W, 3) -> (high (B, F, E), middle (B, F, h*w, C)):
+        frames folded into the batch for one MXU pass."""
+        B, F = frames.shape[0], frames.shape[1]
+        flat = frames.reshape((B * F,) + frames.shape[2:])
+        high, middle = self.encode_image(flat)
+        return (high.reshape(B, F, -1),
+                middle.reshape((B, F) + middle.shape[1:]))
+
+    def encode_text(self, text_ids: jnp.ndarray):
+        return self.text(text_ids)
+
+    def __call__(self, images: jnp.ndarray, text_ids: jnp.ndarray):
+        image_features, _ = self.encode_image(images)
+        text_features = self.encode_text(text_ids)
+        image_features = image_features / jnp.linalg.norm(
+            image_features, axis=-1, keepdims=True)
+        text_features = text_features / jnp.linalg.norm(
+            text_features, axis=-1, keepdims=True)
+        scale = jnp.exp(self.logit_scale)
+        logits_per_image = scale * image_features @ text_features.T
+        return logits_per_image, logits_per_image.T

@@ -34,6 +34,17 @@ class CombinerConfig:
     n_heads: int = 8
     logit_scale: float = 100.0
     dropout: float = 0.5
+    # how `m_remained` mixes the middle tokens:
+    #   'dense'   — per-token Dense over channels (this framework's clean
+    #               formulation; what new training runs use);
+    #   'conv4x4' — bit-exact replica of the reference checkpoint contract
+    #               (combiner.py:111,165): torch reshapes the (L, D) block
+    #               row-major into (L*D/16, 4, 4) "channels x spatial" and
+    #               runs a 1x1 Conv2d — i.e. a Dense over groups of 16
+    #               consecutive (token, channel) elements.  Required to run
+    #               combiner_arithmetic.pt weights (needs L*D % 16 == 0 and
+    #               D == L*D/16, i.e. L == 16).
+    middle_mix: str = "dense"
 
 
 class CrossAttentionBlock(nn.Module):
@@ -70,9 +81,23 @@ class Combiner(nn.Module):
         drop = lambda name: nn.Dropout(cfg.dropout, deterministic=not train,
                                        name=name)
 
-        # per-token 1x1 'conv' on middle tokens (m_remained, combiner.py:111)
-        p_s_m = drop("dropout7")(nn.relu(
-            nn.Dense(D, name="m_remained")(middle)))
+        # middle-token mixing (m_remained, combiner.py:111)
+        if cfg.middle_mix == "conv4x4":
+            # reference-exact: torch views (L, D) row-major as
+            # (C=L*D/16, 4, 4) and applies a 1x1 conv; equivalently a
+            # Dense over the C axis of a (B*F, C, 16) view.
+            C = L * D // 16
+            kernel = self.param("m_remained_kernel",
+                                nn.initializers.lecun_normal(), (C, C))
+            bias = self.param("m_remained_bias", nn.initializers.zeros, (C,))
+            xc = middle.reshape(B * F, C, 16)
+            mixed = jnp.einsum("bcs,co->bos", xc, kernel,
+                               preferred_element_type=jnp.float32)
+            mixed = (mixed + bias[None, :, None]).reshape(B, F, L, D)
+            p_s_m = drop("dropout7")(nn.relu(mixed.astype(middle.dtype)))
+        else:
+            p_s_m = drop("dropout7")(nn.relu(
+                nn.Dense(D, name="m_remained")(middle)))
         p_r_m = drop("dropout6")(nn.relu(
             nn.Dense(D, name="m_residual")(text_features)))
 
