@@ -59,6 +59,126 @@ def build_caption_handler(args):
     return handler
 
 
+def build_composed_handler(args):
+    """Composed text+video retrieval over a directory index (the
+    inference.py:119-150 flow behind one POST)."""
+    import os
+    import numpy as np
+    import jax.numpy as jnp
+    from ..models.clip import CLIPConfig, CLIPModel
+    from ..models.combiner import Combiner, CombinerConfig
+    from ..train.checkpoint import load_checkpoint
+    from ..utils.bpe import BPETokenizer
+    from .composed_inference import (extract_video_features,
+                                     build_combiner_inputs, rank_index)
+
+    clip_vars, clip_cfg_d, _ = load_checkpoint(args.clip_checkpoint)
+    if "patch_size" in clip_cfg_d:
+        clip_cfg = CLIPConfig(**clip_cfg_d)
+        clip_model = CLIPModel(clip_cfg)
+    else:
+        from ..models.clip_resnet import CLIPResNetConfig, CLIPResNetModel
+        clip_cfg_d["vision_layers"] = tuple(clip_cfg_d["vision_layers"])
+        clip_cfg = CLIPResNetConfig(**clip_cfg_d)
+        clip_model = CLIPResNetModel(clip_cfg)
+    comb_vars, comb_cfg_d, _ = load_checkpoint(args.combiner_checkpoint)
+    comb_cfg = CombinerConfig(**comb_cfg_d)
+    combiner = Combiner(comb_cfg)
+    tok = BPETokenizer(args.merges)
+
+    names = sorted(f for f in os.listdir(args.videos_dir)
+                   if f.split(".")[-1].lower() in ("mp4", "avi", "mkv",
+                                                   "webm", "mov"))
+    index_high = []
+    for name in names:
+        h, _m = extract_video_features(
+            clip_model, clip_vars, os.path.join(args.videos_dir, name),
+            dim=clip_cfg.image_resolution)
+        hh, _ = build_combiner_inputs(h, np.zeros((1, 1, h.shape[-1]),
+                                                  np.float32))
+        index_high.append(hh)
+    index_high = np.stack(index_high)
+
+    def handler(payload: dict) -> dict:
+        rh, rm = extract_video_features(clip_model, clip_vars,
+                                        payload["reference_video"],
+                                        dim=clip_cfg.image_resolution)
+        ref_high, ref_middle = build_combiner_inputs(
+            rh, rm, dim=comb_cfg.clip_feature_dim)
+        ids = jnp.asarray(tok.tokenize(payload["text"],
+                                       clip_cfg.context_length))
+        text_feat = np.asarray(clip_model.apply(clip_vars, ids,
+                                                method="encode_text"))
+        order = rank_index(combiner, comb_vars, ref_high, ref_middle,
+                           text_feat, index_high)
+        k = int(payload.get("topK", 1))
+        return {"results": [names[i] for i in order[:k]]}
+
+    return handler
+
+
+def build_explain_handler(args):
+    """Explainable recognition (the inference_demo.py flow behind one
+    POST): classify, gradient-probe the target layer, score concept
+    banks."""
+    import json
+    import numpy as np
+    import jax.numpy as jnp
+    from ..data.pipelines import build_pipeline
+    from ..explain.pipeline import explain_video
+    from ..models.recognizer import Recognizer3D
+    from ..models.timesformer import TimeSformerConfig
+    from ..train.checkpoint import load_checkpoint
+    from .caption_inference import DEFAULT_PIPELINE
+    from .explain_demo import load_concept_banks
+
+    variables, cfg_d, _ = load_checkpoint(args.explain_checkpoint)
+    ts_cfg = TimeSformerConfig(**{k: tuple(v) if isinstance(v, list) else v
+                                  for k, v in cfg_d["backbone"].items()})
+    model = Recognizer3D(ts_cfg, num_classes=cfg_d["num_classes"])
+    banks = (load_concept_banks(args.concept_banks)
+             if args.concept_banks else {})
+    label_names = (json.load(open(args.label_names))
+                   if args.label_names else None)
+    pipe = build_pipeline(DEFAULT_PIPELINE)
+
+    def handler(payload: dict) -> dict:
+        r = pipe({"filename": payload["video"], "start_index": 0})
+        clips = jnp.asarray(np.asarray(r["imgs"], np.float32))
+        out = explain_video(model, variables, clips,
+                            target_layer=int(payload.get(
+                                "target_layer", args.target_layer)),
+                            concept_banks=banks,
+                            topk=int(payload.get("topK", 5)))
+        pred = int(out["pred"][0])
+        resp = {
+            "prediction": label_names[pred] if label_names else pred,
+            "scores": [float(s) for s in np.asarray(out["scores"][0])],
+        }
+        for level in banks:
+            resp[f"{level}_top"] = [
+                {"concept": n, "score": float(s)}
+                for n, s in out[f"{level}_top"]]
+        return resp
+
+    return handler
+
+
+def build_service(args) -> EngineService:
+    """Register every capability whose checkpoints were provided."""
+    service = EngineService()
+    if getattr(args, "retrieval_checkpoint", None):
+        service.register("retrieval", build_retrieval_handler(args))
+    if getattr(args, "caption_checkpoint", None):
+        service.register("caption", build_caption_handler(args))
+    if (getattr(args, "clip_checkpoint", None)
+            and getattr(args, "combiner_checkpoint", None)):
+        service.register("composed_retrieval", build_composed_handler(args))
+    if getattr(args, "explain_checkpoint", None):
+        service.register("explain", build_explain_handler(args))
+    return service
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--host", default="127.0.0.1")
@@ -69,14 +189,19 @@ def main(argv=None):
     parser.add_argument("--visual_feature")
     parser.add_argument("--index_cache", default=None)
     parser.add_argument("--caption_checkpoint")
+    # composed retrieval
+    parser.add_argument("--clip_checkpoint")
+    parser.add_argument("--combiner_checkpoint")
+    parser.add_argument("--videos_dir")
+    parser.add_argument("--merges")
+    # explain
+    parser.add_argument("--explain_checkpoint")
+    parser.add_argument("--concept_banks", default=None)
+    parser.add_argument("--target_layer", type=int, default=10)
+    parser.add_argument("--label_names", default=None)
     args = parser.parse_args(argv)
 
-    service = EngineService()
-    if args.retrieval_checkpoint:
-        service.register("retrieval", build_retrieval_handler(args))
-    if args.caption_checkpoint:
-        service.register("caption", build_caption_handler(args))
-
+    service = build_service(args)
     server = create_server(service, args.host, args.port)
     print(f"serving on http://{args.host}:{server.server_address[1]} "
           f"routes={sorted(service.handlers)}")
