@@ -34,14 +34,39 @@ import numpy as np
 from ..config import Config
 from ..data.datasets import ShardedSampler, VideoDataset
 from ..data.pipelines import build_pipeline
-from ..models.recognizer import Recognizer3D
+from ..models.recognizer import BackboneClassifier, Recognizer3D
 from ..models.timesformer import TimeSformerConfig
-from ..train.checkpoint import best_checkpoint_manager
+from ..train.checkpoint import best_checkpoint_manager, save_checkpoint
 from ..train.recognition_trainer import (
     RecognitionTrainConfig, RecTrainState, evaluate_classification,
-    make_cls_train_step, make_rec_optimizer)
+    make_cls_train_step, make_rec_optimizer, train_multigrid)
 from ..train.resume import (latest_checkpoint, load_train_state,
                             save_train_state)
+
+
+def build_recognition_model(cfg: Config):
+    """model.backbone.type selects the family (TimeSformer default; the
+    conv backbones pair with BackboneClassifier and multigrid)."""
+    bcfg = dict(cfg["model.backbone"])
+    btype = bcfg.pop("type", "TimeSformer")
+    num_classes = cfg["model.num_classes"]
+    if btype == "TimeSformer":
+        backbone = TimeSformerConfig(**{
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in bcfg.items()})
+        return Recognizer3D(backbone, num_classes=num_classes)
+    from ..models.resnet3d import (ResNet3D, ResNet3DConfig, SlowFast,
+                                   SlowFastConfig, X3D, X3DConfig)
+    kw = {k: tuple(v) if isinstance(v, list) else v for k, v in bcfg.items()}
+    if btype in ("ResNet3D", "SlowOnly"):
+        backbone = ResNet3D(ResNet3DConfig(**kw))
+    elif btype == "SlowFast":
+        backbone = SlowFast(SlowFastConfig(**kw))
+    elif btype == "X3D":
+        backbone = X3D(X3DConfig(**kw))
+    else:
+        raise ValueError(f"unknown backbone type {btype}")
+    return BackboneClassifier(backbone, num_classes=num_classes)
 
 
 def _label_batches(ds, batch_size, order=None):
@@ -54,10 +79,7 @@ def _label_batches(ds, batch_size, order=None):
 def train_from_config(cfg: Config, work_dir: str,
                       resume: str | None = None,
                       num_epochs: int | None = None):
-    backbone = TimeSformerConfig(**{
-        k: tuple(v) if isinstance(v, list) else v
-        for k, v in cfg["model.backbone"].items()})
-    model = Recognizer3D(backbone, num_classes=cfg["model.num_classes"])
+    model = build_recognition_model(cfg)
 
     pipe = build_pipeline(cfg["data.pipeline"])
     train_ds = VideoDataset(cfg["data.train.ann_file"], pipe,
@@ -67,6 +89,10 @@ def train_from_config(cfg: Config, work_dir: str,
     bs = cfg.get("data.videos_per_gpu", 8)
 
     tcfg = RecognitionTrainConfig(**cfg.get("optimizer", {}))
+
+    if cfg.get("multigrid"):
+        return _train_multigrid_from_config(cfg, model, train_ds, bs, tcfg,
+                                            work_dir, num_epochs)
     tx = make_rec_optimizer(tcfg)
     clips0, labels0, _ = next(_label_batches(train_ds, bs))
     variables = model.init(jax.random.key(0), clips0)
@@ -108,6 +134,36 @@ def train_from_config(cfg: Config, work_dir: str,
         history.append(rec)
         print(json.dumps(rec))
     return state, history
+
+
+def _train_multigrid_from_config(cfg, model, train_ds, bs, tcfg, work_dir,
+                                 num_epochs):
+    """Multigrid path: per-bucket compiled steps, LR scaled with the
+    bucket's effective batch, final epochs at the finest bucket."""
+    from ..train.multigrid import GridBucket, MultigridSchedule
+    mg = dict(cfg["multigrid"])
+    if "buckets" in mg:
+        mg["buckets"] = tuple(GridBucket(*b) for b in mg["buckets"])
+    schedule = MultigridSchedule(**mg)
+    sampler = ShardedSampler(len(train_ds), shuffle=True)
+    epochs = num_epochs or cfg.get("total_epochs", tcfg.num_epochs)
+
+    def epoch_batches(epoch):
+        for clips, labels, n in _label_batches(train_ds, bs,
+                                               sampler.indices(epoch)):
+            yield clips[:n], labels[:n]
+
+    clips0, _, _ = next(_label_batches(train_ds, bs))
+    variables = model.init(jax.random.key(0), clips0)
+    (variables, _opt), history = train_multigrid(
+        model, variables, tcfg, schedule, epoch_batches, epochs)
+    save_checkpoint(os.path.join(work_dir, "multigrid_final"), variables,
+                    {"backbone": cfg["model.backbone"],
+                     "num_classes": cfg["model.num_classes"]},
+                    {"epochs": epochs, "multigrid": True})
+    for rec in history:
+        print(json.dumps(rec))
+    return variables, history
 
 
 def main(argv=None):

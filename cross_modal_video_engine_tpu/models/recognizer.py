@@ -54,6 +54,36 @@ def average_clip(scores: jnp.ndarray, num_segs: int,
     raise ValueError(average_clips)
 
 
+@RECOGNIZERS.register("BackboneClassifier")
+class BackboneClassifier(nn.Module):
+    """Recognizer3D for the conv backbones (ResNet3D / SlowFast / X3D):
+    backbone global-pooled feature -> I3DHead-style classifier.
+
+    Unlike the TimeSformer recognizer (whose position embeddings fix the
+    input shape), conv backbones accept any (T, H, W) — this is the model
+    the multigrid schedule (train/multigrid.py) trains, mirroring the
+    reference's SlowFast-multigrid pairing
+    (MCT/mmaction/utils/multigrid/longshortcyclehook.py).
+    """
+
+    backbone: nn.Module
+    num_classes: int
+    dropout_ratio: float = 0.5
+
+    @nn.compact
+    def __call__(self, videos: jnp.ndarray, *, train: bool = False):
+        """videos: (B, T, H, W, 3) -> class scores (B, num_classes)."""
+        from .heads import I3DHead
+        feat = self.backbone(videos, train=train)
+        return I3DHead(self.num_classes, self.dropout_ratio,
+                       name="cls_head")(feat, train=train)
+
+    def forward_test(self, videos: jnp.ndarray, num_segs: int = 1,
+                     average_clips: str = "prob"):
+        scores = self(videos)
+        return average_clip(scores, num_segs, average_clips)
+
+
 @RECOGNIZERS.register("Recognizer3D")
 class Recognizer3D(nn.Module):
     backbone_cfg: TimeSformerConfig

@@ -94,6 +94,143 @@ def make_seq_train_step(model, tx):
     return jax.jit(step)
 
 
+# ---------------------------------------------------------------------------
+# multigrid training (train/multigrid.py schedule, integrated)
+# ---------------------------------------------------------------------------
+
+def adapt_clips_to_bucket(clips, bucket):
+    """(B, T, H, W, C) -> (B, bucket.num_frames, res, res, C): uniform
+    temporal subsampling + bilinear spatial resize.  Host/device-agnostic;
+    the per-bucket output shape is static so each bucket compiles once."""
+    clips = jnp.asarray(clips)
+    B, T, H, W, C = clips.shape
+    if T != bucket.num_frames:
+        idx = np.round(np.linspace(0, T - 1, bucket.num_frames)).astype(int)
+        clips = clips[:, idx]
+    r = bucket.resolution
+    if (H, W) != (r, r):
+        clips = jax.image.resize(
+            clips, (B, bucket.num_frames, r, r, C), "linear")
+    return clips
+
+
+def bucketize_batches(batches, bucket):
+    """Regroup an iterable of (clips, labels) into bucket-shaped batches:
+    clips adapted to the bucket's (frames, resolution), batch re-chunked to
+    bucket.batch_size (tail dropped — multigrid epochs are long)."""
+    buf_c, buf_l = [], []
+    for clips, labels in batches:
+        buf_c.append(np.asarray(adapt_clips_to_bucket(clips, bucket)))
+        buf_l.append(np.asarray(labels))
+        have = sum(c.shape[0] for c in buf_c)
+        while have >= bucket.batch_size:
+            cat_c = np.concatenate(buf_c)
+            cat_l = np.concatenate(buf_l)
+            yield (jnp.asarray(cat_c[: bucket.batch_size]),
+                   jnp.asarray(cat_l[: bucket.batch_size]))
+            buf_c = [cat_c[bucket.batch_size:]]
+            buf_l = [cat_l[bucket.batch_size:]]
+            have = buf_c[0].shape[0]
+
+
+def make_multigrid_train_step(model, tx, lr_scale: float,
+                              has_batch_stats: bool):
+    """One compiled classification step with the bucket's LR scale and
+    (for conv backbones) BatchNorm running-stat updates."""
+
+    def loss_fn(params, stats, videos, labels, rng):
+        variables = {"params": params}
+        if has_batch_stats:
+            variables["batch_stats"] = stats
+            scores, new_vars = model.apply(
+                variables, videos, train=True, mutable=["batch_stats"],
+                rngs={"dropout": rng})
+            new_stats = new_vars["batch_stats"]
+        else:
+            scores = model.apply(variables, videos, train=True,
+                                 rngs={"dropout": rng})
+            new_stats = stats
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            scores, labels).mean()
+        acc = (scores.argmax(-1) == labels).mean()
+        return loss, (new_stats, acc)
+
+    @jax.jit
+    def step(params, stats, opt_state, videos, labels, rng):
+        (loss, (stats, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, stats, videos, labels, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
+        params = optax.apply_updates(params, updates)
+        return params, stats, opt_state, {"loss": loss, "top1_acc": acc}
+
+    return step
+
+
+def train_multigrid(model, variables, tcfg: RecognitionTrainConfig,
+                    schedule, epoch_batches: Callable[[int], Any],
+                    total_epochs: int, rng=None):
+    """Multigrid training loop: each epoch runs at the schedule's bucket
+    (coarse -> fine long cycle, optional short cycle per step, final
+    epochs at the finest bucket), with per-bucket compiled steps and LR
+    scaled by the bucket's effective batch (multigrid.py lr_for).
+
+    epoch_batches(epoch) yields full-shape (clips, labels); bucket
+    adaptation + re-chunking happens here.  Returns ((variables, opt
+    state), history) — history rows carry the bucket so callers can
+    verify the schedule actually switched shapes.
+    """
+    rng = jax.random.key(0) if rng is None else rng
+    tx = make_rec_optimizer(tcfg)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    has_stats = bool(stats)
+    opt_state = tx.init(params)
+    steps = {}
+
+    def get_step(bucket):
+        if bucket not in steps:
+            scale = bucket.batch_size / schedule.base_batch
+            steps[bucket] = make_multigrid_train_step(model, tx, scale,
+                                                      has_stats)
+        return steps[bucket]
+
+    history = []
+    for epoch in range(total_epochs):
+        bucket = schedule.bucket_for(epoch, total_epochs)
+        step = get_step(bucket)
+        losses, accs, n_steps = [], [], 0
+        for clips, labels in bucketize_batches(epoch_batches(epoch), bucket):
+            if schedule.short_cycle_period:
+                b2 = schedule.bucket_for(epoch, total_epochs, n_steps)
+                if b2 != bucket:
+                    clips = adapt_clips_to_bucket(
+                        clips[: b2.batch_size], b2)
+                    labels = labels[: b2.batch_size]
+                    step_fn = get_step(b2)
+                else:
+                    step_fn = step
+            else:
+                step_fn = step
+            rng, sub = jax.random.split(rng)
+            params, stats, opt_state, logs = step_fn(
+                params, stats, opt_state, clips, labels, sub)
+            losses.append(float(logs["loss"]))
+            accs.append(float(logs["top1_acc"]))
+            n_steps += 1
+        history.append({
+            "epoch": epoch, "bucket": (bucket.batch_size, bucket.num_frames,
+                                       bucket.resolution),
+            "lr_scale": bucket.batch_size / schedule.base_batch,
+            "loss": float(np.mean(losses)), "top1_acc": float(np.mean(accs)),
+            "steps": n_steps,
+        })
+    out = {"params": params}
+    if has_stats:
+        out["batch_stats"] = stats
+    return (out, opt_state), history
+
+
 def evaluate_classification(model, params, batches) -> dict:
     """batches: iterable of (videos, labels, n_valid). Returns mmaction-style
     metrics (top_k_accuracy, mean_class_accuracy)."""
