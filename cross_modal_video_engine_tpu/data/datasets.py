@@ -146,3 +146,57 @@ class ShardedSampler:
         per = int(np.ceil(self.n / self.world_size))
         padded = np.concatenate([order, order[: per * self.world_size - self.n]])
         return list(padded[self.rank::self.world_size])
+
+
+class ClassSpecificSampler(ShardedSampler):
+    """Per-class probability sampler — ClassSpecificDistributedSampler
+    equivalent (reference samplers/distributed_sampler.py:54-140).
+
+    `class_prob` maps label -> sampling weight.  dynamic_length=True
+    oversamples/subsamples each class (prob//1 full copies + a random
+    remainder subset, so the epoch length changes); dynamic_length=False
+    keeps the original length and draws a weighted multinomial with
+    replacement.  Sharding/padding semantics follow ShardedSampler.
+    """
+
+    def __init__(self, labels: Sequence[int], class_prob: Dict[int, float],
+                 world_size: int = 1, rank: int = 0, shuffle: bool = True,
+                 seed: int = 0, dynamic_length: bool = True):
+        super().__init__(len(labels), world_size, rank, shuffle, seed)
+        self.labels = list(labels)
+        self.class_prob = dict(class_prob)
+        self.dynamic_length = dynamic_length
+
+    def indices(self, epoch: int) -> List[int]:
+        rng = np.random.default_rng(self.seed + epoch)
+        class_indices: Dict[int, List[int]] = {}
+        for i, lb in enumerate(self.labels):
+            class_indices.setdefault(lb, []).append(i)
+
+        if self.dynamic_length:
+            chosen: List[int] = []
+            for k, prob in self.class_prob.items():
+                members = class_indices.get(k, [])
+                if not members:
+                    continue
+                chosen.extend(members * int(prob // 1))
+                rem = int((prob % 1) * len(members))
+                if rem:
+                    pick = rng.permutation(len(members))[:rem]
+                    chosen.extend(members[j] for j in pick)
+            order = np.asarray(chosen)
+            if self.shuffle:
+                rng.shuffle(order)
+        else:
+            probs = np.asarray([
+                self.class_prob.get(lb, 0.0) / len(class_indices[lb])
+                for lb in self.labels], np.float64)
+            probs = probs / probs.sum()
+            order = rng.choice(len(self.labels), size=len(self.labels),
+                               replace=True, p=probs)
+
+        n = len(order)
+        per = int(np.ceil(n / self.world_size))
+        pad = per * self.world_size - n
+        padded = np.concatenate([order, order[:pad]]) if pad else order
+        return list(padded[self.rank::self.world_size])

@@ -348,6 +348,157 @@ class Flip:
         return results
 
 
+@PIPELINES.register("ColorJitter")
+class ColorJitter:
+    """Photometric jitter per clip (reference augmentations.py:1509-1599):
+    per-clip factors drawn uniformly, applied in a random-but-fixed op
+    order; contrast/saturation blend against the Rec601 grayscale;
+    brightness is a plain scale; hue rotates the hue channel cyclically
+    (numpy HSV, no cv2 dependency — same 0..180 wrap semantics)."""
+
+    def __init__(self, brightness=0.5, contrast=0.5, saturation=0.5,
+                 hue=0.1, seed: Optional[int] = None):
+        def rng_range(val, lim, base):
+            if isinstance(val, (tuple, list)):
+                assert base - lim <= val[0] <= val[1] <= base + lim
+                return tuple(val)
+            assert val <= lim
+            return (base - val, base + val)
+
+        self.brightness = rng_range(brightness, 1, 1)
+        self.contrast = rng_range(contrast, 1, 1)
+        self.saturation = rng_range(saturation, 1, 1)
+        self.hue = rng_range(hue, 0.5, 0)
+        self.rng = np.random.default_rng(seed)
+        self.fn_order = self.rng.permutation(4)
+
+    @staticmethod
+    def rgb_to_grayscale(img):
+        return (0.2989 * img[..., 0] + 0.587 * img[..., 1]
+                + 0.114 * img[..., 2])
+
+    @classmethod
+    def adjust_contrast(cls, img, factor):
+        return factor * img + (1 - factor) * cls.rgb_to_grayscale(img).mean()
+
+    @classmethod
+    def adjust_saturation(cls, img, factor):
+        gray = cls.rgb_to_grayscale(img)[..., None]
+        return factor * img + (1 - factor) * gray
+
+    @staticmethod
+    def adjust_hue(img, factor):
+        img = np.clip(img, 0, 255) / 255.0
+        mx, mn = img.max(-1), img.min(-1)
+        diff = mx - mn
+        safe = np.where(diff == 0, 1.0, diff)
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        h = np.where(mx == r, (g - b) / safe % 6,
+                     np.where(mx == g, (b - r) / safe + 2,
+                              (r - g) / safe + 4)) / 6.0
+        h = np.where(diff == 0, 0.0, h)
+        s = np.where(mx == 0, 0.0, diff / np.where(mx == 0, 1.0, mx))
+        h = (h + factor) % 1.0
+        # hsv -> rgb
+        i = np.floor(h * 6).astype(int) % 6
+        f = h * 6 - np.floor(h * 6)
+        p, q, t = mx * (1 - s), mx * (1 - f * s), mx * (1 - (1 - f) * s)
+        lut = np.stack([
+            np.stack([mx, t, p], -1), np.stack([q, mx, p], -1),
+            np.stack([p, mx, t], -1), np.stack([p, q, mx], -1),
+            np.stack([t, p, mx], -1), np.stack([mx, p, q], -1)], 0)
+        out = np.take_along_axis(lut, i[None, ..., None], axis=0)[0]
+        return (out * 255.0).astype(np.float32)
+
+    def __call__(self, results: Dict) -> Dict:
+        b = self.rng.uniform(*self.brightness)
+        c = self.rng.uniform(*self.contrast)
+        s = self.rng.uniform(*self.saturation)
+        h = self.rng.uniform(*self.hue)
+        new_imgs = []
+        for img in results["imgs"]:
+            img = img.astype(np.float32)
+            for fn_id in self.fn_order:
+                if fn_id == 0 and b != 1:
+                    img = img * b
+                elif fn_id == 1 and c != 1:
+                    img = self.adjust_contrast(img, c)
+                elif fn_id == 2 and s != 1:
+                    img = self.adjust_saturation(img, s)
+                elif fn_id == 3 and h != 0:
+                    img = self.adjust_hue(img, h)
+            new_imgs.append(np.clip(img, 0, 255).astype(np.float32))
+        results["imgs"] = new_imgs
+        return results
+
+
+class _ExternalTrans:
+    """Adapter applying an external library's per-image transform to the
+    img list (reference augmentations.py Imgaug/Torchvision/PytorchVideo
+    adapters).  The library is imported lazily; environments without it get
+    a clear ImportError at pipeline-build time, not mid-epoch."""
+
+    lib = ""
+
+    def __init__(self, type: str, **kwargs):  # noqa: A002 (mmaction key)
+        self.trans = self._build(type, kwargs)
+
+    def _build(self, name, kwargs):
+        raise NotImplementedError
+
+    def __call__(self, results: Dict) -> Dict:
+        results["imgs"] = [np.asarray(self._apply(im), np.float32)
+                           for im in results["imgs"]]
+        return results
+
+    def _apply(self, img):
+        return self.trans(img)
+
+
+@PIPELINES.register("TorchvisionTrans")
+class TorchvisionTrans(_ExternalTrans):
+    lib = "torchvision"
+
+    def _build(self, name, kwargs):
+        import torchvision.transforms as T
+        return getattr(T, name)(**kwargs)
+
+    def _apply(self, img):
+        import torch
+        t = torch.from_numpy(
+            np.ascontiguousarray(img.transpose(2, 0, 1))).float()
+        return np.asarray(self.trans(t)).transpose(1, 2, 0)
+
+
+@PIPELINES.register("ImgaugTrans")
+class ImgaugTrans(_ExternalTrans):
+    lib = "imgaug"
+
+    def _build(self, name, kwargs):
+        import imgaug.augmenters as iaa
+        return getattr(iaa, name)(**kwargs)
+
+    def _apply(self, img):
+        return self.trans(image=np.asarray(img, np.uint8))
+
+
+@PIPELINES.register("PytorchVideoTrans")
+class PytorchVideoTrans(_ExternalTrans):
+    lib = "pytorchvideo"
+
+    def _build(self, name, kwargs):
+        import pytorchvideo.transforms as ptv
+        return getattr(ptv, name)(**kwargs)
+
+    def __call__(self, results: Dict) -> Dict:
+        import torch
+        clip = torch.from_numpy(
+            np.stack(results["imgs"]).transpose(3, 0, 1, 2)).float()
+        out = np.asarray(self.trans(clip))
+        results["imgs"] = list(out.transpose(1, 2, 3, 0))
+        return results
+
+
 @PIPELINES.register("Normalize")
 class Normalize:
     """Host fallback; the production path normalizes on-device

@@ -10,13 +10,16 @@ from .clip_resnet import (ModifiedResNet, ModifiedResNetConfig,
 from .combiner import Combiner, CombinerConfig
 from .timesformer import TimeSformer, TimeSformerConfig
 from .resnet3d import (ResNet3D, ResNet3DConfig, SlowFast, SlowFastConfig,
-                       X3D, X3DConfig)
+                       X3D, X3DConfig, CSN, CSNConfig)
+from .tpn import TPN, TPNConfig
+from .ava_head import AVARoIHead, AVAHeadConfig, roi_align, ava_bbox_loss
+from .videoclip import VideoCLIP, VideoCLIPConfig
 from .backbones2d import (TSMResNet, TSMConfig, C3D, R2Plus1D,
                           R2Plus1DConfig)
 from .yolo import YoloV5, YoloConfig
 from .decoder_head import RNNDecoderHead, RNNDecoderConfig
 from .caption_transformer import CaptionTransformer, CaptionConfig
-from .recognizer import (Recognizer2D, Recognizer3D, Recognizer3DCLIP,
-                         Recognizer3DCaption, Recognizer3DRelseq,
-                         TimeSformerHead, average_clip)
-from .heads import I3DHead, SlowFastHead, TSNHead, X3DHead
+from .recognizer import (BackboneClassifier, Recognizer2D, Recognizer3D,
+                         Recognizer3DCLIP, Recognizer3DCaption,
+                         Recognizer3DRelseq, TimeSformerHead, average_clip)
+from .heads import I3DHead, SlowFastHead, TRNHead, TSNHead, X3DHead

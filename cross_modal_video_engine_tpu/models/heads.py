@@ -54,6 +54,76 @@ class X3DHead(nn.Module):
                         name="fc2")(x)
 
 
+@HEADS.register("TRNHead")
+class TRNHead(nn.Module):
+    """Temporal Relation Network head (reference heads/trn_head.py:13-210).
+
+    Frame features are projected per-frame to `hidden_dim` (the reference's
+    fc_cls), then relation modules reason over frame tuples:
+      * 'TRN' — one relation over all segments;
+      * 'TRNMultiScale' — for every scale s in [num_segments..2], an MLP
+        over s-frame tuples; at most `max_subsample` tuples per scale,
+        chosen uniformly at random during training (pass
+        rngs={'relation': key}) and evenly spaced at eval so inference is
+        deterministic/jittable.
+    """
+
+    num_classes: int
+    num_segments: int = 8
+    hidden_dim: int = 256
+    bottleneck_dim: int = 256
+    dropout_ratio: float = 0.8
+    relation_type: str = "TRNMultiScale"
+    max_subsample: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        import itertools
+        import numpy as np
+        import jax
+
+        if x.ndim == 2:
+            x = x.reshape(-1, self.num_segments, x.shape[-1])
+        B = x.shape[0]
+        x = nn.Dropout(self.dropout_ratio, deterministic=not train)(x)
+        x = nn.Dense(self.hidden_dim,
+                     kernel_init=nn.initializers.normal(0.001),
+                     name="fc_cls")(x)                 # (B, S, hidden)
+
+        def relation_mlp(feats, scale, name):
+            # Sequential(ReLU, Linear(scale*hidden, bottleneck), ReLU,
+            # Linear(bottleneck, classes)) — trn_head.py:77-83
+            h = nn.relu(feats.reshape(feats.shape[:-2] + (-1,)))
+            h = nn.relu(nn.Dense(self.bottleneck_dim,
+                                 name=f"{name}_fc1")(h))
+            return nn.Dense(self.num_classes, name=f"{name}_fc2")(h)
+
+        if self.relation_type == "TRN":
+            return relation_mlp(x, self.num_segments, "relation")
+
+        scales = list(range(self.num_segments, 1, -1))
+        # full-scale relation (always the single all-frames tuple)
+        out = relation_mlp(x, scales[0], f"fusion_s{scales[0]}")
+        for scale in scales[1:]:
+            combos = np.asarray(
+                list(itertools.combinations(range(self.num_segments),
+                                            scale)), np.int32)
+            k = min(self.max_subsample, len(combos))
+            if train and self.has_rng("relation"):
+                key = self.make_rng("relation")
+                pick = jax.random.choice(key, len(combos), (k,),
+                                         replace=False)
+            else:
+                pick = jnp.asarray(
+                    np.linspace(0, len(combos) - 1, k).round().astype(
+                        np.int32))
+            sel = jnp.asarray(combos)[pick]            # (k, scale)
+            feats = x[:, sel]                          # (B, k, scale, h)
+            rel = relation_mlp(feats, scale, f"fusion_s{scale}")
+            out = out + rel.sum(axis=1)
+        return out
+
+
 @HEADS.register("TSNHead")
 class TSNHead(nn.Module):
     """Segment consensus head for 2D recognizers: (B, num_segs, C) frame
