@@ -21,8 +21,10 @@ from ..models.dual_encoding import DualEncoding, DualEncodingConfig
 from ..train.checkpoint import best_checkpoint_manager, save_checkpoint
 from ..train.linas_trainer import (EpochScheduler, LinasTrainConfig,
                                    TrainState, get_learning_rate,
-                                   init_train_state, make_optimizer,
-                                   make_train_step)
+                                   init_mask_state, init_train_state,
+                                   make_mask_optimizer, make_mask_train_step,
+                                   make_optimizer, make_train_step,
+                                   mask_matrix)
 from .common import load_dataset
 from .retrieval_tester import evaluate
 
@@ -40,6 +42,15 @@ def train(model_cfg: DualEncodingConfig, train_cfg: LinasTrainConfig,
     videos0, text0, support0, _ = first
     state = init_train_state(model, tx, videos0, text0, support0, seed)
     step_fn = make_train_step(model, train_cfg, tx)
+    # 'adapt' similarity distill: the learned (pa1, pa2) mask trains in a
+    # second lr x10 step (reference model.py:584-598 optimizer2 +
+    # train_mask :896-912)
+    use_adapt = (train_cfg.distill_with_similarity
+                 and train_cfg.similarity_type == "adapt")
+    if use_adapt:
+        tx2 = make_mask_optimizer(train_cfg)
+        mask_state = init_mask_state(tx2)
+        mask_step = make_mask_train_step(model, tx2)
     scheduler = EpochScheduler(train_cfg)
     save_best = best_checkpoint_manager(out_dir)
     rng = jax.random.key(seed + 1)
@@ -61,7 +72,14 @@ def train(model_cfg: DualEncodingConfig, train_cfg: LinasTrainConfig,
         for i, (videos, text, support, n) in enumerate(
                 train_set.train_batches(batch_size, seed + epoch)):
             rng, sub = jax.random.split(rng)
-            state, logs = step_fn(state, videos, text, support, sub)
+            if use_adapt:
+                adapt = mask_matrix(mask_state.pa, videos.frames.shape[0])
+                state, logs = step_fn(state, videos, text, support, sub,
+                                      adapt)
+                mask_state, _mask_loss = mask_step(mask_state, state,
+                                                   videos, text, support)
+            else:
+                state, logs = step_fn(state, videos, text, support, sub)
             losses.append(float(logs["loss"]))
             if log_every and i % log_every == 0:
                 print(f"epoch {epoch} step {i}: loss={losses[-1]:.3f} "

@@ -38,6 +38,24 @@ def kl_distill(student: jnp.ndarray, teacher: jnp.ndarray,
     return jnp.sum(term) if reduction == "sum" else jnp.mean(term)
 
 
+def adaptive_similarity_loss(vid_emb: jnp.ndarray, cap_emb: jnp.ndarray,
+                             student_vid_emb: jnp.ndarray,
+                             student_cap_emb: jnp.ndarray,
+                             mask: jnp.ndarray) -> jnp.ndarray:
+    """The `train_mask` objective (model.py:835-843, :896-912): huber
+    between teacher/student similarity matrices, weighted by
+    softmax(mask, axis=0) and re-weighted by 1/|s1| (teacher magnitudes
+    detached).  The caller detaches the embeddings so gradient flows only
+    into the learned mask (pa1 on the diagonal, pa2 off it)."""
+    s1 = jnp.dot(vid_emb, cap_emb.T, preferred_element_type=jnp.float32)
+    s2 = jnp.dot(student_vid_emb, student_cap_emb.T,
+                 preferred_element_type=jnp.float32)
+    b = mask.shape[0]
+    weight = jax.nn.softmax(mask, axis=0)
+    reweight = 1.0 / (jnp.abs(jax.lax.stop_gradient(s1)) + 1e-6)
+    return jnp.sum(reweight * weight * huber(s1, s2)) * b
+
+
 def similarity_distill(vid_emb: jnp.ndarray, cap_emb: jnp.ndarray,
                        student_vid_emb: jnp.ndarray, student_cap_emb: jnp.ndarray,
                        similarity_type: str | None = None,

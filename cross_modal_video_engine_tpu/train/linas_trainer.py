@@ -30,7 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..losses.distill import kl_distill, mse_distill, similarity_distill
+from ..losses.distill import (adaptive_similarity_loss, kl_distill,
+                              mse_distill, similarity_distill)
 from ..losses.triplet import TripletLossConfig, triplet_loss
 from ..models.dual_encoding import DualEncoding, TextBatch, VideoBatch
 
@@ -98,7 +99,8 @@ def make_train_step(model: DualEncoding, cfg: LinasTrainConfig, tx,
     tl_cfg = TripletLossConfig(cfg.margin, cfg.measure, cfg.max_violation,
                                cfg.cost_style, cfg.direction)
 
-    def loss_fn(params, batch_stats, videos, text, support, rng):
+    def loss_fn(params, batch_stats, videos, text, support, rng,
+                adapt_mask):
         variables = {"params": params, "batch_stats": batch_stats}
         out, mutated = model.apply(
             variables, videos, text, support, train=True,
@@ -127,9 +129,14 @@ def make_train_step(model: DualEncoding, cfg: LinasTrainConfig, tx,
                 loss = loss + loss2
                 logs["triplet"] = loss2
             if cfg.distill_with_similarity:
+                # 'adapt': the learned mask weights the huber terms but is
+                # itself detached here (model.py:862-866); it trains in
+                # the separate lr x10 step (make_mask_train_step)
                 loss3 = similarity_distill(
                     vid_t, cap_t, out["student_vid_emb"],
                     out["student_cap_emb"], cfg.similarity_type,
+                    adapt_weight=(None if adapt_mask is None
+                                  else sg(adapt_mask)),
                     reduction=cfg.cost_style)
                 loss = loss + cfg.beta * loss3
                 logs["similarity"] = loss3
@@ -149,10 +156,10 @@ def make_train_step(model: DualEncoding, cfg: LinasTrainConfig, tx,
         return loss, (mutated["batch_stats"], logs)
 
     def train_step(state: TrainState, videos: VideoBatch, text: TextBatch,
-                   support: Optional[TextBatch], rng):
+                   support: Optional[TextBatch], rng, adapt_mask=None):
         (loss, (new_bs, logs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats,
-                                   videos, text, support, rng)
+                                   videos, text, support, rng, adapt_mask)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, new_bs, opt_state), logs
@@ -171,17 +178,74 @@ def make_train_step(model: DualEncoding, cfg: LinasTrainConfig, tx,
     # build the sharded jit lazily once per batch structure
     cache = {}
 
-    def step(state, videos, text, support, rng):
-        key = support is None
+    def step(state, videos, text, support, rng, adapt_mask=None):
+        key = (support is None, adapt_mask is None)
         if key not in cache:
             in_sh = (jax.tree.map(lambda _: repl, state),
                      shard_batch_tree(videos), shard_batch_tree(text),
                      None if support is None else shard_batch_tree(support),
-                     repl)
+                     repl, None if adapt_mask is None else repl)
             cache[key] = jax.jit(train_step, in_shardings=in_sh)
-        return cache[key](state, videos, text, support, rng)
+        return cache[key](state, videos, text, support, rng, adapt_mask)
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# 'adapt' similarity mask: pa1*I + pa2*(1-I) trained at lr x10
+# (model.py:584-598 second optimizer, :896-912 train_mask)
+# ---------------------------------------------------------------------------
+
+class MaskState(NamedTuple):
+    pa: jnp.ndarray          # (2,) = [pa1 (diagonal), pa2 (off-diagonal)]
+    opt_state: Any
+
+
+def mask_matrix(pa: jnp.ndarray, batch_size: int) -> jnp.ndarray:
+    eye = jnp.eye(batch_size, dtype=pa.dtype)
+    return pa[0] * eye + pa[1] * (1.0 - eye)
+
+
+def make_mask_optimizer(cfg: LinasTrainConfig):
+    """Adam at 10x the model LR over (pa1, pa2) — reference optimizer2."""
+    return optax.chain(optax.clip_by_global_norm(cfg.grad_clip),
+                       optax.adam(10.0 * cfg.learning_rate))
+
+
+def init_mask_state(tx2) -> MaskState:
+    pa = jnp.ones((2,), jnp.float32)       # reference init: both 1
+    return MaskState(pa, tx2.init(pa))
+
+
+def make_mask_train_step(model: DualEncoding, tx2):
+    """One compiled train_mask step: embeddings computed without gradient
+    (the reference runs forward_emb under no_grad), the adaptive
+    similarity loss backprops only into (pa1, pa2)."""
+
+    @jax.jit
+    def step(pa, opt_state, params, batch_stats, videos, text, support):
+        variables = {"params": params, "batch_stats": batch_stats}
+        out = model.apply(variables, videos, text, support, train=False)
+        embs = jax.lax.stop_gradient(
+            (out["vid_emb"], out["cap_emb"], out["student_vid_emb"],
+             out["student_cap_emb"]))
+
+        def loss_fn(pa):
+            mask = mask_matrix(pa, embs[0].shape[0])
+            return adaptive_similarity_loss(*embs, mask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(pa)
+        updates, opt_state = tx2.update(grads, opt_state, pa)
+        return optax.apply_updates(pa, updates), opt_state, loss
+
+    def train_mask(mask_state: MaskState, state: TrainState, videos, text,
+                   support):
+        pa, opt_state, loss = step(mask_state.pa, mask_state.opt_state,
+                                   state.params, state.batch_stats, videos,
+                                   text, support)
+        return MaskState(pa, opt_state), float(loss)
+
+    return train_mask
 
 
 def init_train_state(model: DualEncoding, tx, videos, text, support,
