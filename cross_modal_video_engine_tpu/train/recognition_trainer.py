@@ -13,7 +13,7 @@ metric, checkpoint every epoch (configs/_base_/default_runtime.py:1).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, NamedTuple, Optional
+from typing import Any, Callable, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -229,6 +229,89 @@ def train_multigrid(model, variables, tcfg: RecognitionTrainConfig,
     if has_stats:
         out["batch_stats"] = stats
     return (out, opt_state), history
+
+
+# ---------------------------------------------------------------------------
+# OmniSource training (reference core/runner/omnisource_runner.py:42-100,
+# wired by apis/train.py:98-140)
+# ---------------------------------------------------------------------------
+
+def _cycle(make_iter):
+    while True:
+        it = make_iter()
+        empty = True
+        for x in it:
+            empty = False
+            yield x
+        if empty:
+            return
+
+
+def train_omnisource(model, variables, tcfg: RecognitionTrainConfig,
+                     main_batches: Callable[[int], Any],
+                     aux_batches: Sequence[Callable[[], Any]],
+                     train_ratio: Sequence[int], total_epochs: int,
+                     rng=None):
+    """Alternating-source training: the main source drives the epoch;
+    every `train_ratio[0]` main steps, `train_ratio[1+i]` batches are
+    drawn from each (endlessly cycled) auxiliary source and stepped with
+    the SAME model/optimizer.  Per-source losses are logged with the
+    reference's '/auxN' suffixes.
+
+    main_batches(epoch) -> iterable of (clips, labels);
+    aux_batches[i]() -> a fresh iterable of (clips, labels) (re-created
+    when exhausted — the runner's itertools.cycle).
+    Returns (trained variables, per-epoch history).
+    """
+    rng = jax.random.key(0) if rng is None else rng
+    tx = make_rec_optimizer(tcfg)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    opt_state = tx.init(params)
+    step_fn = make_multigrid_train_step(model, tx, lr_scale=1.0,
+                                        has_batch_stats=bool(stats))
+    use_aux_per_niter = train_ratio[0]
+    aux_times = list(train_ratio[1:])
+    assert len(aux_times) == len(aux_batches)
+    aux_iters = [_cycle(fn) for fn in aux_batches]
+
+    history = []
+    it = 0
+    for epoch in range(total_epochs):
+        logs_sum: dict = {}
+        counts: dict = {}
+
+        def record(logs, source):
+            for k, v in logs.items():
+                key = k + source
+                logs_sum[key] = logs_sum.get(key, 0.0) + float(v)
+                counts[key] = counts.get(key, 0) + 1
+
+        for clips, labels in main_batches(epoch):
+            rng, sub = jax.random.split(rng)
+            params, stats, opt_state, logs = step_fn(
+                params, stats, opt_state, jnp.asarray(clips),
+                jnp.asarray(labels), sub)
+            record(logs, "")
+            if it % use_aux_per_niter == 0:
+                for idx, n_times in enumerate(aux_times):
+                    for _ in range(n_times):
+                        try:
+                            aclips, alabels = next(aux_iters[idx])
+                        except StopIteration:
+                            break
+                        rng, sub = jax.random.split(rng)
+                        params, stats, opt_state, logs = step_fn(
+                            params, stats, opt_state, jnp.asarray(aclips),
+                            jnp.asarray(alabels), sub)
+                        record(logs, f"/aux{idx}")
+            it += 1
+        history.append({"epoch": epoch,
+                        **{k: v / counts[k] for k, v in logs_sum.items()}})
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out, history
 
 
 def evaluate_classification(model, params, batches) -> dict:
