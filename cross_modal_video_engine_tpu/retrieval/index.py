@@ -4,13 +4,21 @@ The TPU replacement for the reference's retrieval hot path
 (LINAS evaluation.cal_error + np.argsort, inference.py:79-82;
 MultiFusion validate.py:44-101 batched index scoring):
 
-* the (N, d) embedding matrix lives row-sharded over the mesh 'data' axis
-  (HBM of all chips holds the index, N scales with the pod, not the chip);
-* a query batch is replicated, each shard computes (Q, N/d) similarities
-  with one MXU matmul and reduces them to a local top-k;
-* the k*n_shards candidates ride ICI via the out-sharding all-gather and a
-  final `lax.top_k` merges them — O(Q * k * shards) instead of O(Q * N)
-  crossing the interconnect.
+* the (capacity, d) embedding matrix lives row-sharded over the mesh
+  'data' axis (HBM of all chips holds the index, N scales with the pod,
+  not the chip);
+* a query batch is replicated, each shard computes (Q, cap/shards)
+  similarities with one MXU matmul and reduces them to a local top-k;
+* the k*n_shards candidates ride ICI via the out-sharding all-gather and
+  a final `lax.top_k` merges them — O(Q * k * shards) instead of
+  O(Q * N) crossing the interconnect.
+
+Incremental updates are SERVING-grade: the matrix is allocated at a
+capacity (default 2x the build size, growable), a device-resident
+validity mask marks live rows, `add` is one donated dynamic-update-slice
+(no host round-trip, no recompile — row validity is data, not shape) and
+`remove` tombstones rows in the mask.  Growth past capacity doubles and
+re-places (amortized O(1) per appended row).
 
 `vs_baseline`: the reference argsorts the full row on host (O(N log N),
 evaluation.py:17-22); here sorting never leaves the device and never sees
@@ -31,38 +39,57 @@ from jax import shard_map
 from ..parallel.mesh import data_sharding, make_mesh, shard_rows
 
 
+def _l2n(x: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    return x / np.maximum(n, 1e-12)
+
+
 class RetrievalIndex:
     """Normalized-embedding retrieval index, optionally mesh-sharded."""
 
     def __init__(self, embeddings: np.ndarray, ids: Optional[list] = None,
                  mesh: Optional[Mesh] = None, normalize: bool = True,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, capacity: Optional[int] = None):
         emb = np.asarray(embeddings, dtype=np.float32)
         if normalize:
-            n = np.linalg.norm(emb, axis=1, keepdims=True)
-            emb = emb / np.maximum(n, 1e-12)
-        self.n = emb.shape[0]
+            emb = _l2n(emb)
         self.dim = emb.shape[1]
-        self.ids = ids
+        self.ids = list(ids) if ids is not None else None
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_shards = self.mesh.shape["data"]
-        emb = emb.astype(dtype)
-        self.emb, _ = shard_rows(self.mesh, emb)
-        self.rows_per_shard = self.emb.shape[0] // self.n_shards
-        self._search = self._build(dtype)
+        self.dtype = dtype
+        self.normalize = normalize
+        self._place(emb.astype(dtype), capacity)
+        self._search = self._build()
 
-    def _build(self, dtype):
+    # -- placement ----------------------------------------------------------
+    def _place(self, emb: np.ndarray, capacity: Optional[int]) -> None:
+        n = emb.shape[0]
+        cap = max(capacity or 2 * n, n, self.n_shards)
+        cap += (-cap) % self.n_shards             # shard-divisible
+        pad = cap - n
+        if pad:
+            emb = np.pad(emb, ((0, pad), (0, 0)))
+        valid = np.zeros(cap, np.float32)
+        valid[:n] = 1.0
+        self.n = n                                 # slots used (tail watermark)
+        self.n_active = n                          # live (non-tombstoned) rows
+        self.capacity = cap
+        self.emb = jax.device_put(emb, data_sharding(self.mesh, 2))
+        self.valid = jax.device_put(valid, data_sharding(self.mesh, 1))
+        self.rows_per_shard = cap // self.n_shards
+
+    # -- compiled search ----------------------------------------------------
+    def _build(self):
         mesh = self.mesh
         rows = self.rows_per_shard
-        n_valid = self.n
+        dtype = self.dtype
 
-        def local_topk(k, q, emb_shard):
+        def local_topk(k, q, emb_shard, valid_shard):
             sims = jnp.dot(q, emb_shard.T, preferred_element_type=jnp.float32)
-            # mask padding rows on the last shard
             shard = jax.lax.axis_index("data")
             base = shard * rows
-            col = base + jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
-            sims = jnp.where(col < n_valid, sims, -jnp.inf)
+            sims = jnp.where(valid_shard[None, :] > 0, sims, -jnp.inf)
             # hierarchical top-k: lax.top_k over millions of columns is a
             # giant sort; split into groups, top-k per group (small last
             # dim -> fast), then merge the G*k candidates.
@@ -85,20 +112,19 @@ class RetrievalIndex:
                 vals, idx = jax.lax.top_k(sims, k)
             return vals, idx + base
 
-        # emb is a jit ARGUMENT: closing over it would inline the (possibly
-        # multi-GB) index into the HLO as a constant.
+        # emb/valid are jit ARGUMENTS: closing over them would inline the
+        # (possibly multi-GB) index into the HLO as a constant.
         @functools.partial(jax.jit, static_argnames=("k",))
-        def search(emb, q, k):
-            k = min(k, n_valid)        # never return padding rows
+        def search(emb, valid, q, k):
             kk = min(k, rows)
             f = shard_map(
                 functools.partial(local_topk, kk),
                 mesh=mesh,
-                in_specs=(P(), P("data", None)),
+                in_specs=(P(), P("data", None), P("data")),
                 out_specs=(P(None, "data"), P(None, "data")),
                 check_vma=False,
             )
-            vals, idx = f(q.astype(dtype), emb)        # (Q, kk*shards)
+            vals, idx = f(q.astype(dtype), emb, valid)     # (Q, kk*shards)
             if vals.shape[1] > k:
                 mvals, pos = jax.lax.top_k(vals, k)
                 midx = jnp.take_along_axis(idx, pos, axis=1)
@@ -110,9 +136,10 @@ class RetrievalIndex:
     def search(self, queries: np.ndarray, k: int = 10
                ) -> Tuple[np.ndarray, np.ndarray]:
         """Return (scores, indices): top-k cosine scores per query row."""
+        k = min(k, self.n_active)     # never return padding/tombstones
         q = jnp.asarray(np.asarray(queries, np.float32))
         qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        vals, idx = self._search(self.emb, qn, k)
+        vals, idx = self._search(self.emb, self.valid, qn, k)
         return np.asarray(vals), np.asarray(idx)
 
     def search_ids(self, queries: np.ndarray, k: int = 10):
@@ -123,45 +150,82 @@ class RetrievalIndex:
     # -- incremental updates (serving path) --------------------------------
     def add(self, embeddings: np.ndarray, ids: Optional[list] = None,
             normalize: bool = True) -> None:
-        """Append rows to the index (re-pads + re-places the sharded
-        matrix; the search program is shape-stable until the padded row
-        count crosses a shard boundary)."""
+        """Append rows IN PLACE: one donated dynamic-update-slice into the
+        capacity-padded device matrix — no host fetch of the index, no
+        recompile.  Growth past capacity doubles and re-places."""
         new = np.asarray(embeddings, np.float32)
         if normalize:
-            n = np.linalg.norm(new, axis=1, keepdims=True)
-            new = new / np.maximum(n, 1e-12)
-        current = np.asarray(jax.device_get(self.emb))[: self.n]
-        mat = np.concatenate([current, new.astype(current.dtype)], axis=0)
+            new = _l2n(new)
+        m = new.shape[0]
         if self.ids is not None:
-            assert ids is not None and len(ids) == len(new)
+            assert ids is not None and len(ids) == m
+        if self.n + m > self.capacity:
+            current = np.asarray(jax.device_get(self.emb))[: self.n]
+            mat = np.concatenate([current, new.astype(current.dtype)], 0)
+            tomb = np.asarray(jax.device_get(self.valid))[: self.n] == 0
+            old_n = self.n
+            self._place(mat, max(2 * self.capacity, mat.shape[0]))
+            if tomb.any():      # re-apply tombstones after regrowth
+                self.valid = _tombstone(self.valid,
+                                        jnp.asarray(np.nonzero(tomb)[0]))
+                self.n_active = old_n - int(tomb.sum())
+            self.n_active += m
+            self._search = self._build()
+        else:
+            self.emb, self.valid = _insert(
+                self.emb, self.valid, jnp.asarray(new, self.dtype),
+                jnp.asarray(self.n, jnp.int32))
+            self.n += m
+            self.n_active += m
+        if self.ids is not None:
             self.ids = list(self.ids) + list(ids)
-        self.n = mat.shape[0]
-        self.emb, _ = shard_rows(self.mesh, mat)
-        self.rows_per_shard = self.emb.shape[0] // self.n_shards
-        self._search = self._build(self.emb.dtype)
 
     def remove(self, row_indices: Sequence[int]) -> None:
-        """Drop rows by index (host-side rebuild)."""
-        keep = np.ones(self.n, bool)
-        keep[np.asarray(list(row_indices), np.int64)] = False
-        current = np.asarray(jax.device_get(self.emb))[: self.n]
-        mat = current[keep]
+        """Tombstone rows IN PLACE via the device validity mask (no
+        rebuild); tombstoned rows can never be returned.  Call `compact`
+        to reclaim the slots."""
+        idx = np.unique(np.asarray(list(row_indices), np.int64))
+        assert (idx < self.n).all()
+        live = np.asarray(jax.device_get(self.valid))[idx] > 0
+        self.valid = _tombstone(self.valid, jnp.asarray(idx))
+        self.n_active -= int(live.sum())
         if self.ids is not None:
-            self.ids = [i for i, k in zip(self.ids, keep) if k]
-        self.n = mat.shape[0]
-        self.emb, _ = shard_rows(self.mesh, mat)
-        self.rows_per_shard = self.emb.shape[0] // self.n_shards
-        self._search = self._build(self.emb.dtype)
+            for i in idx:
+                self.ids[int(i)] = None
+
+    def compact(self) -> None:
+        """Rebuild without tombstones (host-side; use sparingly)."""
+        emb = np.asarray(jax.device_get(self.emb))[: self.n]
+        valid = np.asarray(jax.device_get(self.valid))[: self.n] > 0
+        if self.ids is not None:
+            self.ids = [i for i, v in zip(self.ids, valid) if v]
+        self._place(emb[valid], self.capacity)
+        self._search = self._build()
 
     def full_errors(self, queries: np.ndarray) -> np.ndarray:
         """Dense (Q, N) error matrix (for metric parity paths that need the
-        full ranking, like tester.py's pred_errors_matrix)."""
+        full ranking, like tester.py's pred_errors_matrix).  Tombstoned
+        rows score +inf."""
         q = jnp.asarray(np.asarray(queries, np.float32))
         qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
 
         @jax.jit
-        def dense(qq, emb):
-            return -jnp.dot(qq, emb.T, preferred_element_type=jnp.float32)
+        def dense(qq, emb, valid):
+            e = -jnp.dot(qq, emb.T, preferred_element_type=jnp.float32)
+            return jnp.where(valid[None, :] > 0, e, jnp.inf)
 
-        out = dense(qn, self.emb)
+        out = dense(qn, self.emb, self.valid)
         return np.asarray(out)[:, : self.n]
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _insert(emb, valid, new, start):
+    emb = jax.lax.dynamic_update_slice(emb, new, (start, 0))
+    ones = jnp.ones((new.shape[0],), valid.dtype)
+    valid = jax.lax.dynamic_update_slice(valid, ones, (start,))
+    return emb, valid
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _tombstone(valid, idx):
+    return valid.at[idx].set(0.0)

@@ -75,13 +75,65 @@ def test_index_add_remove():
     emb = rng.standard_normal((n, d)).astype(np.float32)
     names = [f"v{i}" for i in range(n)]
     idx = RetrievalIndex(emb, ids=names, mesh=make_mesh())
+    cap0 = idx.capacity
     new = rng.standard_normal((3, d)).astype(np.float32)
     idx.add(new, ids=["n0", "n1", "n2"])
-    assert idx.n == 23
+    # within capacity: in-place (no re-place, no growth)
+    assert idx.n == 23 and idx.n_active == 23 and idx.capacity == cap0
     q = new[1:2] + 0.001 * rng.standard_normal((1, d)).astype(np.float32)
     _, id_rows = idx.search_ids(q, k=1)
     assert id_rows == [["n1"]]
-    idx.remove([21])                      # drop n1
-    assert idx.n == 22 and "n1" not in idx.ids
+    idx.remove([21])                      # tombstone n1 in place
+    assert idx.n == 23 and idx.n_active == 22
+    assert idx.ids[21] is None
     _, id_rows = idx.search_ids(q, k=1)
     assert id_rows[0][0] != "n1"
+    # tombstones score +inf in the dense matrix
+    errs = idx.full_errors(q)
+    assert np.isinf(errs[0, 21])
+    # compaction reclaims the slot
+    idx.compact()
+    assert idx.n == 22 and idx.n_active == 22 and "n1" not in idx.ids
+    _, id_rows = idx.search_ids(q, k=1)
+    assert id_rows[0][0] != "n1"
+
+
+def test_index_growth_past_capacity():
+    n, d = 6, 8
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    idx = RetrievalIndex(emb, ids=[f"v{i}" for i in range(n)],
+                         mesh=make_mesh(), capacity=8)
+    idx.remove([2])
+    cap0 = idx.capacity
+    new = rng.standard_normal((10, d)).astype(np.float32)
+    idx.add(new, ids=[f"n{i}" for i in range(10)])
+    assert idx.capacity > cap0
+    assert idx.n == 16 and idx.n_active == 15   # tombstone survives growth
+    q = new[3:4]
+    _, id_rows = idx.search_ids(q, k=1)
+    assert id_rows == [["n3"]]
+    # the pre-growth tombstone is still dead
+    _, ids_all = idx.search(rng.standard_normal((1, d)).astype(np.float32),
+                            k=idx.n_active)
+    assert 2 not in ids_all[0]
+
+
+def test_index_add_many_small_batches_stays_in_place():
+    """The serving pattern the old rebuild-on-add penalized: many tiny
+    appends. Capacity never changes and results stay exact."""
+    d = 8
+    emb = rng.standard_normal((4, d)).astype(np.float32)
+    idx = RetrievalIndex(emb, mesh=make_mesh(), capacity=64)
+    all_rows = [emb]
+    for i in range(10):
+        new = rng.standard_normal((2, d)).astype(np.float32)
+        idx.add(new)
+        all_rows.append(new)
+    assert idx.capacity == 64 and idx.n == 24
+    full = np.concatenate(all_rows)
+    fn = full / np.linalg.norm(full, axis=1, keepdims=True)
+    q = rng.standard_normal((3, d)).astype(np.float32)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    brute = np.argsort(-(qn @ fn.T), axis=1)[:, :5]
+    _, ids = idx.search(q, k=5)
+    np.testing.assert_array_equal(ids, brute)
