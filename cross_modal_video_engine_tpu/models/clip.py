@@ -60,14 +60,18 @@ def quick_gelu(x):
 
 
 class LayerNormF32(nn.Module):
-    """LayerNorm computed in fp32 regardless of activation dtype."""
+    """LayerNorm with fp32 statistics regardless of activation dtype.
+
+    flax's LayerNorm already reduces mean/var in float32
+    (force_float32_reductions), so the normalization math is as stable as
+    the reference's fp32-LN trick (model.py:290-295) WITHOUT round-
+    tripping the whole activation through f32 — the scale/bias apply in
+    the compute dtype, which halves the LN's HBM traffic in bf16 runs.
+    """
 
     @nn.compact
     def __call__(self, x):
-        orig = x.dtype
-        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln")(
-            x.astype(jnp.float32))
-        return y.astype(orig)
+        return nn.LayerNorm(epsilon=1e-5, dtype=x.dtype, name="ln")(x)
 
 
 class MHA(nn.Module):

@@ -52,16 +52,33 @@ class StageTimer:
                 for k, v in self.totals.items()}
 
 
-def device_time(fn: Callable, *args, steps: int = 10) -> float:
+def device_time(fn: Callable, *args, steps: int = 10,
+                perturb_argnums: Optional[tuple] = None) -> float:
     """Seconds per call of `fn(*args)` measured with an in-jit loop and a
-    single synchronizing host fetch."""
+    single synchronizing host fetch.
+
+    To stop XLA hoisting the body out of the loop, the args listed in
+    `perturb_argnums` (default: all) get a dtype-preserving data
+    dependency on the loop carry (a select, so ints survive).  Leave big
+    LOOP-INVARIANT operands (a multi-GB index, the params tree) OUT of
+    perturb_argnums — perturbing them forces a full copy per iteration
+    and measures memcpy, not your function.
+    """
     import jax
     import jax.numpy as jnp
+
+    idxs = (tuple(range(len(args))) if perturb_argnums is None
+            else tuple(perturb_argnums))
 
     @jax.jit
     def run(*a):
         def body(i, carry):
-            out = fn(*jax.tree.map(lambda x: x + carry * 0, a))
+            dep = carry >= 0          # dynamic, dtype-free dependency
+            perturbed = [
+                jax.tree.map(lambda x: jnp.where(dep, x, x), arg)
+                if j in idxs else arg
+                for j, arg in enumerate(a)]
+            out = fn(*perturbed)
             leaves = jax.tree.leaves(out)
             return jnp.asarray(leaves[0], jnp.float32).mean()
         return jax.lax.fori_loop(0, steps, body, jnp.float32(0))
