@@ -8,3 +8,5 @@ from .localization import (
     ohem_hinge_loss, ssn_loss, ssn_activity_loss, ssn_completeness_loss,
     ssn_classwise_regression_loss,
 )
+from .shuffle import cosine_away_loss, soft_label_smooth, soft_cross_entropy
+from .hvu import hvu_loss

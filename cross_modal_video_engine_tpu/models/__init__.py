@@ -20,6 +20,8 @@ from .yolo import YoloV5, YoloConfig
 from .decoder_head import RNNDecoderHead, RNNDecoderConfig
 from .caption_transformer import CaptionTransformer, CaptionConfig
 from .recognizer import (BackboneClassifier, Recognizer2D, Recognizer3D,
+                         Recognizer3DShuffleEmb, Recognizer3DShuffleSoft,
+                         Recognizer3DShuffleExtra,
                          Recognizer3DCLIP, Recognizer3DCaption,
                          Recognizer3DRelseq, TimeSformerHead, average_clip)
 from .heads import I3DHead, SlowFastHead, TRNHead, TSNHead, X3DHead

@@ -54,6 +54,94 @@ def average_clip(scores: jnp.ndarray, num_segs: int,
     raise ValueError(average_clips)
 
 
+class _ShuffleBase(nn.Module):
+    """Common plumbing for the shuffle-contrast recognizers
+    (MCT recognizer_shuffle.py:13,141,269): a TimeSformer backbone + head
+    sees both the ordered clip and a frame-shuffled copy of it during
+    training; each variant contrasts them differently.  Inference is the
+    plain recognizer path."""
+
+    backbone_cfg: TimeSformerConfig
+    num_classes: int
+
+    def setup(self):
+        self.backbone = TimeSformer(self.backbone_cfg, name="backbone")
+        self.cls_head = TimeSformerHead(self.num_classes, name="cls_head")
+
+    def __call__(self, videos: jnp.ndarray, *, train: bool = False):
+        return self.cls_head(self.backbone(videos, train=train))
+
+    def forward_test(self, videos, num_segs: int = 1,
+                     average_clips: str = "prob"):
+        return average_clip(self(videos), num_segs, average_clips)
+
+
+@RECOGNIZERS.register("Recognizer3DShuffleEmb")
+class Recognizer3DShuffleEmb(_ShuffleBase):
+    """CE on the ordered clip + cosine push-away between the ordered and
+    shuffled embeddings (ce_cos_loss.py shuffle_score)."""
+
+    margin: float = 0.5
+    cos_weight: float = 0.5
+
+    def forward_train(self, videos, shuffle_videos, labels,
+                      *, train: bool = True):
+        import optax
+        from ..losses.shuffle import cosine_away_loss
+        x = self.backbone(videos, train=train)
+        sx = self.backbone(shuffle_videos, train=train)
+        scores = self.cls_head(x)
+        loss_cls = optax.softmax_cross_entropy_with_integer_labels(
+            scores, labels).mean()
+        loss_cos = self.cos_weight * cosine_away_loss(x, sx, self.margin)
+        return {"loss_cls": loss_cls, "loss_cos": loss_cos,
+                "loss": loss_cls + loss_cos}
+
+
+@RECOGNIZERS.register("Recognizer3DShuffleSoft")
+class Recognizer3DShuffleSoft(_ShuffleBase):
+    """CE on the ordered clip + soft-label CE on the shuffled clip's
+    scores — shuffled clips are supervised to be LESS confident
+    (ce_soft_loss.py)."""
+
+    margin: float = 0.5
+    soft_weight: float = 0.5
+
+    def forward_train(self, videos, shuffle_videos, labels,
+                      *, train: bool = True):
+        import optax
+        from ..losses.shuffle import soft_cross_entropy, soft_label_smooth
+        scores = self.cls_head(self.backbone(videos, train=train))
+        sscores = self.cls_head(self.backbone(shuffle_videos, train=train))
+        loss_cls = optax.softmax_cross_entropy_with_integer_labels(
+            scores, labels).mean()
+        soft = soft_label_smooth(labels, self.num_classes, self.margin)
+        loss_soft = self.soft_weight * soft_cross_entropy(sscores, soft)
+        return {"loss_cls": loss_cls, "loss_soft": loss_soft,
+                "loss": loss_cls + loss_soft}
+
+
+@RECOGNIZERS.register("Recognizer3DShuffleExtra")
+class Recognizer3DShuffleExtra(_ShuffleBase):
+    """Shuffled clips become their own EXTRA class: the head has
+    num_classes + 1 outputs and shuffled clips are labeled with the last
+    one (recognizer_shuffle.py:289-297 — the reference hardcodes 400 on a
+    401-way K400 head).  Construct with num_classes = real classes + 1."""
+
+    def forward_train(self, videos, shuffle_videos, labels,
+                      *, train: bool = True):
+        import optax
+        scores = self.cls_head(self.backbone(videos, train=train))
+        sscores = self.cls_head(self.backbone(shuffle_videos, train=train))
+        shuffle_labels = jnp.full((sscores.shape[0],), self.num_classes - 1,
+                                  labels.dtype)
+        all_scores = jnp.concatenate([scores, sscores])
+        all_labels = jnp.concatenate([labels, shuffle_labels])
+        loss = optax.softmax_cross_entropy_with_integer_labels(
+            all_scores, all_labels).mean()
+        return {"loss_cls": loss, "loss": loss}
+
+
 @RECOGNIZERS.register("BackboneClassifier")
 class BackboneClassifier(nn.Module):
     """Recognizer3D for the conv backbones (ResNet3D / SlowFast / X3D):
