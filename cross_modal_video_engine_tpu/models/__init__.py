@@ -25,3 +25,5 @@ from .recognizer import (BackboneClassifier, Recognizer2D, Recognizer3D,
                          Recognizer3DCLIP, Recognizer3DCaption,
                          Recognizer3DRelseq, TimeSformerHead, average_clip)
 from .heads import I3DHead, SlowFastHead, TRNHead, TSNHead, X3DHead
+from .stgcn import (STGCN, STGCNConfig, AGCN, AGCNConfig,
+                    build_partitioned_adjacency)

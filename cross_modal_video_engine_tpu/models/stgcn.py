@@ -105,6 +105,94 @@ class STGCNConfig:
     temporal_strides: Tuple[int, ...] = (1, 1, 2, 1, 2, 1)
 
 
+class AGCNBlock(nn.Module):
+    """Adaptive graph conv block (2s-AGCN; reference backbones/agcn.py:
+    43-236): per subset k the adjacency is A_k + PA_k (learned, ~0 init)
+    + a data-dependent attention adjacency softmax(theta(x)^T phi(x)),
+    followed by the usual temporal conv, residual around both."""
+
+    out_channels: int
+    adjacency: Tuple   # static (K, V, V) nested tuples
+    temporal_stride: int = 1
+    temporal_kernel: int = 9
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        """x: (B, T, V, C)."""
+        A = jnp.asarray(np.asarray(self.adjacency, np.float32))
+        K, V, _ = A.shape
+        B, T, _, C = x.shape
+        PA = self.param("PA", nn.initializers.constant(1e-6), (K, V, V))
+        A = A + PA
+        inter = max(self.out_channels // 4, 1)
+
+        bn = lambda name, **kw: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, name=name, **kw)
+
+        y = None
+        for k in range(K):
+            a = nn.Dense(inter, name=f"conv_a{k}")(x)      # (B,T,V,i)
+            b = nn.Dense(inter, name=f"conv_b{k}")(x)
+            a_r = a.transpose(0, 2, 3, 1).reshape(B, V, inter * T)
+            b_r = b.transpose(0, 3, 1, 2).reshape(B, inter * T, V)
+            att = jax.nn.softmax(
+                jnp.einsum("bvm,bmw->bvw", a_r, b_r,
+                           preferred_element_type=jnp.float32)
+                / (inter * T), axis=-2)
+            Ak = att + A[k]
+            agg = jnp.einsum("btvc,bvw->btwc", x, Ak,
+                             preferred_element_type=jnp.float32)
+            z = nn.Dense(self.out_channels, name=f"conv_d{k}")(agg)
+            y = z if y is None else y + z
+        # gcn output BN starts ~0 so early training leans on the skip
+        y = bn("bn_gcn", scale_init=nn.initializers.constant(1e-6))(y)
+        if C != self.out_channels:
+            sc = bn("bn_down")(nn.Dense(self.out_channels, name="down")(x))
+        else:
+            sc = x
+        g = nn.relu(y + sc)
+
+        # temporal conv + block residual
+        tk, s = self.temporal_kernel, self.temporal_stride
+        t = nn.Conv(self.out_channels, (tk, 1), strides=(s, 1),
+                    padding=((tk // 2, tk // 2), (0, 0)), name="tcn")(g)
+        t = bn("bn_tcn")(t)
+        if s != 1 or C != self.out_channels:
+            res = bn("bn_res")(nn.Conv(self.out_channels, (1, 1),
+                                       strides=(s, 1), name="residual")(x))
+        else:
+            res = x
+        return nn.relu(t + res)
+
+
+@dataclasses.dataclass(frozen=True)
+class AGCNConfig:
+    num_joints: int = 17
+    in_channels: int = 3
+    channels: Tuple[int, ...] = (64, 64, 64, 64, 128, 128, 128, 256, 256,
+                                 256)
+    temporal_strides: Tuple[int, ...] = (1, 1, 1, 1, 2, 1, 1, 2, 1, 1)
+
+
+@BACKBONES.register("AGCN")
+class AGCN(nn.Module):
+    """Two-stream Adaptive GCN backbone (skeleton recognition)."""
+
+    cfg: AGCNConfig
+
+    @nn.compact
+    def __call__(self, keypoints: jnp.ndarray, *, train: bool = False):
+        """keypoints: (B, T, V, C) -> pooled feature (B, channels[-1])."""
+        cfg = self.cfg
+        A = build_partitioned_adjacency(cfg.num_joints)
+        A_t = tuple(tuple(tuple(r) for r in s) for s in A)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         name="data_bn")(keypoints)
+        for i, (c, s) in enumerate(zip(cfg.channels, cfg.temporal_strides)):
+            x = AGCNBlock(c, A_t, s, name=f"block_{i}")(x, train=train)
+        return jnp.mean(x, axis=(1, 2))
+
+
 @BACKBONES.register("STGCN")
 class STGCN(nn.Module):
     cfg: STGCNConfig
