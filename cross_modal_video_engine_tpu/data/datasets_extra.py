@@ -135,3 +135,58 @@ class AVADataset:
 
     def __getitem__(self, idx: int) -> Dict:
         return dict(self.keyframes[idx])
+
+
+class ActivityNetDataset:
+    """Temporal-localization dataset: ActivityNet-style JSON annotations
+    + per-video snippet-feature files (the format the reference's
+    localization configs consume via mmaction ActivityNetDataset).
+
+    ann json: {video_id: {"duration": seconds,
+                          "annotations": [{"segment": [s, e],
+                                           "label": name-or-int}, ...]}}
+    features: <feature_prefix>/<video_id>.npy with shape (T, F); every
+    video is resampled (linear) to `temporal_dim` snippets so one XLA
+    program covers the corpus.
+    """
+
+    def __init__(self, ann_file: str, feature_prefix: str,
+                 temporal_dim: int = 100):
+        with open(ann_file) as f:
+            ann = json.load(f)
+        self.feature_prefix = feature_prefix
+        self.temporal_dim = temporal_dim
+        self.videos = []
+        for vid, info in sorted(ann.items()):
+            duration = float(info["duration"])
+            segs, labels = [], []
+            for a in info.get("annotations", []):
+                s, e = a["segment"]
+                segs.append([max(0.0, s / duration),
+                             min(1.0, e / duration)])
+                labels.append(a.get("label", 0))
+            self.videos.append(dict(
+                video=vid, duration=duration,
+                segments=np.asarray(segs, np.float32).reshape(-1, 2),
+                labels=labels))
+
+    def __len__(self) -> int:
+        return len(self.videos)
+
+    def features(self, idx: int) -> np.ndarray:
+        v = self.videos[idx]
+        feats = np.load(os.path.join(self.feature_prefix,
+                                     v["video"] + ".npy"))
+        T = self.temporal_dim
+        if feats.shape[0] != T:
+            pos = np.linspace(0, feats.shape[0] - 1, T)
+            lo = np.floor(pos).astype(int)
+            hi = np.minimum(lo + 1, feats.shape[0] - 1)
+            frac = (pos - lo)[:, None]
+            feats = (1 - frac) * feats[lo] + frac * feats[hi]
+        return feats.astype(np.float32)
+
+    def __getitem__(self, idx: int) -> Dict:
+        v = dict(self.videos[idx])
+        v["features"] = self.features(idx)
+        return v

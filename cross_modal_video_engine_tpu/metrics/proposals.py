@@ -102,7 +102,7 @@ def average_recall_at_avg_proposals(
     avg_recall = recall.mean(axis=0)
     proposals_per_video = pcn_list * (
         float(total_retrieved) / total_num_videos)
-    auc = 100.0 * float(np.trapz(avg_recall, proposals_per_video)) / \
+    auc = 100.0 * float(np.trapezoid(avg_recall, proposals_per_video)) / \
         proposals_per_video[-1]
     return recall, avg_recall, proposals_per_video, auc
 
