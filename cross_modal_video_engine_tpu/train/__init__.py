@@ -1,1 +1,2 @@
 from .checkpoint import save_checkpoint, load_checkpoint, best_checkpoint_manager
+from .orbax_ckpt import ShardedCheckpointer

@@ -6,9 +6,9 @@ Keeps the reference's semantics (LINAS trainer.py:287-295, 413-419):
   * `best_checkpoint_manager` mirrors save-if-best + delete-old-best.
 
 Format: a directory with `config.json` (dataclass fields + metadata) and
-`params.msgpack` (flax serialization of the variables pytree).  Orbax is
-used for the async sharded trainer path (train/loop.py); this module is the
-simple synchronous path every CLI uses.
+`params.msgpack` (flax serialization of the variables pytree).  This is
+the simple synchronous path every CLI uses; pod-scale training snapshots
+sharded state asynchronously via train/orbax_ckpt.ShardedCheckpointer.
 """
 
 from __future__ import annotations
