@@ -5,6 +5,7 @@ from .retrieval import (
 from .accuracy import (
     top_k_accuracy, mean_class_accuracy, confusion_matrix,
     mean_average_precision, mmit_mean_average_precision,
+    seq_average_precision,
 )
 from .proposals import (
     pairwise_temporal_iou, average_recall_at_avg_proposals,

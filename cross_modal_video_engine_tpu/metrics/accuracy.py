@@ -97,6 +97,34 @@ def mean_average_precision(scores: Sequence[np.ndarray],
     return float(np.mean(results)) if results else np.nan
 
 
+def seq_average_precision(scores: Sequence[np.ndarray],
+                          labels: Sequence[np.ndarray]) -> list:
+    """Per-class AP over label-SEQUENCE steps — the caption-evaluation
+    variant (reference accuracy.py:268-317): per video, steps after the
+    first end-token step (last class hot) are dropped keeping one, the
+    remaining (video, step) rows pool together, AP per class with NaN->0.
+
+    scores[i]: (seq_len * C,) or (seq_len, C); labels[i]: (seq_len, C)
+    many-hot with the end token as class C-1.  Returns the per-class AP
+    list (the reference's return shape)."""
+    kept_scores, kept_labels = [], []
+    for s, l in zip(scores, labels):
+        l = np.asarray(l)
+        s = np.asarray(s).reshape(l.shape)
+        end_steps = int((l[:, -1] == 1).sum())
+        keep = l.shape[0] - end_steps + 1
+        kept_scores.append(s[:keep])
+        kept_labels.append(l[:keep])
+    s_cls = np.concatenate(kept_scores).T          # (C, total_steps)
+    l_cls = np.concatenate(kept_labels).T
+    results = []
+    for sc, lb in zip(s_cls, l_cls):
+        precision, recall, _ = binary_precision_recall_curve(sc, lb)
+        ap = -np.sum(np.diff(recall) * np.asarray(precision)[:-1])
+        results.append(0.0 if np.isnan(ap) else float(ap))
+    return results
+
+
 def mmit_mean_average_precision(scores: Sequence[np.ndarray],
                                 labels: Sequence[np.ndarray]) -> float:
     """Sample-major (multi-moments-in-time style) mAP."""

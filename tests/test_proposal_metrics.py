@@ -106,3 +106,36 @@ def test_detection_ap_goldens():
     ap = average_precision_at_temporal_iou(
         gt, [["v0", 0, 0.0, 6.0, 0.9]], np.asarray([0.5, 0.7]))
     np.testing.assert_allclose(ap, [1.0, 0.0])
+
+
+def test_seq_average_precision_truncates_end_tokens():
+    from cross_modal_video_engine_tpu.metrics.accuracy import (
+        seq_average_precision)
+    C, L = 3, 4          # 2 real classes + end token
+    # video 0: steps [cls0, end, end, end] -> keeps 2 steps
+    l0 = np.zeros((L, C), np.float32)
+    l0[0, 0] = 1
+    l0[1:, -1] = 1
+    s0 = np.zeros((L, C), np.float32)
+    s0[0, 0] = 0.9       # perfect for class 0
+    s0[1, -1] = 0.8
+    # video 1: steps [cls1, cls0, end, end] -> keeps 3 steps
+    l1 = np.zeros((L, C), np.float32)
+    l1[0, 1] = 1
+    l1[1, 0] = 1
+    l1[2:, -1] = 1
+    s1 = np.zeros((L, C), np.float32)
+    s1[0, 1] = 0.7
+    s1[1, 0] = 0.6
+    s1[2, -1] = 0.9
+    aps = seq_average_precision([s0, s1], [l0, l1])
+    assert len(aps) == C
+    # both real classes rank their positives first -> AP 1
+    np.testing.assert_allclose(aps[0], 1.0)
+    np.testing.assert_allclose(aps[1], 1.0)
+    # steps beyond the first end token never pollute the pool: a huge
+    # score on a truncated step changes nothing
+    s0_poison = s0.copy()
+    s0_poison[3, 0] = 5.0
+    aps2 = seq_average_precision([s0_poison, s1], [l0, l1])
+    np.testing.assert_allclose(aps, aps2)
