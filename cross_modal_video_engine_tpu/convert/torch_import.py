@@ -227,6 +227,65 @@ def convert_timesformer(sd: Dict, cfg, cls_head_key: str = "cls_head.fc_cls",
 
 
 # --------------------------------------------------------------------------
+# Video Swin (mmaction swin_transformer.py layout)
+# --------------------------------------------------------------------------
+
+def convert_swin3d(sd: Dict, cfg, backbone_prefix: str = "backbone.",
+                   cls_head_key: str = "cls_head.fc_cls") -> Dict:
+    """mmaction Video Swin state dict -> flax variables for
+    models.swin3d.Swin3D (layer naming: patch_embed.proj/norm,
+    layers.{i}.blocks.{j}.{norm1,attn.qkv,attn.proj,
+    attn.relative_position_bias_table,norm2,mlp.fc1,mlp.fc2},
+    layers.{i}.downsample.{norm,reduction}, norm).  The
+    relative_position_index buffers are recomputed on our side (the
+    canonical formula), so only the bias TABLE transfers."""
+    bp = backbone_prefix
+
+    def ln(name):
+        return {"scale": _np(sd[f"{name}.weight"]),
+                "bias": _np(sd[f"{name}.bias"])}
+
+    params: Dict[str, Any] = {
+        "patch_embed": {
+            # Conv3d (C, 3, t, h, w) -> flax (t, h, w, 3, C)
+            "kernel": _np(sd[f"{bp}patch_embed.proj.weight"])
+            .transpose(2, 3, 4, 1, 0),
+            "bias": _np(sd[f"{bp}patch_embed.proj.bias"]),
+        },
+        "patch_norm": ln(f"{bp}patch_embed.norm"),
+        "norm": ln(f"{bp}norm"),
+    }
+    for i, depth in enumerate(cfg.depths):
+        for j in range(depth):
+            p = f"{bp}layers.{i}.blocks.{j}"
+            params[f"stage{i}_block{j}"] = {
+                "norm1": ln(f"{p}.norm1"),
+                "norm2": ln(f"{p}.norm2"),
+                "attn": {
+                    "qkv": _dense(sd, f"{p}.attn.qkv"),
+                    "proj": _dense(sd, f"{p}.attn.proj"),
+                    "rel_pos_bias": _np(
+                        sd[f"{p}.attn.relative_position_bias_table"]),
+                },
+                "fc1": _dense(sd, f"{p}.mlp.fc1"),
+                "fc2": _dense(sd, f"{p}.mlp.fc2"),
+            }
+        if f"{bp}layers.{i}.downsample.reduction.weight" in sd:
+            params[f"merge{i}"] = {
+                "norm": ln(f"{bp}layers.{i}.downsample.norm"),
+                "reduction": {
+                    "kernel": _np(
+                        sd[f"{bp}layers.{i}.downsample.reduction.weight"]).T,
+                },
+            }
+    out: Dict[str, Any] = {"backbone": params}
+    if cls_head_key and f"{cls_head_key}.weight" in sd:
+        out["cls_head"] = {"fc_cls": _dense(sd, cls_head_key)}
+        return {"params": out}
+    return {"params": params}
+
+
+# --------------------------------------------------------------------------
 # CLIP ViT (OpenAI layout)
 # --------------------------------------------------------------------------
 

@@ -75,3 +75,24 @@ def shard_rows(mesh: Mesh, x: jax.Array | np.ndarray, pad_value: float = 0.0):
 def host_gather(x: jax.Array) -> np.ndarray:
     """Fetch a (possibly sharded) array fully to host."""
     return np.asarray(jax.device_get(x))
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> int:
+    """Multi-host bring-up: ONE call per host replaces the reference's
+    torch.distributed launcher stack (dist_train.sh NNODES/NODE_RANK/
+    MASTER_ADDR + init_dist, SURVEY §2.4).  With no arguments, jax reads
+    the cluster environment (TPU pods auto-discover; GPU/CPU clusters use
+    JAX_COORDINATOR_ADDRESS etc).  Safe to call on a single host (no-op).
+    Returns the process index."""
+    if num_processes is not None and num_processes > 1 or coordinator_address:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    else:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass        # single-process run: nothing to coordinate
+    return jax.process_index()
