@@ -55,8 +55,8 @@ def build_recognition_model(cfg: Config):
             k: tuple(v) if isinstance(v, list) else v
             for k, v in bcfg.items()})
         return Recognizer3D(backbone, num_classes=num_classes)
-    from ..models.resnet3d import (ResNet3D, ResNet3DConfig, SlowFast,
-                                   SlowFastConfig, X3D, X3DConfig)
+    from ..models.resnet3d import (CSN, CSNConfig, ResNet3D, ResNet3DConfig,
+                                   SlowFast, SlowFastConfig, X3D, X3DConfig)
     kw = {k: tuple(v) if isinstance(v, list) else v for k, v in bcfg.items()}
     if btype in ("ResNet3D", "SlowOnly"):
         backbone = ResNet3D(ResNet3DConfig(**kw))
@@ -64,6 +64,17 @@ def build_recognition_model(cfg: Config):
         backbone = SlowFast(SlowFastConfig(**kw))
     elif btype == "X3D":
         backbone = X3D(X3DConfig(**kw))
+    elif btype == "CSN":
+        backbone = CSN(CSNConfig(**kw))
+    elif btype == "Swin3D":
+        from ..models.swin3d import Swin3D, Swin3DConfig
+        backbone = Swin3D(Swin3DConfig(**kw))
+    elif btype == "MViT":
+        from ..models.mvit import MViT, MViTConfig
+        backbone = MViT(MViTConfig(**kw))
+    elif btype == "TANet":
+        from ..models.tanet import TANet, TANetConfig
+        backbone = TANet(TANetConfig(**kw))
     else:
         raise ValueError(f"unknown backbone type {btype}")
     return BackboneClassifier(backbone, num_classes=num_classes)

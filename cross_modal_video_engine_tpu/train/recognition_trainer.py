@@ -169,7 +169,8 @@ def make_multigrid_train_step(model, tx, lr_scale: float,
 
 def train_multigrid(model, variables, tcfg: RecognitionTrainConfig,
                     schedule, epoch_batches: Callable[[int], Any],
-                    total_epochs: int, rng=None):
+                    total_epochs: int, rng=None,
+                    precise_bn_batches: int = 0):
     """Multigrid training loop: each epoch runs at the schedule's bucket
     (coarse -> fine long cycle, optional short cycle per step, final
     epochs at the finest bucket), with per-bucket compiled steps and LR
@@ -179,6 +180,11 @@ def train_multigrid(model, variables, tcfg: RecognitionTrainConfig,
     adaptation + re-chunking happens here.  Returns ((variables, opt
     state), history) — history rows carry the bucket so callers can
     verify the schedule actually switched shapes.
+
+    precise_bn_batches > 0 recalibrates BatchNorm running stats at the
+    finest bucket after training — the reference's multigrid +
+    SubBN-aggregation/PreciseBN pairing (apis/train.py:170-200), since
+    coarse-bucket epochs pollute the EMA with other-shape statistics.
     """
     rng = jax.random.key(0) if rng is None else rng
     tx = make_rec_optimizer(tcfg)
@@ -228,6 +234,20 @@ def train_multigrid(model, variables, tcfg: RecognitionTrainConfig,
     out = {"params": params}
     if has_stats:
         out["batch_stats"] = stats
+        if precise_bn_batches > 0:
+            from .precise_bn import update_bn_stats
+            fine = schedule.buckets[-1]
+
+            def apply_fn(variables, batch):
+                clips, _ = batch
+                return model.apply(variables, clips, train=True,
+                                   mutable=["batch_stats"],
+                                   rngs={"dropout": jax.random.key(0)})
+
+            out = update_bn_stats(
+                apply_fn, out,
+                bucketize_batches(epoch_batches(total_epochs), fine),
+                num_iters=precise_bn_batches)
     return (out, opt_state), history
 
 

@@ -120,3 +120,40 @@ total_epochs = 4
     assert len({h["bucket"] for h in history}) >= 2
     assert history[-1]["bucket"] == (4, 8, 16)
     assert os.path.exists(os.path.join(work, "multigrid_final"))
+
+
+def test_multigrid_precise_bn_recalibrates():
+    import jax
+
+    cfg = ResNet3DConfig(stage_blocks=(1,), base_channels=8,
+                         stage_temporal_kernels=(1,))
+    model = BackboneClassifier(ResNet3D(cfg), num_classes=2)
+    clips, labels = _toy_data(n=8)
+    schedule = MultigridSchedule(
+        buckets=(GridBucket(4, 4, 8), GridBucket(4, 8, 16)),
+        long_cycle_epochs=1, base_batch=4, final_epochs=1)
+    tcfg = RecognitionTrainConfig(optimizer="adamw", learning_rate=5e-3,
+                                  grad_clip=1.0)
+
+    def epoch_batches(epoch):
+        for i in range(0, 8, 4):
+            yield clips[i:i + 4], labels[i:i + 4]
+
+    variables = model.init(jax.random.key(0),
+                           adapt_clips_to_bucket(clips[:1],
+                                                 schedule.buckets[0]))
+    (plain, _), _ = train_multigrid(model, variables, tcfg, schedule,
+                                    epoch_batches, total_epochs=2)
+    (recal, _), _ = train_multigrid(model, variables, tcfg, schedule,
+                                    epoch_batches, total_epochs=2,
+                                    precise_bn_batches=2)
+    # params identical (same rng stream), stats recalibrated differ
+    for a, b in zip(jax.tree.leaves(plain["params"]),
+                    jax.tree.leaves(recal["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    diffs = [not np.allclose(np.asarray(a), np.asarray(b))
+             for a, b in zip(jax.tree.leaves(plain["batch_stats"]),
+                             jax.tree.leaves(recal["batch_stats"]))]
+    assert any(diffs)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree.leaves(recal["batch_stats"]))
