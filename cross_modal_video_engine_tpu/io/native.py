@@ -46,6 +46,12 @@ if _VD is not None:
                               ctypes.c_int64, ctypes.c_void_p,
                               ctypes.c_int, ctypes.c_int]
     _VD.vd_close.argtypes = [ctypes.c_void_p]
+    if hasattr(_VD, "vd_decode_batch"):
+        _VD.vd_decode_batch.restype = ctypes.c_int
+        _VD.vd_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int]
 
 
 def native_available() -> dict:
@@ -168,3 +174,46 @@ class NativeVideoReader:
             self.release()
         except Exception:
             pass
+
+
+def decode_videos_batch(paths: Sequence[str], indices: np.ndarray,
+                        out_w: int, out_h: int,
+                        n_threads: int = 8) -> np.ndarray:
+    """Decode a BATCH of videos into one (B, T, out_h, out_w, 3) uint8
+    array — resize happens inside the decoder (swscale), and the whole
+    batch is one ctypes call driving a C++ thread pool (the loader hot
+    path that keeps the TPU fed; the reference decodes per video from
+    Python workers).
+
+    indices: (B, T) int64 frame indices per video.  Falls back to the
+    per-video reader (native or cv2) when the compiled lib is absent.
+    Failed videos come back as zeros (matching vd_decode_batch).
+    """
+    indices = np.ascontiguousarray(np.asarray(indices, np.int64))
+    B, T = indices.shape
+    assert len(paths) == B
+    out = np.empty((B, T, out_h, out_w, 3), np.uint8)
+    if _VD is not None and hasattr(_VD, "vd_decode_batch"):
+        c_paths = (ctypes.c_char_p * B)(
+            *[os.fsencode(p) for p in paths])
+        _VD.vd_decode_batch(
+            c_paths, indices.ctypes.data_as(ctypes.c_void_p), T, B,
+            out.ctypes.data_as(ctypes.c_void_p), out_w, out_h, n_threads)
+        return out
+    # fallback: per-video decode + host resize
+    from .video_decode import open_video
+    for i, p in enumerate(paths):
+        try:
+            reader = open_video(p)
+            frames = reader.get_batch(list(indices[i]))
+            reader.release()
+            if frames.shape[1:3] != (out_h, out_w):
+                import cv2
+                frames = np.stack([
+                    cv2.resize(f, (out_w, out_h),
+                               interpolation=cv2.INTER_LINEAR)
+                    for f in frames])
+            out[i] = frames
+        except Exception:
+            out[i] = 0
+    return out

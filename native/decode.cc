@@ -22,8 +22,10 @@ extern "C" {
 }
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -163,6 +165,50 @@ void vd_close(void* handle) {
   avcodec_free_context(&d->codec);
   avformat_close_input(&d->fmt);
   delete d;
+}
+
+// Decode a BATCH of videos with a thread pool — the host-side loader hot
+// path that keeps the TPU fed (one ctypes call per training batch instead
+// of per-video Python round trips).
+//
+//   paths:        n_videos C strings
+//   indices:      concatenated frame indices, frames_per_video each
+//   out:          n_videos * frames_per_video * out_h * out_w * 3 bytes
+//   returns number of videos that FAILED (0 = all good); failed videos'
+//   buffers are zeroed.
+int vd_decode_batch(const char** paths, const int64_t* indices,
+                    int64_t frames_per_video, int64_t n_videos,
+                    uint8_t* out, int out_w, int out_h, int n_threads) {
+  if (n_videos <= 0 || frames_per_video <= 0 || out_w <= 0 || out_h <= 0) {
+    return -1;
+  }
+  const size_t video_bytes =
+      static_cast<size_t>(frames_per_video) * out_h * out_w * 3;
+  std::atomic<int64_t> next(0);
+  std::atomic<int> failures(0);
+
+  auto worker = [&]() {
+    while (true) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n_videos) return;
+      int32_t info[3];
+      void* h = vd_open(paths[i], info);
+      uint8_t* dst = out + i * video_bytes;
+      if (!h || vd_decode(h, indices + i * frames_per_video,
+                          frames_per_video, dst, out_w, out_h) != 0) {
+        memset(dst, 0, video_bytes);
+        failures.fetch_add(1);
+      }
+      if (h) vd_close(h);
+    }
+  };
+
+  int nt = std::max(1, std::min<int>(n_threads, (int)n_videos));
+  std::vector<std::thread> pool;
+  pool.reserve(nt);
+  for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+  for (auto& th : pool) th.join();
+  return failures.load();
 }
 
 }  // extern "C"
