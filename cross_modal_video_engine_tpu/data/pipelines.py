@@ -558,8 +558,10 @@ class Compose:
 def build_pipeline(cfgs: Sequence[Dict]) -> Compose:
     """Build from mmaction-style [{'type': 'SampleFrames', ...}, ...]."""
     # decode ops (DecordInit/DecordDecode/RawFrameDecode/...) register on
-    # import of io.video_decode — ensure it happened regardless of entry
+    # import of io.video_decode — ensure it happened regardless of entry;
+    # likewise the audio/pose/localization tail in pipelines_extra
     from ..io import video_decode  # noqa: F401
+    from . import pipelines_extra  # noqa: F401
     ops = []
     for cfg in cfgs:
         cfg = dict(cfg)
