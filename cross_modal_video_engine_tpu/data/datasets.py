@@ -200,3 +200,100 @@ class ClassSpecificSampler(ShardedSampler):
         pad = per * self.world_size - n
         padded = np.concatenate([order, order[:pad]]) if pad else order
         return list(padded[self.rank::self.world_size])
+
+
+class AudioDataset(BaseVideoDataset):
+    """`audio_path total_frames label` lines (audio_dataset.py:13-67); paths
+    get `suffix` appended unless already present."""
+
+    def __init__(self, ann_file: str, pipeline: Compose,
+                 suffix: str = ".wav", **kwargs):
+        self.suffix = suffix
+        super().__init__(ann_file, pipeline, **kwargs)
+
+    def load_annotations(self) -> List[Dict]:
+        infos = []
+        with open(self.ann_file) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                path, total, label = parts[0], int(parts[1]), int(parts[2])
+                if not path.endswith(self.suffix):
+                    path = path + self.suffix
+                if self.data_prefix:
+                    path = os.path.join(self.data_prefix, path)
+                infos.append(dict(audio_path=path, total_frames=total,
+                                  label=label))
+        return infos
+
+
+class AudioFeatureDataset(AudioDataset):
+    """Offline spectrogram features, same annotation grammar with `.npy`
+    paths (audio_feature_dataset.py:11-67)."""
+
+    def __init__(self, ann_file: str, pipeline: Compose,
+                 suffix: str = ".npy", **kwargs):
+        super().__init__(ann_file, pipeline, suffix=suffix, **kwargs)
+
+
+class AudioVisualDataset(RawframeDataset):
+    """Rawframe annotations with parallel audio (and optional video) paths
+    derived per row (audio_visual_dataset.py:9-77)."""
+
+    def __init__(self, ann_file: str, pipeline: Compose, audio_prefix: str,
+                 video_prefix: Optional[str] = None, **kwargs):
+        self.audio_prefix = audio_prefix
+        self.video_prefix = video_prefix
+        super().__init__(ann_file, pipeline, **kwargs)
+
+    def load_annotations(self) -> List[Dict]:
+        infos = super().load_annotations()
+        for info in infos:
+            stem = os.path.basename(info["frame_dir"])
+            info["audio_path"] = os.path.join(self.audio_prefix,
+                                              stem + ".npy")
+            if self.video_prefix:
+                info["filename"] = os.path.join(self.video_prefix,
+                                                stem + ".mp4")
+        return infos
+
+
+class RepeatDataset:
+    """Repeat a dataset `times` times to cut epoch-boundary overhead
+    (dataset_wrappers.py:8-36)."""
+
+    def __init__(self, dataset, times: int):
+        self.dataset = dataset
+        self.times = times
+
+    def __len__(self) -> int:
+        return self.times * len(self.dataset)
+
+    def __getitem__(self, idx: int):
+        return self.dataset[idx % len(self.dataset)]
+
+    def batches(self, batch_size: int,
+                order: Optional[Sequence[int]] = None):
+        order = list(order if order is not None else range(len(self)))
+        return BaseVideoDataset.batches(self, batch_size, order)  # type: ignore[arg-type]
+
+
+class ConcatDataset:
+    """Concatenate datasets end to end (dataset_wrappers.py:39-71)."""
+
+    def __init__(self, datasets: Sequence):
+        self.datasets = list(datasets)
+        self._offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    def __getitem__(self, idx: int):
+        k = int(np.searchsorted(self._offsets, idx, side="right")) - 1
+        return self.datasets[k][idx - int(self._offsets[k])]
+
+    def batches(self, batch_size: int,
+                order: Optional[Sequence[int]] = None):
+        order = list(order if order is not None else range(len(self)))
+        return BaseVideoDataset.batches(self, batch_size, order)  # type: ignore[arg-type]

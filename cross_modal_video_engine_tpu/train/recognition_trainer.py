@@ -58,12 +58,22 @@ def make_rec_optimizer(cfg: RecognitionTrainConfig, total_steps: int = 10000):
     return opt
 
 
-def make_cls_train_step(model, tx):
+def make_cls_train_step(model, tx, blending=None):
+    """`blending` (optional): a data/blending.make_blending callable — the
+    mmaction `train_cfg=dict(blending=...)` path.  Blended batches train
+    against soft labels; accuracy still reports vs the hard labels."""
+
     def loss_fn(params, videos, labels, rng):
+        if blending is not None:
+            rng, brng = jax.random.split(rng)
+            videos, soft = blending(brng, videos, labels)
         scores = model.apply({"params": params}, videos, train=True,
                              rngs={"dropout": rng})
-        loss = optax.softmax_cross_entropy_with_integer_labels(
-            scores, labels).mean()
+        if blending is not None:
+            loss = optax.softmax_cross_entropy(scores, soft).mean()
+        else:
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                scores, labels).mean()
         acc = (scores.argmax(-1) == labels).mean()
         return loss, acc
 
