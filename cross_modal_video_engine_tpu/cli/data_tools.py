@@ -10,6 +10,16 @@ Parity surfaces for the LINAS util tools:
   * build_tags       (util/get_concept_tags.py: captions -> weighted tag
                       file + tag vocab)
 
+And the MCT concept-bank organization tools (MCT/tools/ctm/):
+  * gen_videolist    (gen_videolist.py: class dirs -> per-class video-list
+                      txts for raw videos and concept-masked videos; these
+                      lists feed cli/ctv_build and cli/dump_features)
+  * organize_masks   (move_files.py: flat <concept>/<video> mask output ->
+                      <class>/<concept>/<video> tree keyed by which class
+                      each raw video belongs to)
+(The reference's yolo_split.sh per-class detector loop is a library call
+here: cli/ctv_build runs the imported-weights detector in-process.)
+
 Usage: python -m cross_modal_video_engine_tpu.cli.data_tools CMD ...
 """
 
@@ -109,6 +119,63 @@ def build_tags_cmd(args):
     print(f"wrote tags for {len(scores)} videos, vocab {len(vocab)}")
 
 
+def gen_videolist(args):
+    """Per-class `path 0` list files (ctm/gen_videolist.py semantics)."""
+    made = 0
+    if args.train_root:
+        out = os.path.join(args.output, "trainlist_classwise")
+        os.makedirs(out, exist_ok=True)
+        for cls in sorted(os.listdir(args.train_root)):
+            cdir = os.path.join(args.train_root, cls)
+            if not os.path.isdir(cdir):
+                continue
+            with open(os.path.join(out, f"{cls}.txt"), "w") as f:
+                for v in sorted(os.listdir(cdir)):
+                    f.write(f"{os.path.join(cdir, v)} 0\n")
+            made += 1
+    if args.mask_root:
+        out = os.path.join(args.output, "conceptlist_classwise")
+        os.makedirs(out, exist_ok=True)
+        for cls in sorted(os.listdir(args.mask_root)):
+            cdir = os.path.join(args.mask_root, cls)
+            if not os.path.isdir(cdir):
+                continue
+            with open(os.path.join(out, f"{cls}.txt"), "w") as f:
+                for concept in sorted(os.listdir(cdir)):
+                    kdir = os.path.join(cdir, concept)
+                    for v in sorted(os.listdir(kdir)):
+                        f.write(f"{os.path.join(kdir, v)} 0\n")
+            made += 1
+    print(f"wrote {made} class lists under {args.output}")
+
+
+def organize_masks(args):
+    """Regroup flat <concept>/<video> masked output into
+    <class>/<concept>/<video> using the raw-video class layout
+    (ctm/move_files.py semantics; copies, does not delete)."""
+    import shutil
+
+    class_videos = {
+        cls: set(os.listdir(os.path.join(args.train_root, cls)))
+        for cls in os.listdir(args.train_root)
+        if os.path.isdir(os.path.join(args.train_root, cls))}
+    copied = 0
+    for concept in sorted(os.listdir(args.mask_root)):
+        cdir = os.path.join(args.mask_root, concept)
+        if not os.path.isdir(cdir):
+            continue
+        for video in os.listdir(cdir):
+            for cls, vids in class_videos.items():
+                if video in vids:
+                    dst = os.path.join(args.target_root, cls, concept)
+                    os.makedirs(dst, exist_ok=True)
+                    shutil.copyfile(os.path.join(cdir, video),
+                                    os.path.join(dst, video))
+                    copied += 1
+                    break
+    print(f"copied {copied} masked videos into {args.target_root}")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -141,6 +208,18 @@ def main(argv=None):
     p.add_argument("--output", required=True)
     p.add_argument("--vocab_size", type=int, default=512)
     p.set_defaults(fn=build_tags_cmd)
+
+    p = sub.add_parser("gen_videolist")
+    p.add_argument("--train_root", default=None)
+    p.add_argument("--mask_root", default=None)
+    p.add_argument("--output", required=True)
+    p.set_defaults(fn=gen_videolist)
+
+    p = sub.add_parser("organize_masks")
+    p.add_argument("--train_root", required=True)
+    p.add_argument("--mask_root", required=True)
+    p.add_argument("--target_root", required=True)
+    p.set_defaults(fn=organize_masks)
 
     args = parser.parse_args(argv)
     return args.fn(args)

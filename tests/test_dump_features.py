@@ -83,3 +83,36 @@ def test_dump_embeddings_only(tmp_path):
     assert len(feats) == 3
     rec = next(iter(feats.values()))
     assert set(rec) == {"pred", 1}
+
+
+def test_gen_videolist_and_organize_masks(tmp_path):
+    from cross_modal_video_engine_tpu.cli.data_tools import main as dt_main
+
+    train = tmp_path / "train"
+    for cls, vids in [("jump", ["a.mp4", "b.mp4"]), ("run", ["c.mp4"])]:
+        (train / cls).mkdir(parents=True)
+        for v in vids:
+            (train / cls / v).write_bytes(b"x")
+    # flat detector output: concept/video
+    mask = tmp_path / "mask_flat"
+    (mask / "person").mkdir(parents=True)
+    (mask / "person" / "a.mp4").write_bytes(b"m")
+    (mask / "person" / "c.mp4").write_bytes(b"m")
+    (mask / "ball").mkdir(parents=True)
+    (mask / "ball" / "b.mp4").write_bytes(b"m")
+
+    target = tmp_path / "mask_tree"
+    dt_main(["organize_masks", "--train_root", str(train),
+             "--mask_root", str(mask), "--target_root", str(target)])
+    assert (target / "jump" / "person" / "a.mp4").exists()
+    assert (target / "jump" / "ball" / "b.mp4").exists()
+    assert (target / "run" / "person" / "c.mp4").exists()
+
+    out = tmp_path / "lists"
+    dt_main(["gen_videolist", "--train_root", str(train),
+             "--mask_root", str(target), "--output", str(out)])
+    tl = (out / "trainlist_classwise" / "jump.txt").read_text().splitlines()
+    assert len(tl) == 2 and tl[0].endswith(" 0")
+    cl = (out / "conceptlist_classwise" / "jump.txt").read_text().splitlines()
+    assert len(cl) == 2  # person/a.mp4 + ball/b.mp4
+    assert any("person" in line for line in cl)
