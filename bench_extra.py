@@ -129,10 +129,46 @@ def bench_text_tower(batch=256, steps=20):
     }))
 
 
+def bench_u8_ingest(batch=32, frames=8, steps=20):
+    """Flagship tower fed the production uint8 ingest path
+    (encode_video_u8: fused dequant+normalize+patchify tokens -> patch
+    GEMM).  vs_baseline compares against the same 350 videos/s target
+    as bench.py; docs/PERF.md has the device-resident A/B."""
+    import jax
+    import jax.numpy as jnp
+    from cross_modal_video_engine_tpu.models.clip import (CLIPConfig,
+                                                          CLIPModel)
+    from cross_modal_video_engine_tpu.utils.profiling import device_time
+
+    cfg = CLIPConfig(dtype="bfloat16")
+    model = CLIPModel(cfg)
+    rng = np.random.default_rng(3)
+    f_u8 = jnp.asarray(rng.integers(0, 256, (batch, frames, 224, 224, 3),
+                                    dtype=np.uint8))
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 224, 224, 3), jnp.float32),
+                             jnp.zeros((1, 77), jnp.int32)),
+        jax.random.key(0))
+    variables = jax.tree.map(
+        lambda s: jnp.asarray(
+            rng.standard_normal(s.shape).astype(np.float32) * 0.02, s.dtype),
+        shapes)
+    dt = device_time(
+        lambda v, x: model.apply(v, x, method="encode_video_u8")[0],
+        variables, f_u8, steps=steps, perturb_argnums=(1,))
+    vps = batch / dt
+    print(json.dumps({
+        "metric": "video_embed_u8_ingest_vitb32_bf16_8f224",
+        "value": round(vps, 1), "unit": "videos/sec/chip",
+        "vs_baseline": round(vps / 350.0, 3),
+    }))
+
+
 def main():
     bench_retrieval_p50()
     bench_flash_sweep()
     bench_text_tower()
+    bench_u8_ingest()
 
 
 if __name__ == "__main__":

@@ -147,21 +147,47 @@ class Transformer(nn.Module):
         return x
 
 
+class PatchEmbed(nn.Module):
+    """The patch-embedding conv, also applicable to pre-patchified tokens:
+    `tokens @ kernel.reshape(-1, width)` == the strided conv, so the uint8
+    ingest path (ops/pallas_preprocess.u8_to_patches) feeds the same param.
+    Param tree matches nn.Conv ('kernel', (p, p, C, width), lecun_normal)
+    so checkpoint importers are unaffected."""
+
+    width: int
+    patch: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: Optional[jnp.ndarray] = None,
+                 tokens: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.patch, self.patch, 3, self.width))
+        if tokens is not None:                       # (B, L, p*p*3)
+            w = kernel.reshape(-1, self.width).astype(self.dtype)
+            return jnp.dot(tokens.astype(self.dtype), w)
+        out = jax.lax.conv_general_dilated(
+            images.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(self.patch, self.patch), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out.reshape(out.shape[0], -1, self.width)
+
+
 class VisionTower(nn.Module):
     cfg: CLIPConfig
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray
+    def __call__(self, images: Optional[jnp.ndarray] = None, *,
+                 tokens: Optional[jnp.ndarray] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """images: (B, H, W, 3) -> (high (B, E), low (B, G^2, W),
+        """images: (B, H, W, 3) (or pre-patchified `tokens`
+        (B, G^2, p*p*3)) -> (high (B, E), low (B, G^2, W),
         middle (B, G^2, W))."""
         cfg = self.cfg
         dt = cfg.jdtype()
-        x = nn.Conv(cfg.vision_width, (cfg.patch_size, cfg.patch_size),
-                    strides=(cfg.patch_size, cfg.patch_size), use_bias=False,
-                    dtype=dt, name="conv1")(images.astype(dt))
-        B = x.shape[0]
-        x = x.reshape(B, -1, cfg.vision_width)                 # (B, G^2, W)
+        x = PatchEmbed(cfg.vision_width, cfg.patch_size, dt,
+                       name="conv1")(images, tokens)
+        B = x.shape[0]                                         # (B, G^2, W)
         low_fea = x
         cls = self.param("class_embedding",
                          nn.initializers.normal(cfg.vision_width ** -0.5),
@@ -245,6 +271,22 @@ class CLIPModel(nn.Module):
         B, F = frames.shape[0], frames.shape[1]
         flat = frames.reshape((B * F,) + frames.shape[2:])
         high, _low, middle = self.visual(flat)
+        return (high.reshape(B, F, -1),
+                middle.reshape(B, F, middle.shape[1], middle.shape[2]))
+
+    def encode_video_u8(self, frames_u8: jnp.ndarray):
+        """uint8 ingest: (B, F, H, W, 3) u8 -> same outputs as
+        encode_video(normalized frames), via the fused dequant+normalize+
+        patchify ingest (ops/pallas_preprocess.u8_to_patches) straight into
+        the patch-embed GEMM — no f32 frame tensor is materialized and the
+        host->device transfer is 4x smaller."""
+        from ..ops.pallas_preprocess import u8_to_patches
+
+        B, F = frames_u8.shape[0], frames_u8.shape[1]
+        flat = frames_u8.reshape((B * F,) + frames_u8.shape[2:])
+        toks = u8_to_patches(flat, self.cfg.patch_size,
+                             out_dtype=self.cfg.jdtype())
+        high, _low, middle = self.visual(tokens=toks)
         return (high.reshape(B, F, -1),
                 middle.reshape(B, F, middle.shape[1], middle.shape[2]))
 
