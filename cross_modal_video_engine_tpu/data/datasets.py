@@ -297,3 +297,55 @@ class ConcatDataset:
                 order: Optional[Sequence[int]] = None):
         order = list(order if order is not None else range(len(self)))
         return BaseVideoDataset.batches(self, batch_size, order)  # type: ignore[arg-type]
+
+
+class ImageDataset(VideoDataset):
+    """`image_path label[s]` lines — the OmniSource image branch
+    (image_dataset.py:7-45); pipelines pair ImageDecode with
+    BuildPseudoClip to make a pseudo video clip."""
+
+    def __init__(self, ann_file: str, pipeline: Compose,
+                 num_classes: Optional[int] = None, **kwargs):
+        self.num_classes = num_classes
+        super().__init__(ann_file, pipeline, **kwargs)
+
+    def load_annotations(self) -> List[Dict]:
+        infos = []
+        with open(self.ann_file) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                filename, labels = parts[0], [int(x) for x in parts[1:]]
+                if self.data_prefix:
+                    filename = os.path.join(self.data_prefix, filename)
+                if len(labels) > 1:
+                    assert self.num_classes, "multi-label needs num_classes"
+                    onehot = np.zeros((self.num_classes,), np.float32)
+                    onehot[labels] = 1.0
+                    infos.append(dict(filename=filename, label=onehot))
+                else:
+                    infos.append(dict(filename=filename, label=labels[0]))
+        return infos
+
+
+class RawVideoDataset(BaseVideoDataset):
+    """`video_dir label num_clips positive_clip_inds...` lines
+    (rawvideo_dataset.py:77-99) — untrimmed videos pre-cut into clip
+    files, with the positive clip indices marked."""
+
+    def load_annotations(self) -> List[Dict]:
+        infos = []
+        with open(self.ann_file) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                video_dir = parts[0]
+                if self.data_prefix:
+                    video_dir = os.path.join(self.data_prefix, video_dir)
+                infos.append(dict(
+                    video_dir=video_dir, label=int(parts[1]),
+                    num_clips=int(parts[2]),
+                    positive_clip_inds=[int(x) for x in parts[3:]]))
+        return infos

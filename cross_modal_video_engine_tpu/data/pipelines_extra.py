@@ -978,3 +978,97 @@ class SampleProposalFrames:
         if self.mode in ("train", "val"):
             results["num_proposals"] = len(results["out_proposals"])
         return results
+
+
+# ---------------------------------------------------------------------------
+# decode / formatting tail
+# ---------------------------------------------------------------------------
+
+
+@PIPELINES.register("ImageDecode")
+class ImageDecode:
+    """loading.py ImageDecode: read one image file into the imgs list
+    (the OmniSource image branch; pairs with BuildPseudoClip)."""
+
+    def __call__(self, results: Dict) -> Dict:
+        import cv2
+
+        img = cv2.imread(results["filename"])
+        if img is None:
+            raise FileNotFoundError(results["filename"])
+        img = img[..., ::-1]  # BGR -> RGB like mmcv imfrombytes rgb
+        results["imgs"] = [np.ascontiguousarray(img)]
+        results["original_shape"] = img.shape[:2]
+        results["img_shape"] = img.shape[:2]
+        results["total_frames"] = 1
+        return results
+
+
+@PIPELINES.register("ArrayDecode")
+class ArrayDecode:
+    """loading.py:1350-1390: pick frames from an in-memory 4D array
+    (RGB) or flow stack."""
+
+    def __call__(self, results: Dict) -> Dict:
+        array = results["array"]
+        inds = np.squeeze(results["frame_inds"]) + results.get("offset", 0)
+        modality = results.get("modality", "RGB")
+        imgs = []
+        for idx in np.atleast_1d(inds):
+            if modality == "RGB":
+                imgs.append(array[idx])
+            elif modality == "Flow":
+                imgs.extend([array[idx, ..., 0], array[idx, ..., 1]])
+            else:
+                raise NotImplementedError(modality)
+        results["imgs"] = imgs
+        results["original_shape"] = imgs[0].shape[:2]
+        results["img_shape"] = imgs[0].shape[:2]
+        return results
+
+
+@PIPELINES.register("Rename")
+class Rename:
+    """formatting.py:59-81."""
+
+    def __init__(self, mapping: Dict[str, str]):
+        self.mapping = dict(mapping)
+
+    def __call__(self, results: Dict) -> Dict:
+        for old, new in self.mapping.items():
+            if old in results:
+                assert new not in results
+                results[new] = results.pop(old)
+        return results
+
+
+@PIPELINES.register("Transpose")
+class Transpose:
+    """formatting.py:146-170."""
+
+    def __init__(self, keys: Sequence[str], order: Sequence[int]):
+        self.keys = list(keys)
+        self.order = tuple(order)
+
+    def __call__(self, results: Dict) -> Dict:
+        for key in self.keys:
+            results[key] = np.asarray(results[key]).transpose(self.order)
+        return results
+
+
+@PIPELINES.register("Collect")
+class Collect:
+    """formatting.py Collect: keep only the requested keys (+ meta under
+    'img_metas' when meta_keys given) — the batch contract for trainers."""
+
+    def __init__(self, keys: Sequence[str],
+                 meta_keys: Sequence[str] = ()):
+        self.keys = list(keys)
+        self.meta_keys = list(meta_keys)
+
+    def __call__(self, results: Dict) -> Dict:
+        out = {k: results[k] for k in self.keys}
+        if self.meta_keys:
+            out["img_metas"] = {k: results[k] for k in self.meta_keys
+                                if k in results}
+        return out

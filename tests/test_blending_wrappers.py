@@ -157,3 +157,24 @@ def test_repeat_and_concat(tmp_path):
     assert cat[1]["filename"] == "b.mp4"
     with pytest.raises(IndexError):
         _ = cat[3]
+
+
+def test_image_dataset_multilabel(tmp_path):
+    from cross_modal_video_engine_tpu.data.datasets import ImageDataset
+    ann = tmp_path / "ann.txt"
+    ann.write_text("a.jpg 1 3\nb.jpg 2\n")
+    ds = ImageDataset(str(ann), _identity_pipeline(), num_classes=5)
+    assert ds.video_infos[0]["label"].shape == (5,)
+    assert ds.video_infos[0]["label"][3] == 1.0
+    assert ds.video_infos[1]["label"] == 2
+
+
+def test_rawvideo_dataset(tmp_path):
+    from cross_modal_video_engine_tpu.data.datasets import RawVideoDataset
+    ann = tmp_path / "ann.txt"
+    ann.write_text("vid-1 3 5 0 2 4\n")
+    ds = RawVideoDataset(str(ann), _identity_pipeline(), data_prefix="/d")
+    info = ds.video_infos[0]
+    assert info["video_dir"] == "/d/vid-1"
+    assert info["num_clips"] == 5
+    assert info["positive_clip_inds"] == [0, 2, 4]

@@ -347,3 +347,41 @@ def test_build_pipeline_resolves_extra_ops():
     kp = rng.standard_normal((1, 12, 17, 2)).astype(np.float32)
     out = pipe({"total_frames": 12, "keypoint": kp})
     assert out["keypoint"].shape == (2, 6, 17, 2)
+
+
+# ------------------------------------------------- decode/formatting tail
+
+
+def test_image_decode_and_pseudo_clip(tmp_path):
+    import cv2
+    from cross_modal_video_engine_tpu.data.pipelines_extra import ImageDecode
+    img = rng.integers(0, 256, (16, 20, 3), dtype=np.uint8)
+    path = str(tmp_path / "i.png")
+    cv2.imwrite(path, img[..., ::-1])  # write BGR so RGB read matches
+    out = ImageDecode()({"filename": path})
+    assert out["total_frames"] == 1
+    np.testing.assert_array_equal(out["imgs"][0], img)
+    out = BuildPseudoClip(clip_len=3)(out)
+    assert len(out["imgs"]) == 3
+
+
+def test_array_decode_rgb_and_flow():
+    from cross_modal_video_engine_tpu.data.pipelines_extra import ArrayDecode
+    arr = rng.standard_normal((6, 4, 4, 2)).astype(np.float32)
+    out = ArrayDecode()({"array": arr, "frame_inds": np.array([1, 3]),
+                         "modality": "Flow"})
+    assert len(out["imgs"]) == 4  # 2 frames x 2 flow channels
+    np.testing.assert_allclose(out["imgs"][0], arr[1, ..., 0])
+
+
+def test_rename_transpose_collect():
+    from cross_modal_video_engine_tpu.data.pipelines import build_pipeline
+    pipe = build_pipeline([
+        dict(type="Rename", mapping={"x": "imgs"}),
+        dict(type="Transpose", keys=["imgs"], order=(2, 0, 1)),
+        dict(type="Collect", keys=["imgs"], meta_keys=["name"]),
+    ])
+    out = pipe({"x": np.zeros((4, 5, 3)), "name": "v1", "junk": 1})
+    assert out["imgs"].shape == (3, 4, 5)
+    assert out["img_metas"] == {"name": "v1"}
+    assert "junk" not in out
