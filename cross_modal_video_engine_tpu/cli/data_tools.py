@@ -176,6 +176,124 @@ def organize_masks(args):
     print(f"copied {copied} masked videos into {args.target_root}")
 
 
+def build_file_list(args):
+    """Class-directory tree -> `path label` annotation lists
+    (MCT/tools/data/build_file_list.py semantics: sorted class names map
+    to label ids; rawframes mode counts frames per dir)."""
+    classes = sorted(d for d in os.listdir(args.src_dir)
+                     if os.path.isdir(os.path.join(args.src_dir, d)))
+    lines = []
+    for label, cls in enumerate(classes):
+        cdir = os.path.join(args.src_dir, cls)
+        for item in sorted(os.listdir(cdir)):
+            rel = os.path.join(cls, item)
+            if args.format == "videos":
+                lines.append(f"{rel} {label}\n")
+            else:  # rawframes: `frame_dir total_frames label`
+                n = len(os.listdir(os.path.join(cdir, item)))
+                lines.append(f"{rel} {n} {label}\n")
+    os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+    with open(args.output, "w") as f:
+        f.writelines(lines)
+    with open(args.output + ".classes.txt", "w") as f:
+        f.writelines(c + "\n" for c in classes)
+    print(f"wrote {len(lines)} entries, {len(classes)} classes")
+
+
+def build_rawframes(args):
+    """Decode every video under src_dir into img_%05d.jpg frame dirs
+    (MCT/tools/data/build_rawframes.py; decode via the native libav
+    reader, resize short side with cv2)."""
+    import cv2
+
+    from ..io.native import NativeVideoReader
+
+    count = 0
+    for root, _dirs, files in os.walk(args.src_dir):
+        for name in sorted(files):
+            if not name.endswith(tuple(args.ext.split(","))):
+                continue
+            src = os.path.join(root, name)
+            rel = os.path.relpath(src, args.src_dir)
+            dst = os.path.join(args.out_dir, os.path.splitext(rel)[0])
+            os.makedirs(dst, exist_ok=True)
+            reader = NativeVideoReader(src)
+            frames = reader.get_batch(list(range(len(reader))))
+            reader.release()
+            for i, frame in enumerate(frames):
+                if args.new_short > 0:
+                    h, w = frame.shape[:2]
+                    if min(h, w) > args.new_short:
+                        s = args.new_short / min(h, w)
+                        frame = cv2.resize(
+                            frame, (int(round(w * s)), int(round(h * s))))
+                cv2.imwrite(os.path.join(dst, f"img_{i + 1:05d}.jpg"),
+                            frame[..., ::-1])
+            count += 1
+    print(f"extracted frames for {count} videos into {args.out_dir}")
+
+
+def extract_audio(args):
+    """Video containers -> mono 16 kHz wav files
+    (MCT/tools/data/extract_audio.py shells `ffmpeg -map 0:a`; here the
+    native libav layer decodes + resamples in-process)."""
+    import wave as wave_mod
+
+    from ..io.native import read_audio
+
+    done = skipped = 0
+    for root, _dirs, files in os.walk(args.src_dir):
+        for name in sorted(files):
+            if not name.endswith(tuple(args.ext.split(","))):
+                continue
+            src = os.path.join(root, name)
+            rel = os.path.relpath(src, args.src_dir)
+            dst = os.path.join(args.out_dir,
+                               os.path.splitext(rel)[0] + ".wav")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            y = read_audio(src, args.sample_rate)
+            if y is None:
+                skipped += 1
+                continue
+            with wave_mod.open(dst, "wb") as f:
+                f.setnchannels(1)
+                f.setsampwidth(2)
+                f.setframerate(args.sample_rate)
+                f.writeframes(
+                    (np.clip(y, -1, 1) * 32767).astype("<i2").tobytes())
+            done += 1
+    print(f"extracted {done} wavs ({skipped} without audio)")
+
+
+def build_audio_features(args):
+    """wav -> log-mel .npy feature maps for AudioFeatureDataset
+    (MCT/tools/data/build_audio_features.py: 80 mels, librosa defaults;
+    computed with the same numpy STFT as the MelSpectrogram pipeline op)."""
+    from ..data.pipelines_extra import AudioDecodeInit, MelSpectrogram
+
+    loader = AudioDecodeInit(sample_rate=args.sample_rate)
+    count = 0
+    for root, _dirs, files in os.walk(args.src_dir):
+        for name in sorted(files):
+            if not name.endswith(".wav"):
+                continue
+            src = os.path.join(root, name)
+            res = loader({"audio_path": src})
+            n_frames = max(1, res["length"]
+                           // int(args.sample_rate * 0.016))
+            res["num_clips"] = 1
+            res["audios"] = res["audios"][None]
+            mel = MelSpectrogram(n_mels=args.n_mels,
+                                 fixed_length=n_frames)(res)["audios"][0]
+            rel = os.path.relpath(src, args.src_dir)
+            dst = os.path.join(args.out_dir,
+                               os.path.splitext(rel)[0] + ".npy")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            np.save(dst, np.log(np.maximum(mel, 1e-10)).astype(np.float32))
+            count += 1
+    print(f"wrote {count} feature maps to {args.out_dir}")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -220,6 +338,34 @@ def main(argv=None):
     p.add_argument("--mask_root", required=True)
     p.add_argument("--target_root", required=True)
     p.set_defaults(fn=organize_masks)
+
+    p = sub.add_parser("build_file_list")
+    p.add_argument("--src_dir", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--format", choices=("videos", "rawframes"),
+                   default="videos")
+    p.set_defaults(fn=build_file_list)
+
+    p = sub.add_parser("build_rawframes")
+    p.add_argument("--src_dir", required=True)
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--ext", default="mp4,avi,webm,mkv")
+    p.add_argument("--new_short", type=int, default=0)
+    p.set_defaults(fn=build_rawframes)
+
+    p = sub.add_parser("extract_audio")
+    p.add_argument("--src_dir", required=True)
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--ext", default="mp4,avi,webm,mkv")
+    p.add_argument("--sample_rate", type=int, default=16000)
+    p.set_defaults(fn=extract_audio)
+
+    p = sub.add_parser("build_audio_features")
+    p.add_argument("--src_dir", required=True)
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--sample_rate", type=int, default=16000)
+    p.add_argument("--n_mels", type=int, default=80)
+    p.set_defaults(fn=build_audio_features)
 
     args = parser.parse_args(argv)
     return args.fn(args)

@@ -86,7 +86,16 @@ class AudioDecodeInit:
 
     def __call__(self, results: Dict) -> Dict:
         path = results["audio_path"]
-        y = self._read_wav(path) if os.path.exists(path) else self._dummy()
+        y = None
+        if os.path.exists(path):
+            if path.endswith(".wav"):
+                y = self._read_wav(path)
+            else:
+                # non-wav containers (mp4/mkv/...): native libav decode
+                from ..io.native import read_audio
+                y = read_audio(path, self.sample_rate)
+        if y is None:
+            y = self._dummy()
         results["length"] = y.shape[0]
         results["sample_rate"] = self.sample_rate
         results["audios"] = y

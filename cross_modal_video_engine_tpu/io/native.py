@@ -46,6 +46,12 @@ if _VD is not None:
                               ctypes.c_int64, ctypes.c_void_p,
                               ctypes.c_int, ctypes.c_int]
     _VD.vd_close.argtypes = [ctypes.c_void_p]
+    if hasattr(_VD, "ad_extract"):
+        _VD.ad_duration.restype = ctypes.c_double
+        _VD.ad_duration.argtypes = [ctypes.c_char_p]
+        _VD.ad_extract.restype = ctypes.c_int64
+        _VD.ad_extract.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                   ctypes.c_void_p, ctypes.c_int64]
     if hasattr(_VD, "vd_decode_batch"):
         _VD.vd_decode_batch.restype = ctypes.c_int
         _VD.vd_decode_batch.argtypes = [
@@ -174,6 +180,26 @@ class NativeVideoReader:
             self.release()
         except Exception:
             pass
+
+
+def read_audio(path: str, sample_rate: int = 16000
+               ) -> Optional[np.ndarray]:
+    """Decode a container's audio stream to mono float32 at `sample_rate`
+    (in-process replacement for the reference's `ffmpeg -map 0:a` shell
+    call, MCT/tools/data/extract_audio.py:21).  Returns None when the
+    native lib is unavailable or the file has no audio stream."""
+    if _VD is None or not hasattr(_VD, "ad_extract"):
+        return None
+    secs = _VD.ad_duration(os.fsencode(path))
+    if secs <= 0:
+        secs = 600.0  # unknown duration: cap at 10 minutes
+    max_samples = int(secs * sample_rate) + sample_rate
+    out = np.empty((max_samples,), np.float32)
+    n = _VD.ad_extract(os.fsencode(path), sample_rate,
+                       out.ctypes.data_as(ctypes.c_void_p), max_samples)
+    if n < 0:
+        return None
+    return out[:n].copy()
 
 
 def decode_videos_batch(paths: Sequence[str], indices: np.ndarray,

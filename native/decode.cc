@@ -211,4 +211,130 @@ int vd_decode_batch(const char** paths, const int64_t* indices,
   return failures.load();
 }
 
+// ---------------------------------------------------------------------------
+// Audio extraction (the reference shells out to `ffmpeg -map 0:a`
+// per video, MCT/tools/data/extract_audio.py:21; here it is one in-process
+// call: decode the best audio stream, mixdown to mono float and resample
+// to target_rate via libswresample).
+//
+//   ad_duration(path) -> seconds (<=0 on failure / no audio)
+//   ad_extract(path, target_rate, out, max_samples) -> samples written
+//       (truncates at max_samples; negative = error / no audio stream)
+
+extern "C" {
+#include <libswresample/swresample.h>
+}
+
+extern "C" {
+
+double ad_duration(const char* path) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1.0;
+  double secs = -1.0;
+  if (avformat_find_stream_info(fmt, nullptr) >= 0 && fmt->duration > 0) {
+    secs = fmt->duration / (double)AV_TIME_BASE;
+  }
+  avformat_close_input(&fmt);
+  return secs;
+}
+
+int64_t ad_extract(const char* path, int target_rate, float* out,
+                   int64_t max_samples) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
+  if (avformat_find_stream_info(fmt, nullptr) < 0) {
+    avformat_close_input(&fmt);
+    return -1;
+  }
+  const AVCodec* dec = nullptr;
+  int si = av_find_best_stream(fmt, AVMEDIA_TYPE_AUDIO, -1, -1, &dec, 0);
+  if (si < 0) {
+    avformat_close_input(&fmt);
+    return -2;  // no audio stream
+  }
+  AVCodecContext* codec = avcodec_alloc_context3(dec);
+  avcodec_parameters_to_context(codec, fmt->streams[si]->codecpar);
+  if (avcodec_open2(codec, dec, nullptr) < 0) {
+    avcodec_free_context(&codec);
+    avformat_close_input(&fmt);
+    return -3;
+  }
+
+  SwrContext* swr = nullptr;
+  AVChannelLayout mono = AV_CHANNEL_LAYOUT_MONO;
+  AVChannelLayout in_layout;
+  if (codec->ch_layout.nb_channels > 0) {
+    av_channel_layout_copy(&in_layout, &codec->ch_layout);
+  } else {
+    av_channel_layout_default(&in_layout, 2);
+  }
+  if (swr_alloc_set_opts2(&swr, &mono, AV_SAMPLE_FMT_FLT, target_rate,
+                          &in_layout, codec->sample_fmt, codec->sample_rate,
+                          0, nullptr) < 0) {
+    if (swr) swr_free(&swr);
+    avcodec_free_context(&codec);
+    avformat_close_input(&fmt);
+    return -4;
+  }
+  // plain per-channel average (librosa semantics) instead of swr's
+  // default -3 dB downmix
+  if (in_layout.nb_channels > 1) {
+    std::vector<double> matrix(in_layout.nb_channels,
+                               1.0 / in_layout.nb_channels);
+    swr_set_matrix(swr, matrix.data(), in_layout.nb_channels);
+  }
+  if (swr_init(swr) < 0) {
+    if (swr) swr_free(&swr);
+    avcodec_free_context(&codec);
+    avformat_close_input(&fmt);
+    return -4;
+  }
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int64_t written = 0;
+
+  auto drain_swr = [&](const AVFrame* f) {
+    while (written < max_samples) {
+      uint8_t* dst[1] = {
+          reinterpret_cast<uint8_t*>(out + written)};
+      int room = static_cast<int>(
+          std::min<int64_t>(max_samples - written, 1 << 16));
+      int got = f ? swr_convert(swr, dst, room,
+                                const_cast<const uint8_t**>(f->data),
+                                f->nb_samples)
+                  : swr_convert(swr, dst, room, nullptr, 0);
+      if (got <= 0) break;
+      written += got;
+      if (f) f = nullptr;  // only feed the frame once; then drain
+    }
+  };
+
+  while (written < max_samples && av_read_frame(fmt, pkt) >= 0) {
+    if (pkt->stream_index == si &&
+        avcodec_send_packet(codec, pkt) == 0) {
+      while (avcodec_receive_frame(codec, frame) == 0) {
+        drain_swr(frame);
+      }
+    }
+    av_packet_unref(pkt);
+  }
+  avcodec_send_packet(codec, nullptr);
+  while (written < max_samples &&
+         avcodec_receive_frame(codec, frame) == 0) {
+    drain_swr(frame);
+  }
+  drain_swr(nullptr);  // flush the resampler
+
+  av_frame_free(&frame);
+  av_packet_free(&pkt);
+  swr_free(&swr);
+  av_channel_layout_uninit(&in_layout);
+  avcodec_free_context(&codec);
+  avformat_close_input(&fmt);
+  return written;
+}
+
+}  // extern "C"
+
 }  // extern "C"
