@@ -59,10 +59,14 @@ def device_time(fn: Callable, *args, steps: int = 10,
 
     To stop XLA hoisting the body out of the loop, the args listed in
     `perturb_argnums` (default: all) get a dtype-preserving data
-    dependency on the loop carry (a select, so ints survive).  Leave big
-    LOOP-INVARIANT operands (a multi-GB index, the params tree) OUT of
-    perturb_argnums — perturbing them forces a full copy per iteration
-    and measures memcpy, not your function.
+    dependency on the loop carry: `select(pred(carry), x, zeros)` — the
+    branches DIFFER, so the select cannot be simplified away (the earlier
+    `select(p, x, x)` form was folded to `x` and let XLA hoist the whole
+    body, inflating throughput numbers past chip peak).  The select costs
+    one copy of the perturbed arg per iteration — measurements are
+    correspondingly conservative.  Leave big LOOP-INVARIANT operands (a
+    multi-GB index, the params tree) OUT of perturb_argnums: perturbing
+    them measures memcpy, not your function.
     """
     import jax
     import jax.numpy as jnp
@@ -73,14 +77,17 @@ def device_time(fn: Callable, *args, steps: int = 10,
     @jax.jit
     def run(*a):
         def body(i, carry):
-            dep = carry >= 0          # dynamic, dtype-free dependency
+            dep = jnp.isfinite(carry)  # dynamic; never provably constant
             perturbed = [
-                jax.tree.map(lambda x: jnp.where(dep, x, x), arg)
+                jax.tree.map(
+                    lambda x: jnp.where(dep, x, jnp.zeros_like(x)), arg)
                 if j in idxs else arg
                 for j, arg in enumerate(a)]
             out = fn(*perturbed)
+            # fold EVERY output leaf into the carry so no part of fn is
+            # dead-code-eliminated
             leaves = jax.tree.leaves(out)
-            return jnp.asarray(leaves[0], jnp.float32).mean()
+            return sum(jnp.asarray(l, jnp.float32).mean() for l in leaves)
         return jax.lax.fori_loop(0, steps, body, jnp.float32(0))
 
     np.asarray(run(*args))             # compile + warm
