@@ -2,6 +2,7 @@
 formulas (LINAS loss.py:7-153, seqmll_loss.py:10-24)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from cross_modal_video_engine_tpu.ops.similarity import (
@@ -187,3 +188,67 @@ def test_contrastive():
     logits = info_nce_logits(jnp.asarray(pred), jnp.asarray(pred))
     # perfect alignment -> diagonal dominates at scale 100 -> loss ~ 0
     assert float(clip_contrastive_loss(logits)) < 1e-3
+
+
+def test_similarity_distill_svd_matches_torch_replica():
+    """'svd' spectral variant vs an exact torch.svd replica of
+    LINAS-engine/model.py:849-853 (incl. its V-not-V^T quirk)."""
+    import torch
+    from cross_modal_video_engine_tpu.losses.distill import (
+        similarity_distill)
+
+    g = np.random.default_rng(12)
+    ve = g.standard_normal((6, 8)).astype(np.float32)
+    ce = g.standard_normal((6, 8)).astype(np.float32)
+    sv = g.standard_normal((6, 8)).astype(np.float32)
+    sc = g.standard_normal((6, 8)).astype(np.float32)
+
+    got = float(similarity_distill(ve, ce, sv, sc, similarity_type="svd"))
+
+    def torch_xform(s):
+        a, b, c = torch.svd(s)
+        return torch.matmul(a, torch.matmul(torch.diag(torch.log(b)), c))
+
+    t1 = torch_xform(torch.from_numpy(ve) @ torch.from_numpy(ce).T)
+    t2 = torch_xform(torch.from_numpy(sv) @ torch.from_numpy(sc).T)
+    want = float(torch.nn.SmoothL1Loss(reduction="sum")(t1, t2))
+    assert got == pytest.approx(want, rel=2e-3)
+
+
+def test_similarity_distill_svd_has_gradient():
+    import jax
+    from cross_modal_video_engine_tpu.losses.distill import (
+        similarity_distill)
+
+    g = np.random.default_rng(1)
+    ve = jnp.asarray(g.standard_normal((4, 5)), jnp.float32)
+    ce = jnp.asarray(g.standard_normal((4, 5)), jnp.float32)
+    sv = jnp.asarray(g.standard_normal((4, 5)), jnp.float32)
+    sc = jnp.asarray(g.standard_normal((4, 5)), jnp.float32)
+    grad = jax.grad(lambda x: similarity_distill(
+        ve, ce, x, sc, similarity_type="svd"))(sv)
+    assert np.isfinite(np.asarray(grad)).all()
+    assert float(jnp.abs(grad).sum()) > 0
+
+
+def test_similarity_distill_eig_matches_numpy_replica():
+    from cross_modal_video_engine_tpu.losses.distill import (
+        huber, similarity_distill)
+
+    g = np.random.default_rng(7)
+    ve = g.standard_normal((5, 6)).astype(np.float32)
+    ce = g.standard_normal((5, 6)).astype(np.float32)
+    sv = g.standard_normal((5, 6)).astype(np.float32)
+    sc = g.standard_normal((5, 6)).astype(np.float32)
+
+    got = float(similarity_distill(ve, ce, sv, sc, similarity_type="eig"))
+
+    def xform(s):
+        w, v = np.linalg.eig(s.astype(np.float64))
+        return np.real(v @ np.diag(w.real) @ np.linalg.inv(v))
+
+    t1 = xform(ve @ ce.T)
+    t2 = xform(sv @ sc.T)
+    want = float(np.sum(np.asarray(huber(jnp.asarray(t1, jnp.float32),
+                                         jnp.asarray(t2, jnp.float32)))))
+    assert got == pytest.approx(want, rel=1e-3)
