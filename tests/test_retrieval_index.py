@@ -137,3 +137,21 @@ def test_index_add_many_small_batches_stays_in_place():
     brute = np.argsort(-(qn @ fn.T), axis=1)[:, :5]
     _, ids = idx.search(q, k=5)
     np.testing.assert_array_equal(ids, brute)
+
+
+def test_search_exact_on_large_index_partial_reduce_path():
+    """N > 4096 routes through lax.approx_max_k; recall_target=1.0 must
+    stay EXACT vs a numpy argsort."""
+    g = np.random.default_rng(123)
+    emb = g.standard_normal((8192, 32)).astype(np.float32)
+    index = RetrievalIndex(emb, capacity=8192)
+    q = g.standard_normal((5, 32)).astype(np.float32)
+    vals, idx = index.search(q, k=7)
+
+    embn = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qn @ embn.T
+    want = np.argsort(-sims, axis=1)[:, :7]
+    np.testing.assert_array_equal(np.sort(idx, 1), np.sort(want, 1))
+    np.testing.assert_allclose(
+        vals, np.take_along_axis(sims, idx, 1), rtol=1e-5, atol=1e-5)
