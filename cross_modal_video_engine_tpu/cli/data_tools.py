@@ -294,6 +294,32 @@ def build_audio_features(args):
     print(f"wrote {count} feature maps to {args.out_dir}")
 
 
+def denormalize_proposals(args):
+    """Convert a `normalized_*` SSN proposal file ([0,1] spans) to frame
+    units using per-video frame counts from the rawframes tree
+    (MCT/tools/data/denormalize_proposal_file.py:9-51)."""
+    from ..data.datasets_extra import load_localize_proposal_file
+
+    counts = {d: len(os.listdir(os.path.join(args.frames_dir, d)))
+              for d in os.listdir(args.frames_dir)
+              if os.path.isdir(os.path.join(args.frames_dir, d))}
+    out_path = args.output or args.input.replace("normalized_", "")
+    blocks = []
+    for i, (vid, _nf, fps, gt, prop) in enumerate(
+            load_localize_proposal_file(args.input)):
+        n = counts[vid]
+        gt_lines = "".join(
+            f"{int(g[0])} {int(g[1] * n)} {int(g[2] * n)}\n" for g in gt)
+        prop_lines = "".join(
+            f"{int(p[0])} {p[1]:.04f} {p[2]:.04f} "
+            f"{int(p[3] * n)} {int(p[4] * n)}\n" for p in prop)
+        blocks.append(f"# {i}\n{vid}\n{n}\n1\n{len(gt)}\n{gt_lines}"
+                      f"{len(prop)}\n{prop_lines}")
+    with open(out_path, "w") as f:
+        f.writelines(blocks)
+    print(f"denormalized {len(blocks)} videos -> {out_path}")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -359,6 +385,12 @@ def main(argv=None):
     p.add_argument("--ext", default="mp4,avi,webm,mkv")
     p.add_argument("--sample_rate", type=int, default=16000)
     p.set_defaults(fn=extract_audio)
+
+    p = sub.add_parser("denormalize_proposals")
+    p.add_argument("--input", required=True)
+    p.add_argument("--frames_dir", required=True)
+    p.add_argument("--output", default=None)
+    p.set_defaults(fn=denormalize_proposals)
 
     p = sub.add_parser("build_audio_features")
     p.add_argument("--src_dir", required=True)

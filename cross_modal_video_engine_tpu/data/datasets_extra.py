@@ -190,3 +190,119 @@ class ActivityNetDataset:
         v = dict(self.videos[idx])
         v["features"] = self.features(idx)
         return v
+
+
+# ---------------------------------------------------------------------------
+# SSN proposal dataset (ssn_dataset.py + localization/ssn_utils.py)
+# ---------------------------------------------------------------------------
+
+
+def load_localize_proposal_file(path: str) -> List[Tuple]:
+    """Parse the SSN proposal-file format (ssn_utils.py:10-77):
+
+        # idx
+        video_id
+        num_frames
+        fps
+        num_gts
+        label start_frame end_frame            (x num_gts)
+        num_proposals
+        label best_iou overlap_self start end  (x num_proposals)
+
+    Returns [(video_id, num_frames, fps, gts, proposals), ...] with gts
+    and proposals as float arrays (possibly empty)."""
+    out = []
+    with open(path) as f:
+        lines = [ln.strip() for ln in f]
+    i = 0
+    while i < len(lines):
+        if not lines[i].startswith("#"):
+            i += 1
+            continue
+        video_id = lines[i + 1]
+        num_frames = int(float(lines[i + 2]))
+        fps = float(lines[i + 3])
+        n_gt = int(lines[i + 4])
+        gt = np.asarray([lines[i + 5 + j].split() for j in range(n_gt)],
+                        np.float64).reshape(n_gt, 3)
+        i += 5 + n_gt
+        n_prop = int(lines[i])
+        prop = np.asarray([lines[i + 1 + j].split() for j in range(n_prop)],
+                          np.float64).reshape(n_prop, 5)
+        i += 1 + n_prop
+        out.append((video_id, num_frames, fps, gt, prop))
+    return out
+
+
+class SSNProposal:
+    """SSNInstance equivalent (ssn_dataset.py:19-49): frame-span proposal
+    with its best-gt tIoU and self-overlap.  Duck-compatible with
+    SampleProposalFrames (`start_frame`/`end_frame`)."""
+
+    def __init__(self, start_frame: int, end_frame: int, num_frames: int,
+                 label: int = -1, best_iou: float = 0.0,
+                 overlap_self: float = 0.0):
+        self.start_frame = int(start_frame)
+        self.end_frame = int(min(end_frame, num_frames))
+        self.num_video_frames = num_frames
+        self.label = label
+        self.coverage = (end_frame - start_frame) / max(num_frames, 1)
+        self.best_iou = best_iou
+        self.overlap_self = overlap_self
+
+
+class SSNDataset:
+    """Proposal dataset for SSN training (ssn_dataset.py:60-330): parses
+    the proposal file, and per video draws the fixed
+    positive/incomplete/background proposal layout through
+    train.localization_trainer.sample_ssn_proposals.  `normalized_`
+    files are handled by the denormalize_proposals data tool."""
+
+    def __init__(self, ann_file: str, data_prefix: Optional[str] = None,
+                 sampler_cfg=None, seed: int = 0):
+        from ..train.localization_trainer import SSNSamplerConfig
+
+        self.sampler_cfg = sampler_cfg or SSNSamplerConfig()
+        self.rng = np.random.default_rng(seed)
+        self.video_infos = []
+        for vid, num_frames, fps, gt, prop in \
+                load_localize_proposal_file(ann_file):
+            frame_dir = os.path.join(data_prefix, vid) if data_prefix else vid
+            gts = [SSNProposal(g[1], g[2], num_frames, label=int(g[0]),
+                               best_iou=1.0)
+                   for g in gt if g[2] > g[1] and g[1] < num_frames]
+            props = [SSNProposal(p[3], p[4], num_frames, label=int(p[0]),
+                                 best_iou=p[1], overlap_self=p[2])
+                     for p in prop if p[4] > p[3] and p[3] < num_frames]
+            self.video_infos.append(dict(
+                frame_dir=frame_dir, video_id=vid, total_frames=num_frames,
+                fps=fps, gts=gts, proposals=props))
+
+    def __len__(self) -> int:
+        return len(self.video_infos)
+
+    def __getitem__(self, idx: int) -> Dict:
+        """One training sample: the sampled proposal layout + the
+        `out_proposals`/`total_frames` keys SampleProposalFrames reads."""
+        from ..train.localization_trainer import sample_ssn_proposals
+
+        info = self.video_infos[idx]
+        gts, props = info["gts"], info["proposals"]
+        if not gts or not props:
+            raise ValueError(f"video {info['video_id']} has no usable "
+                             "gts/proposals")
+        prop_arr = np.asarray(
+            [[p.start_frame, p.end_frame] for p in props], np.float64)
+        gt_arr = np.asarray(
+            [[g.start_frame, g.end_frame] for g in gts], np.float64)
+        gt_labels = np.asarray([g.label for g in gts], np.int64)
+        sampled = sample_ssn_proposals(prop_arr, gt_arr, gt_labels,
+                                       self.sampler_cfg, self.rng)
+        out_props = [
+            SSNProposal(s, e, info["total_frames"])
+            for s, e in np.asarray(sampled["proposals"], np.int64)]
+        return dict(info, out_proposals=out_props, start_index=0,
+                    sampled_proposals=sampled["proposals"],
+                    labels=sampled["labels"],
+                    proposal_type=sampled["proposal_type"],
+                    bbox_targets=sampled["bbox_targets"])
