@@ -109,7 +109,15 @@ def train_from_config(cfg: Config, work_dir: str,
     variables = model.init(jax.random.key(0), clips0)
     state = RecTrainState(variables["params"], tx.init(variables["params"]),
                           jnp.zeros((), jnp.int32))
-    step = make_cls_train_step(model, tx)
+    # mmaction train_cfg=dict(blending=dict(type='MixupBlending', alpha=.2))
+    blending = None
+    bcfg = cfg.get("train_cfg.blending")
+    if bcfg:
+        from ..data.blending import make_blending
+        blending = make_blending(
+            bcfg["type"], cfg["model.num_classes"],
+            bcfg.get("alpha", 0.2))
+    step = make_cls_train_step(model, tx, blending=blending)
     save_best = best_checkpoint_manager(work_dir)
     sampler = ShardedSampler(len(train_ds), shuffle=True)
     rng = jax.random.key(1)

@@ -25,6 +25,15 @@ reference registry, so mmaction-style config lists translate 1:1 through
 device path (ResNetAudio's on-device log-mel front end in models/audio.py)
 stays the production route — these ops exist for config parity and for
 feeding precomputed/offline features.
+
+Intentionally not ported (torch/runtime-specific, no JAX counterpart):
+ToTensor / ToDataContainer / ImageToTensor (mmcv DataContainer batching —
+our batches are plain numpy, formatting.py semantics are covered by
+FormatShape/Collect/Transpose), the lazy-op Fuse pass (ops here are
+eager; XLA does the on-device fusion), PIMSInit/PIMSDecode (pims is not
+in this image; Decord/OpenCV/libav cover the same containers) and
+PyAVDecodeMotionVector (compressed-domain motion vectors; no consumer
+in the reference's configs beyond an example).
 """
 
 from __future__ import annotations

@@ -74,3 +74,17 @@ def test_recognition_train_and_test_cli(tmp_path):
     history2 = recognition_train.main([cfg, "--work_dir", work,
                                        "--resume", "--total_epochs", "9"])
     assert [h["epoch"] for h in history2] == [8]
+
+
+def test_train_with_blending_config(tmp_path):
+    """train_cfg.blending routes through make_blending into the train
+    step (mmaction train_cfg contract)."""
+    cfg = _fixture(tmp_path)
+    with open(cfg, "a") as f:
+        f.write("\ntrain_cfg = dict(blending=dict(type='MixupBlending',"
+                " alpha=0.2))\n")
+    work = str(tmp_path / "work_blend")
+    history = recognition_train.main(
+        [cfg, "--work_dir", work, "--total_epochs", "2"])
+    assert len(history) == 2
+    assert np.isfinite(history[-1]["loss"])
