@@ -114,20 +114,32 @@ def _pad_to(x, size, axis):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flash_attention(q, k, v, sm_scale: float = 1.0, causal: bool = False,
-                    block_q: int = 256, block_k: int = 512):
+                    block_q: Optional[int] = None,
+                    block_k: Optional[int] = None):
     """q, k, v: (B, H, S, D) -> (B, H, Sq, D).  D and S are padded
     internally to TPU tiles; padding keys are masked out.
 
-    Measured on v5e (bf16, D=128): bq=256/bk=512 hits 40+ TFLOP/s vs
-    XLA attention's 15 (S=4096) and 1.2 (S=8192, where XLA spills the
-    S^2 scores to HBM).  Below ~S=1024 prefer plain XLA attention
-    (lane padding of small head dims costs more than tiling saves)."""
+    Block sizes default adaptively (swept on v5e, bf16, D=128, r2):
+    1024/1024 from S>=2048 — 94.4 TFLOP/s at S=8192 (48% peak; XLA OOMs
+    there) and 50.5 at S=4096 (XLA: 14.5) — and 256/512 below, where
+    sweeps showed big blocks losing.  Below ~S=1024 prefer plain XLA
+    attention outright (lane padding of small head dims costs more than
+    tiling saves; ops crossover in the model wrappers)."""
     return _flash_attention_impl(q, k, v, sm_scale, causal, block_q, block_k)
+
+
+def _resolve_blocks(Sq, Skv, block_q, block_k):
+    if block_q is None:
+        block_q = 1024 if Sq >= 2048 else 256
+    if block_k is None:
+        block_k = 1024 if Skv >= 2048 else 512
+    return block_q, block_k
 
 
 def _flash_attention_impl(q, k, v, sm_scale, causal, block_q, block_k):
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
+    block_q, block_k = _resolve_blocks(Sq, Skv, block_q, block_k)
     # clamp blocks to (padded) sequence lengths, keep >=128 for tiling
     block_q = max(LANES, min(block_q, ((Sq + LANES - 1) // LANES) * LANES))
     block_k = max(LANES, min(block_k, ((Skv + LANES - 1) // LANES) * LANES))
