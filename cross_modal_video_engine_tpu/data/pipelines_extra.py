@@ -888,7 +888,7 @@ class LoadProposals:
         name = results["video_name"]
         props = np.loadtxt(
             os.path.join(self.pgm_proposals_dir, name + self.proposal_ext),
-            dtype=np.float32, delimiter=",", skiprows=1)
+            dtype=np.float32, delimiter=",", skiprows=1, ndmin=2)
         props = np.array(props[:self.top_k])
         feats = np.load(os.path.join(
             self.pgm_features_dir,
