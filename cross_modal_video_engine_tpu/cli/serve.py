@@ -18,10 +18,11 @@ from ..service.app import EngineService, create_server
 
 
 def build_retrieval_handler(args):
-    import jax
     import numpy as np
+    from ..models.dual_encoding import make_text_batch
+    from ..service.batching import MicroBatcher
     from .common import load_dataset, restore_dual_encoding
-    from .retrieval_inference import build_video_index, embed_query
+    from .retrieval_inference import build_video_index
 
     model, state = restore_dual_encoding(args.retrieval_checkpoint)
     dataset = load_dataset(args.rootpath, args.collection,
@@ -29,13 +30,37 @@ def build_retrieval_handler(args):
     index = build_video_index(model, state["variables"], dataset,
                               cache=args.index_cache)
 
+    max_batch = getattr(args, "max_batch", 32)
+
+    def embed_rows(rows):
+        # rows: [(ids, bow)] -> one batched embed_txt_distill call;
+        # make_text_batch pads to max_words so shapes depend only on the
+        # (pow2-padded) batch size.
+        n = len(rows)
+        padded = 1
+        while padded < n:
+            padded *= 2
+        rows = list(rows) + [rows[0]] * (padded - n)
+        batch = make_text_batch(
+            [ids[: dataset.max_words] for ids, _ in rows],
+            np.stack([bow for _, bow in rows]), dataset.max_words)
+        emb = np.asarray(model.apply(state["variables"], batch,
+                                     method="embed_txt_distill"))
+        return [emb[i: i + 1] for i in range(n)]
+
+    batcher = MicroBatcher(embed_rows, max_batch=max_batch,
+                           max_wait_ms=getattr(args, "max_wait_ms", 5.0),
+                           name="retrieval-embed")
+
     def handler(payload: dict) -> dict:
-        q = embed_query(model, state["variables"], dataset, payload["query"])
-        scores, ids = index.search_ids(q, int(payload.get("topK", 10)))
+        bow, ids = dataset.process_cap(payload["query"])
+        q = batcher.submit((ids, bow))
+        scores, ids_out = index.search_ids(q, int(payload.get("topK", 10)))
         return {"results": [
             {"video": v, "score": float(s)}
-            for v, s in zip(ids[0], scores[0])]}
+            for v, s in zip(ids_out[0], scores[0])]}
 
+    handler.batcher = batcher
     return handler
 
 

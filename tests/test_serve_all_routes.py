@@ -154,5 +154,21 @@ def test_all_four_routes(tmp_path, monkeypatch):
         assert out["prediction"].startswith("label")
         assert len(out["symbolic_top"]) == 2
         assert len(out["scores"]) == 5
+
+        # concurrent retrieval requests coalesce through the MicroBatcher
+        import threading
+        batcher = service.handlers["retrieval"].batcher
+        rows_before = batcher.rows_run
+        results = [None] * 8
+        def hit(i):
+            results[i] = _post(port, "retrieval",
+                               {"query": f"query number {i}", "topK": 2})
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert all(len(r["results"]) == 2 for r in results)
+        assert batcher.rows_run - rows_before == 8
     finally:
         server.shutdown()
