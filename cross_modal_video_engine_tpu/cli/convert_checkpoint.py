@@ -67,7 +67,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--type", required=True,
                         choices=["linas", "clip", "clip_resnet", "combiner",
-                                 "timesformer", "yolov5"])
+                                 "timesformer", "yolov5", "resnet3d"])
     parser.add_argument("--src", required=True)
     parser.add_argument("--dst", required=True)
     parser.add_argument("--config", default=None,
@@ -122,6 +122,21 @@ def main(argv=None):
         cfg = CombinerConfig(**kwargs)
         variables = convert_combiner(sd)
         meta = {"source": args.src}
+    elif args.type == "resnet3d":
+        from ..convert.torch_import import convert_resnet3d
+        from ..models.resnet3d import ResNet3DConfig
+        sd = ckpt.get("state_dict", ckpt)
+        blob = json.load(open(args.config)) if args.config else {}
+        kwargs = {k: tuple(v) if isinstance(v, list) else v
+                  for k, v in blob.get("backbone", {}).items()}
+        cfg = ResNet3DConfig(**kwargs)
+        variables = convert_resnet3d(sd, cfg)
+        save_checkpoint(args.dst, variables,
+                        {"backbone": blob.get("backbone", {}),
+                         "num_classes": blob.get("num_classes")},
+                        {"source": args.src})
+        print(f"converted resnet3d checkpoint -> {args.dst}")
+        return
     elif args.type == "yolov5":
         from ..convert.torch_import import (
             convert_yolov5, yolo_config_from_torch)

@@ -590,3 +590,65 @@ def convert_combiner(sd: Dict) -> Dict:
         },
     }
     return {"params": params}
+
+
+def _conv3d(w) -> Dict:
+    """torch Conv3d weight (out, in, t, h, w) -> flax (t, h, w, in, out)."""
+    return {"kernel": _np(w).transpose(2, 3, 4, 1, 0)}
+
+
+def _bn3d(sd: Dict, prefix: str) -> Tuple[Dict, Dict]:
+    """mmaction ConvModule bn -> (flax BatchNorm params, batch_stats)."""
+    return ({"scale": _np(sd[prefix + ".weight"]),
+             "bias": _np(sd[prefix + ".bias"])},
+            {"mean": _np(sd[prefix + ".running_mean"]),
+             "var": _np(sd[prefix + ".running_var"])})
+
+
+def convert_resnet3d(sd: Dict, cfg, backbone_prefix: str = "backbone.",
+                     cls_head_key: Optional[str] = "cls_head.fc_cls"
+                     ) -> Dict:
+    """mmaction ResNet3d / ResNet3dSlowOnly checkpoint -> flax variables
+    for models.resnet3d.ResNet3D (optionally wrapped in
+    BackboneClassifier when the checkpoint carries a cls_head).
+
+    Key map (mmaction resnet3d.py ConvModule naming):
+      backbone.conv1.conv/bn             -> conv1 / bn1
+      backbone.layer{s}.{j}.conv{k}.conv -> layer{s}_{j}/conv{k}
+      backbone.layer{s}.{j}.conv{k}.bn   -> layer{s}_{j}/bn{k}
+      ...downsample.conv / downsample.bn -> downsample / bn_down
+      cls_head.fc_cls                    -> cls_head/fc_cls
+    """
+    p = backbone_prefix
+    params: Dict = {"conv1": _conv3d(sd[p + "conv1.conv.weight"])}
+    stats: Dict = {}
+    params["bn1"], stats["bn1"] = _bn3d(sd, p + "conv1.bn")
+    for s, blocks in enumerate(cfg.stage_blocks, start=1):
+        for j in range(blocks):
+            src = f"{p}layer{s}.{j}."
+            dst = f"layer{s}_{j}"
+            blk: Dict = {}
+            blk_stats: Dict = {}
+            for k in (1, 2, 3):
+                blk[f"conv{k}"] = _conv3d(sd[src + f"conv{k}.conv.weight"])
+                blk[f"bn{k}"], blk_stats[f"bn{k}"] = _bn3d(
+                    sd, src + f"conv{k}.bn")
+            if src + "downsample.conv.weight" in sd:
+                blk["downsample"] = _conv3d(
+                    sd[src + "downsample.conv.weight"])
+                blk["bn_down"], blk_stats["bn_down"] = _bn3d(
+                    sd, src + "downsample.bn")
+            params[dst] = blk
+            stats[dst] = blk_stats
+    variables = {"params": params, "batch_stats": stats}
+    if cls_head_key and cls_head_key + ".weight" in sd:
+        w = _np(sd[cls_head_key + ".weight"])
+        variables = {
+            "params": {"backbone": params,
+                       "cls_head": {"fc_cls": {"kernel": w.T,
+                                               "bias": _np(
+                                                   sd[cls_head_key
+                                                      + ".bias"])}}},
+            "batch_stats": {"backbone": stats},
+        }
+    return variables
