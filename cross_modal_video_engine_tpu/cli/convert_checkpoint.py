@@ -67,7 +67,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--type", required=True,
                         choices=["linas", "clip", "clip_resnet", "combiner",
-                                 "timesformer", "yolov5", "resnet3d"])
+                                 "timesformer", "yolov5", "resnet3d",
+                                 "slowfast"])
     parser.add_argument("--src", required=True)
     parser.add_argument("--dst", required=True)
     parser.add_argument("--config", default=None,
@@ -136,6 +137,21 @@ def main(argv=None):
                          "num_classes": blob.get("num_classes")},
                         {"source": args.src})
         print(f"converted resnet3d checkpoint -> {args.dst}")
+        return
+    elif args.type == "slowfast":
+        from ..convert.torch_import import convert_slowfast
+        from ..models.resnet3d import SlowFastConfig
+        sd = ckpt.get("state_dict", ckpt)
+        blob = json.load(open(args.config)) if args.config else {}
+        kwargs = {k: tuple(v) if isinstance(v, list) else v
+                  for k, v in blob.get("backbone", {}).items()}
+        cfg = SlowFastConfig(**kwargs)
+        variables = convert_slowfast(sd, cfg)
+        save_checkpoint(args.dst, variables,
+                        {"backbone": blob.get("backbone", {}),
+                         "num_classes": blob.get("num_classes")},
+                        {"source": args.src})
+        print(f"converted slowfast checkpoint -> {args.dst}")
         return
     elif args.type == "yolov5":
         from ..convert.torch_import import (

@@ -652,3 +652,76 @@ def convert_resnet3d(sd: Dict, cfg, backbone_prefix: str = "backbone.",
             "batch_stats": {"backbone": stats},
         }
     return variables
+
+
+def _convert_bottlenecks(sd: Dict, src_prefix: str, stage_blocks,
+                         dst_fmt: str) -> Tuple[Dict, Dict]:
+    """Shared mmaction ConvModule block mapping for the resnet3d family."""
+    params: Dict = {}
+    stats: Dict = {}
+    for s, blocks in enumerate(stage_blocks, start=1):
+        for j in range(blocks):
+            src = f"{src_prefix}layer{s}.{j}."
+            dst = dst_fmt.format(s=s, j=j)
+            blk: Dict = {}
+            blk_stats: Dict = {}
+            for k in (1, 2, 3):
+                blk[f"conv{k}"] = _conv3d(sd[src + f"conv{k}.conv.weight"])
+                blk[f"bn{k}"], blk_stats[f"bn{k}"] = _bn3d(
+                    sd, src + f"conv{k}.bn")
+            if src + "downsample.conv.weight" in sd:
+                blk["downsample"] = _conv3d(
+                    sd[src + "downsample.conv.weight"])
+                blk["bn_down"], blk_stats["bn_down"] = _bn3d(
+                    sd, src + "downsample.bn")
+            params[dst] = blk
+            stats[dst] = blk_stats
+    return params, stats
+
+
+def convert_slowfast(sd: Dict, cfg, backbone_prefix: str = "backbone.",
+                     cls_head_key: Optional[str] = "cls_head.fc_cls"
+                     ) -> Dict:
+    """mmaction SlowFast checkpoint -> flax variables for
+    models.resnet3d.SlowFast (resnet3d_slowfast.py key grammar:
+    backbone.{slow,fast}_path.* pathways, conv1_lateral +
+    layer{1..3}_lateral fusion convs; head concat order (slow, fast)
+    matches slowfast_head.py:70)."""
+    p = backbone_prefix
+
+    # fast pathway == a plain ResNet3D under submodule 'fast'
+    from ..models.resnet3d import ResNet3DConfig
+    fast_cfg = ResNet3DConfig(
+        stage_blocks=cfg.depth_blocks, base_channels=cfg.base_channels,
+        conv1_kernel_t=5, stage_temporal_kernels=(3, 3, 3, 3),
+        channel_ratio=cfg.beta_inv)
+    fast = convert_resnet3d(sd, fast_cfg,
+                            backbone_prefix=p + "fast_path.",
+                            cls_head_key=None)
+    params: Dict = {"fast": fast["params"]}
+    stats: Dict = {"fast": fast["batch_stats"]}
+
+    params["slow_conv1"] = _conv3d(sd[p + "slow_path.conv1.conv.weight"])
+    params["slow_bn1"], stats["slow_bn1"] = _bn3d(
+        sd, p + "slow_path.conv1.bn")
+    params["lateral_0"] = _conv3d(
+        sd[p + "slow_path.conv1_lateral.conv.weight"])
+    for i in (1, 2, 3):
+        params[f"lateral_{i}"] = _conv3d(
+            sd[p + f"slow_path.layer{i}_lateral.conv.weight"])
+    slow_params, slow_stats = _convert_bottlenecks(
+        sd, p + "slow_path.", cfg.depth_blocks, "slow_l{s}_{j}")
+    params.update(slow_params)
+    stats.update(slow_stats)
+
+    variables = {"params": params, "batch_stats": stats}
+    if cls_head_key and cls_head_key + ".weight" in sd:
+        w = _np(sd[cls_head_key + ".weight"])
+        variables = {
+            "params": {"backbone": params,
+                       "cls_head": {"fc_cls": {
+                           "kernel": w.T,
+                           "bias": _np(sd[cls_head_key + ".bias"])}}},
+            "batch_stats": {"backbone": stats},
+        }
+    return variables

@@ -81,8 +81,10 @@ class ResNet3D(nn.Module):
 
     @nn.compact
     def __call__(self, videos: jnp.ndarray, *, train: bool = False,
-                 return_stages: bool = False):
-        """videos: (B, T, H, W, 3) -> pooled feature (B, C) or stage list."""
+                 return_stages: bool = False, include_stem: bool = False):
+        """videos: (B, T, H, W, 3) -> pooled feature (B, C) or stage list
+        (prepended with the post-pool stem when include_stem, for the
+        SlowFast conv1_lateral fusion point)."""
         cfg = self.cfg
         c0 = cfg.base_channels // cfg.channel_ratio
         kt = cfg.conv1_kernel_t
@@ -92,7 +94,7 @@ class ResNet3D(nn.Module):
         x = nn.relu(_bn(train, "bn1")(x))
         x = nn.max_pool(x, (1, 3, 3), strides=(cfg.pool1_stride_t, 2, 2),
                         padding=((0, 0), (1, 1), (1, 1)))
-        stages = []
+        stages = [x] if (return_stages and include_stem) else []
         planes = c0
         for i, (blocks, tk) in enumerate(zip(cfg.stage_blocks,
                                              cfg.stage_temporal_kernels)):
@@ -210,10 +212,13 @@ class SlowFast(nn.Module):
             stage_blocks=cfg.depth_blocks, base_channels=cfg.base_channels,
             conv1_kernel_t=5, stage_temporal_kernels=(3, 3, 3, 3),
             channel_ratio=cfg.beta_inv)
-        fast_stages = ResNet3D(fast_cfg, name="fast")(fast_in, train=train,
-                                                      return_stages=True)
+        fast_feats = ResNet3D(fast_cfg, name="fast")(
+            fast_in, train=train, return_stages=True, include_stem=True)
+        # fast_feats: [stem, stage1..stage4] — the mmaction fusion points
+        # (resnet3d_slowfast.py forward: conv1_lateral after the stem,
+        # layer{1..3}_lateral after stages 1-3; none after the last stage)
 
-        # slow pathway with lateral fusion from fast after each stage
+        # slow pathway with lateral concat BEFORE each stage
         c0 = cfg.base_channels
         kt = 1
         x = nn.Conv(c0, (kt, 7, 7), strides=(1, 2, 2),
@@ -226,18 +231,18 @@ class SlowFast(nn.Module):
         tks = (1, 1, 3, 3)
         for i, blocks in enumerate(cfg.depth_blocks):
             stride = 1 if i == 0 else 2
-            # lateral fusion BEFORE the stage: time-strided conv brings the
-            # fast pathway's previous stage to the slow frame rate
-            if i > 0:
-                fast_feat = fast_stages[i - 1]
-                lk = cfg.lateral_kernel_t
-                lateral = nn.Conv(
-                    fast_feat.shape[-1] * 2, (lk, 1, 1),
-                    strides=(cfg.alpha, 1, 1),
-                    padding=((lk // 2, lk // 2), (0, 0), (0, 0)),
-                    use_bias=False, name=f"lateral_{i}")(fast_feat)
-                t = min(x.shape[1], lateral.shape[1])
-                x = jnp.concatenate([x[:, :t], lateral[:, :t]], axis=-1)
+            # time-strided lateral conv brings the fast pathway's previous
+            # fusion point to the slow frame rate (conv1_lateral is
+            # lateral_0 here, layer{i}_lateral is lateral_{i})
+            fast_feat = fast_feats[i]
+            lk = cfg.lateral_kernel_t
+            lateral = nn.Conv(
+                fast_feat.shape[-1] * 2, (lk, 1, 1),
+                strides=(cfg.alpha, 1, 1),
+                padding=((lk // 2, lk // 2), (0, 0), (0, 0)),
+                use_bias=False, name=f"lateral_{i}")(fast_feat)
+            t = min(x.shape[1], lateral.shape[1])
+            x = jnp.concatenate([x[:, :t], lateral[:, :t]], axis=-1)
             x = Bottleneck3D(planes, stride, tks[i], name=f"slow_l{i+1}_0")(
                 x, train=train)
             for j in range(1, blocks):
@@ -245,7 +250,7 @@ class SlowFast(nn.Module):
                     x, train=train)
             planes *= 2
         slow_pool = jnp.mean(x, axis=(1, 2, 3))
-        fast_pool = jnp.mean(fast_stages[-1], axis=(1, 2, 3))
+        fast_pool = jnp.mean(fast_feats[-1], axis=(1, 2, 3))
         return jnp.concatenate([slow_pool, fast_pool], axis=-1)
 
 
