@@ -68,7 +68,7 @@ def main(argv=None):
     parser.add_argument("--type", required=True,
                         choices=["linas", "clip", "clip_resnet", "combiner",
                                  "timesformer", "yolov5", "resnet3d",
-                                 "slowfast"])
+                                 "slowfast", "videomae"])
     parser.add_argument("--src", required=True)
     parser.add_argument("--dst", required=True)
     parser.add_argument("--config", default=None,
@@ -152,6 +152,20 @@ def main(argv=None):
                          "num_classes": blob.get("num_classes")},
                         {"source": args.src})
         print(f"converted slowfast checkpoint -> {args.dst}")
+        return
+    elif args.type == "videomae":
+        from ..convert.torch_import import convert_videomae
+        from ..models.videomae_vit import videomae_config_from_sd
+        sd = ckpt.get("module", ckpt.get("model", ckpt.get("state_dict",
+                                                           ckpt)))
+        blob = json.load(open(args.config)) if args.config else {}
+        kwargs = videomae_config_from_sd(
+            sd, num_frames=blob.get("num_frames", 16),
+            img_size=blob.get("img_size", 224))
+        variables = convert_videomae(sd)
+        save_checkpoint(args.dst, variables, {"backbone": kwargs},
+                        {"source": args.src})
+        print(f"converted videomae checkpoint -> {args.dst}")
         return
     elif args.type == "yolov5":
         from ..convert.torch_import import (

@@ -75,6 +75,9 @@ def build_recognition_model(cfg: Config):
     elif btype == "TANet":
         from ..models.tanet import TANet, TANetConfig
         backbone = TANet(TANetConfig(**kw))
+    elif btype == "VideoMAEViT":
+        from ..models.videomae_vit import VideoMAEConfig, VideoMAEViT
+        backbone = VideoMAEViT(VideoMAEConfig(**kw))
     else:
         raise ValueError(f"unknown backbone type {btype}")
     return BackboneClassifier(backbone, num_classes=num_classes)

@@ -725,3 +725,49 @@ def convert_slowfast(sd: Dict, cfg, backbone_prefix: str = "backbone.",
             "batch_stats": {"backbone": stats},
         }
     return variables
+
+
+def convert_videomae(sd: Dict, prefix: str = "",
+                     head_key: Optional[str] = "head") -> Dict:
+    """VideoMAE finetuned ViT checkpoint -> flax variables for
+    models.videomae_vit.VideoMAEViT (reference
+    MCT/mmaction/models/backbones/videomae.py key grammar:
+    patch_embed.proj, blocks.{i}.{norm1,attn.{qkv,q_bias,v_bias,proj},
+    norm2,mlp.{fc1,fc2},gamma_1,gamma_2}, fc_norm; the sinusoid
+    pos_embed is recomputed, not loaded)."""
+    p = prefix
+    params: Dict = {
+        "patch_embed": {
+            "kernel": _np(sd[p + "patch_embed.proj.weight"])
+            .transpose(2, 3, 4, 1, 0),
+            "bias": _np(sd[p + "patch_embed.proj.bias"]),
+        },
+        "fc_norm": {"scale": _np(sd[p + "fc_norm.weight"]),
+                    "bias": _np(sd[p + "fc_norm.bias"])},
+    }
+    i = 0
+    while p + f"blocks.{i}.attn.qkv.weight" in sd:
+        bp = p + f"blocks.{i}."
+        blk = {
+            "norm1": {"scale": _np(sd[bp + "norm1.weight"]),
+                      "bias": _np(sd[bp + "norm1.bias"])},
+            "norm2": {"scale": _np(sd[bp + "norm2.weight"]),
+                      "bias": _np(sd[bp + "norm2.bias"])},
+            "attn": {
+                "qkv_weight": _np(sd[bp + "attn.qkv.weight"]).T,
+                "q_bias": _np(sd[bp + "attn.q_bias"]),
+                "v_bias": _np(sd[bp + "attn.v_bias"]),
+                "proj": _dense(sd, bp + "attn.proj"),
+            },
+            "fc1": _dense(sd, bp + "mlp.fc1"),
+            "fc2": _dense(sd, bp + "mlp.fc2"),
+        }
+        if bp + "gamma_1" in sd:
+            blk["gamma_1"] = _np(sd[bp + "gamma_1"])
+            blk["gamma_2"] = _np(sd[bp + "gamma_2"])
+        params[f"block_{i}"] = blk
+        i += 1
+    variables = {"params": params}
+    if head_key and p + head_key + ".weight" in sd:
+        variables["head"] = _dense(sd, p + head_key)
+    return variables

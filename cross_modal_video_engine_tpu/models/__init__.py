@@ -27,3 +27,4 @@ from .recognizer import (BackboneClassifier, Recognizer2D, Recognizer3D,
 from .heads import I3DHead, SlowFastHead, TRNHead, TSNHead, X3DHead
 from .stgcn import (STGCN, STGCNConfig, AGCN, AGCNConfig,
                     build_partitioned_adjacency)
+from .videomae_vit import VideoMAEViT, VideoMAEConfig, sinusoid_table
