@@ -48,3 +48,10 @@ def test_localization_config_parses():
     assert mcfg.pop("type") == "BMN"
     model = BMN(BMNConfig(**mcfg))
     assert model.cfg.temporal_dim == 100
+
+
+def test_seq_generate_config_parses():
+    cfg = Config.fromfile(os.path.join(
+        REPO, "configs/seq_generate/timesformer_relseq.py"))
+    assert cfg["model.decoder.num_classes"] == 36
+    assert cfg["model.backbone.num_layers"] == 12
