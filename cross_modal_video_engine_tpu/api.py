@@ -36,9 +36,17 @@ TEST_PIPELINE = [
 def init_recognizer(checkpoint: str):
     """Returns (model, variables, config_dict)."""
     variables, cfg_d, _ = load_checkpoint(checkpoint)
-    backbone = TimeSformerConfig(
-        **{k: tuple(v) if isinstance(v, list) else v
-           for k, v in cfg_d["backbone"].items()})
+    bb_kw = {k: tuple(v) if isinstance(v, list) else v
+             for k, v in cfg_d["backbone"].items()}
+    btype = bb_kw.pop("type", "TimeSformer")
+    if btype != "TimeSformer":
+        from .cli.recognition_train import build_backbone
+        from .models.recognizer import RecognizerRelseq
+        assert "decoder" in cfg_d, "non-TimeSformer ckpts are caption models"
+        model = RecognizerRelseq(build_backbone(btype, bb_kw),
+                                 RNNDecoderConfig(**cfg_d["decoder"]))
+        return model, variables, cfg_d
+    backbone = TimeSformerConfig(**bb_kw)
     if "decoder" in cfg_d:
         model = Recognizer3DRelseq(backbone,
                                    RNNDecoderConfig(**cfg_d["decoder"]))

@@ -72,10 +72,20 @@ def train_from_config(cfg: Config, work_dir: str,
                       num_epochs: int | None = None):
     bb_kw = {k: tuple(v) if isinstance(v, list) else v
              for k, v in cfg["model.backbone"].items()}
-    bb_kw.pop("type", None)
+    btype = bb_kw.pop("type", "TimeSformer")
     dec_kw = dict(cfg["model.decoder"])
-    model = Recognizer3DRelseq(TimeSformerConfig(**bb_kw),
-                               RNNDecoderConfig(**dec_kw))
+    if btype == "TimeSformer":
+        model = Recognizer3DRelseq(TimeSformerConfig(**bb_kw),
+                                   RNNDecoderConfig(**dec_kw))
+        saved_bb = dict(bb_kw)
+    else:
+        # any pooled-feature backbone drives the decoder (seq_generate
+        # covers i3d/mvit/slowfast/videomae/x3d too)
+        from ..models.recognizer import RecognizerRelseq
+        from .recognition_train import build_backbone
+        model = RecognizerRelseq(build_backbone(btype, bb_kw),
+                                 RNNDecoderConfig(**dec_kw))
+        saved_bb = dict(bb_kw, type=btype)
 
     pipe = build_pipeline(cfg["data.pipeline"])
     num_classes = dec_kw["num_classes"]
@@ -93,9 +103,14 @@ def train_from_config(cfg: Config, work_dir: str,
     clips0, t0, m0, _, _ = next(_seq_batches(train_ds, bs))
     variables = model.init(jax.random.key(0), clips0, t0,
                            mode="train")
+    stats = variables.get("batch_stats")
     state = RecTrainState(variables["params"], tx.init(variables["params"]),
                           jnp.zeros((), jnp.int32))
-    step = make_seq_train_step(model, tx)
+    if stats is not None:
+        from ..train.recognition_trainer import make_seq_train_step_stats
+        step_bn = make_seq_train_step_stats(model, tx)
+    else:
+        step = make_seq_train_step(model, tx)
     save_best = best_checkpoint_manager(work_dir)
     sampler = ShardedSampler(len(train_ds), shuffle=True)
     rng = jax.random.key(1)
@@ -113,15 +128,20 @@ def train_from_config(cfg: Config, work_dir: str,
         for clips, targets, mask, _items, _n in _seq_batches(
                 train_ds, bs, sampler.indices(epoch)):
             rng, sub = jax.random.split(rng)
-            state, logs = step(state, clips, targets, mask, sub)
+            if stats is not None:
+                state, stats, logs = step_bn(state, stats, clips, targets,
+                                             mask, sub)
+            else:
+                state, logs = step(state, clips, targets, mask, sub)
             losses.append(float(logs["loss"]))
         rec = {"epoch": epoch, "loss": float(np.mean(losses))}
+        live = {"params": state.params}
+        if stats is not None:
+            live["batch_stats"] = stats
         if (epoch + 1) % eval_interval == 0:
-            report = evaluate_caption(model, {"params": state.params},
-                                      val_ds, bs)
+            report = evaluate_caption(model, live, val_ds, bs)
             rec.update(report)
-            save_best({"params": state.params},
-                      {"backbone": bb_kw, "decoder": dec_kw},
+            save_best(live, {"backbone": saved_bb, "decoder": dec_kw},
                       report["seq_mAP"], {"epoch": epoch})
         save_train_state(os.path.join(work_dir, f"epoch_{epoch}"), state,
                          {"epoch": epoch})

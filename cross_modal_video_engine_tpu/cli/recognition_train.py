@@ -44,43 +44,46 @@ from ..train.resume import (latest_checkpoint, load_train_state,
                             save_train_state)
 
 
+def build_backbone(btype: str, kw: dict):
+    """Pooled-feature backbone factory shared by the recognition and
+    caption trainers (model.backbone.type registry keys)."""
+    from ..models.resnet3d import (CSN, CSNConfig, ResNet3D, ResNet3DConfig,
+                                   SlowFast, SlowFastConfig, X3D, X3DConfig)
+    if btype in ("ResNet3D", "SlowOnly"):
+        return ResNet3D(ResNet3DConfig(**kw))
+    if btype == "SlowFast":
+        return SlowFast(SlowFastConfig(**kw))
+    if btype == "X3D":
+        return X3D(X3DConfig(**kw))
+    if btype == "CSN":
+        return CSN(CSNConfig(**kw))
+    if btype == "Swin3D":
+        from ..models.swin3d import Swin3D, Swin3DConfig
+        return Swin3D(Swin3DConfig(**kw))
+    if btype == "MViT":
+        from ..models.mvit import MViT, MViTConfig
+        return MViT(MViTConfig(**kw))
+    if btype == "TANet":
+        from ..models.tanet import TANet, TANetConfig
+        return TANet(TANetConfig(**kw))
+    if btype == "VideoMAEViT":
+        from ..models.videomae_vit import VideoMAEConfig, VideoMAEViT
+        return VideoMAEViT(VideoMAEConfig(**kw))
+    raise ValueError(f"unknown backbone type {btype}")
+
+
 def build_recognition_model(cfg: Config):
     """model.backbone.type selects the family (TimeSformer default; the
     conv backbones pair with BackboneClassifier and multigrid)."""
     bcfg = dict(cfg["model.backbone"])
     btype = bcfg.pop("type", "TimeSformer")
     num_classes = cfg["model.num_classes"]
-    if btype == "TimeSformer":
-        backbone = TimeSformerConfig(**{
-            k: tuple(v) if isinstance(v, list) else v
-            for k, v in bcfg.items()})
-        return Recognizer3D(backbone, num_classes=num_classes)
-    from ..models.resnet3d import (CSN, CSNConfig, ResNet3D, ResNet3DConfig,
-                                   SlowFast, SlowFastConfig, X3D, X3DConfig)
     kw = {k: tuple(v) if isinstance(v, list) else v for k, v in bcfg.items()}
-    if btype in ("ResNet3D", "SlowOnly"):
-        backbone = ResNet3D(ResNet3DConfig(**kw))
-    elif btype == "SlowFast":
-        backbone = SlowFast(SlowFastConfig(**kw))
-    elif btype == "X3D":
-        backbone = X3D(X3DConfig(**kw))
-    elif btype == "CSN":
-        backbone = CSN(CSNConfig(**kw))
-    elif btype == "Swin3D":
-        from ..models.swin3d import Swin3D, Swin3DConfig
-        backbone = Swin3D(Swin3DConfig(**kw))
-    elif btype == "MViT":
-        from ..models.mvit import MViT, MViTConfig
-        backbone = MViT(MViTConfig(**kw))
-    elif btype == "TANet":
-        from ..models.tanet import TANet, TANetConfig
-        backbone = TANet(TANetConfig(**kw))
-    elif btype == "VideoMAEViT":
-        from ..models.videomae_vit import VideoMAEConfig, VideoMAEViT
-        backbone = VideoMAEViT(VideoMAEConfig(**kw))
-    else:
-        raise ValueError(f"unknown backbone type {btype}")
-    return BackboneClassifier(backbone, num_classes=num_classes)
+    if btype == "TimeSformer":
+        return Recognizer3D(TimeSformerConfig(**kw),
+                            num_classes=num_classes)
+    return BackboneClassifier(build_backbone(btype, kw),
+                              num_classes=num_classes)
 
 
 def _label_batches(ds, batch_size, order=None):
@@ -110,6 +113,7 @@ def train_from_config(cfg: Config, work_dir: str,
     tx = make_rec_optimizer(tcfg)
     clips0, labels0, _ = next(_label_batches(train_ds, bs))
     variables = model.init(jax.random.key(0), clips0)
+    stats = variables.get("batch_stats")
     state = RecTrainState(variables["params"], tx.init(variables["params"]),
                           jnp.zeros((), jnp.int32))
     # mmaction train_cfg=dict(blending=dict(type='MixupBlending', alpha=.2))
@@ -120,7 +124,11 @@ def train_from_config(cfg: Config, work_dir: str,
         blending = make_blending(
             bcfg["type"], cfg["model.num_classes"],
             bcfg.get("alpha", 0.2))
-    step = make_cls_train_step(model, tx, blending=blending)
+    if stats is not None:
+        from ..train.recognition_trainer import make_cls_train_step_stats
+        step_bn = make_cls_train_step_stats(model, tx, blending=blending)
+    else:
+        step = make_cls_train_step(model, tx, blending=blending)
     save_best = best_checkpoint_manager(work_dir)
     sampler = ShardedSampler(len(train_ds), shuffle=True)
     rng = jax.random.key(1)
@@ -138,16 +146,24 @@ def train_from_config(cfg: Config, work_dir: str,
         for clips, labels, n in _label_batches(train_ds, bs,
                                                sampler.indices(epoch)):
             rng, sub = jax.random.split(rng)
-            state, logs = step(state, clips, labels, sub)
+            if stats is not None:
+                state, stats, logs = step_bn(state, stats, clips, labels,
+                                             sub)
+            else:
+                state, logs = step(state, clips, labels, sub)
             losses.append(float(logs["loss"]))
             accs.append(float(logs["top1_acc"]))
         rec = {"epoch": epoch, "loss": float(np.mean(losses)),
                "train_top1": float(np.mean(accs))}
         if (epoch + 1) % eval_interval == 0:
             report = evaluate_classification(
-                model, state.params, _label_batches(val_ds, bs))
+                model, state.params, _label_batches(val_ds, bs),
+                stats=stats)
             rec.update(report)
-            save_best({"params": state.params},
+            live = {"params": state.params}
+            if stats is not None:
+                live["batch_stats"] = stats
+            save_best(live,
                       {"backbone": cfg["model.backbone"],
                        "num_classes": cfg["model.num_classes"]},
                       report["top1_acc"], {"epoch": epoch})

@@ -304,3 +304,35 @@ class Recognizer3DRelseq(nn.Module):
         probs = self(videos, mode="inference")
         probs = probs.reshape((-1, num_segs) + probs.shape[1:]).mean(axis=1)
         return probs
+
+
+@RECOGNIZERS.register("RecognizerRelseq")
+class RecognizerRelseq(nn.Module):
+    """Backbone-agnostic label-sequence recognizer: any module producing a
+    pooled (B, D) feature drives the RNN decoder head — the reference's
+    seq_generate family covers i3d/mvit/slowfast/timesformer/videomae/x3d
+    backbones with the same head (MCT/configs/seq_generate/)."""
+
+    backbone: nn.Module
+    decoder_cfg: RNNDecoderConfig
+
+    def setup(self):
+        self.cls_head = RNNDecoderHead(self.decoder_cfg, name="cls_head")
+
+    def extract_feat(self, videos, *, train: bool = False):
+        return self.backbone(videos, train=train)
+
+    def __call__(self, videos: jnp.ndarray,
+                 targets_emb: Optional[jnp.ndarray] = None,
+                 mode: str = "inference", *, train: bool = False):
+        feat = self.backbone(videos, train=train)
+        return self.cls_head(feat, targets_emb, mode=mode, train=train)
+
+    def forward_train(self, videos, targets_emb, mask):
+        probs = self(videos, targets_emb, mode="train", train=True)
+        return seq_mll_loss(probs, targets_emb, mask)
+
+    def forward_test(self, videos: jnp.ndarray, num_segs: int = 1):
+        probs = self(videos, mode="inference")
+        probs = probs.reshape((-1, num_segs) + probs.shape[1:]).mean(axis=1)
+        return probs

@@ -88,6 +88,36 @@ def make_cls_train_step(model, tx, blending=None):
     return jax.jit(step)
 
 
+def make_cls_train_step_stats(model, tx, blending=None):
+    """make_cls_train_step for BatchNorm backbones: threads the
+    batch_stats collection (mutable in train) alongside the params."""
+
+    def loss_fn(params, stats, videos, labels, rng):
+        if blending is not None:
+            rng, brng = jax.random.split(rng)
+            videos, soft = blending(brng, videos, labels)
+        scores, new = model.apply(
+            {"params": params, "batch_stats": stats}, videos, train=True,
+            rngs={"dropout": rng}, mutable=["batch_stats"])
+        if blending is not None:
+            loss = optax.softmax_cross_entropy(scores, soft).mean()
+        else:
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                scores, labels).mean()
+        acc = (scores.argmax(-1) == labels).mean()
+        return loss, (acc, new["batch_stats"])
+
+    def step(state: RecTrainState, stats, videos, labels, rng):
+        (loss, (acc, stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, stats, videos, labels, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (RecTrainState(params, opt_state, state.step + 1), stats,
+                {"loss": loss, "top1_acc": acc})
+
+    return jax.jit(step)
+
+
 def make_seq_train_step(model, tx):
     def loss_fn(params, videos, targets_emb, mask, rng):
         return model.apply({"params": params}, videos, targets_emb, mask,
@@ -99,6 +129,28 @@ def make_seq_train_step(model, tx):
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return (RecTrainState(params, opt_state, state.step + 1),
+                {"loss": loss})
+
+    return jax.jit(step)
+
+
+def make_seq_train_step_stats(model, tx):
+    """make_seq_train_step for BatchNorm backbones (the conv members of
+    the seq_generate family): threads batch_stats."""
+
+    def loss_fn(params, stats, videos, targets_emb, mask, rng):
+        loss, new = model.apply(
+            {"params": params, "batch_stats": stats}, videos, targets_emb,
+            mask, method="forward_train", rngs={"dropout": rng},
+            mutable=["batch_stats"])
+        return loss, new["batch_stats"]
+
+    def step(state: RecTrainState, stats, videos, targets_emb, mask, rng):
+        (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, stats, videos, targets_emb, mask, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (RecTrainState(params, opt_state, state.step + 1), stats,
                 {"loss": loss})
 
     return jax.jit(step)
@@ -344,10 +396,16 @@ def train_omnisource(model, variables, tcfg: RecognitionTrainConfig,
     return out, history
 
 
-def evaluate_classification(model, params, batches) -> dict:
+def evaluate_classification(model, params, batches, stats=None) -> dict:
     """batches: iterable of (videos, labels, n_valid). Returns mmaction-style
-    metrics (top_k_accuracy, mean_class_accuracy)."""
-    fn = jax.jit(lambda p, v: model.apply({"params": p}, v))
+    metrics (top_k_accuracy, mean_class_accuracy).  `stats`: batch_stats
+    for BatchNorm backbones."""
+    if stats is not None:
+        jfn = jax.jit(lambda p, st, v: model.apply(
+            {"params": p, "batch_stats": st}, v))
+        fn = lambda p, v: jfn(p, stats, v)
+    else:
+        fn = jax.jit(lambda p, v: model.apply({"params": p}, v))
     scores, labels = [], []
     for videos, lab, n in batches:
         s = np.asarray(fn(params, videos))[:n]

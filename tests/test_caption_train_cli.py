@@ -75,3 +75,32 @@ def test_caption_train_cli(tmp_path):
     history2 = caption_train.main([cfg, "--work_dir", work, "--resume",
                                    "--total_epochs", "7"])
     assert [h["epoch"] for h in history2] == [6]
+
+
+def test_caption_train_conv_backbone(tmp_path):
+    """Non-TimeSformer caption training (the reference seq_generate
+    family spans i3d/slowfast/x3d/... backbones): SlowOnly backbone ->
+    RNN decoder trains and the checkpoint round-trips through
+    init_recognizer/caption_test."""
+    cfg = _fixture(tmp_path)
+    with open(cfg) as f:
+        body = f.read()
+    body = body.replace(
+        "backbone=dict(num_frames=4, img_size=16, patch_size=8, "
+        "embed_dims=16,\n                  num_heads=2, num_layers=1, "
+        "drop_path_max=0.0),",
+        "backbone=dict(type='ResNet3D', stage_blocks=[1, 1, 1, 1],\n"
+        "                  base_channels=4),")
+    body = body.replace("in_channels=16", "in_channels=128")
+    cfg2 = str(tmp_path / "config_conv.py")
+    with open(cfg2, "w") as f:
+        f.write(body)
+    work = str(tmp_path / "work_conv")
+    history = caption_train.main([cfg2, "--work_dir", work,
+                                  "--total_epochs", "2"])
+    assert len(history) == 2 and np.isfinite(history[-1]["loss"])
+    best = [f for f in os.listdir(work) if f.startswith("model_best")]
+    assert best
+    report = caption_test.main([cfg2, "--checkpoint",
+                                os.path.join(work, best[0])])
+    assert 0.0 <= report["seq_mAP"] <= 1.0

@@ -88,3 +88,33 @@ def test_train_with_blending_config(tmp_path):
         [cfg, "--work_dir", work, "--total_epochs", "2"])
     assert len(history) == 2
     assert np.isfinite(history[-1]["loss"])
+
+
+def test_recognition_train_conv_backbone(tmp_path):
+    """BatchNorm backbones train through the stats-aware step (the same
+    path mmaction's ResNet3d configs exercise)."""
+    cfg = _fixture(tmp_path)
+    with open(cfg) as f:
+        body = f.read()
+    body = body.replace(
+        "backbone=dict(num_frames=4, img_size=16, patch_size=8, "
+        "embed_dims=16,\n                  num_heads=2, num_layers=1, "
+        "drop_path_max=0.0),",
+        "backbone=dict(type='ResNet3D', stage_blocks=[1, 1, 1, 1],\n"
+        "                  base_channels=4),")
+    cfg2 = str(tmp_path / "config_conv.py")
+    with open(cfg2, "w") as f:
+        f.write(body)
+    work = str(tmp_path / "work_conv")
+    history = recognition_train.main([cfg2, "--work_dir", work,
+                                      "--total_epochs", "2"])
+    assert len(history) == 2
+    assert np.isfinite(history[-1]["loss"])
+    assert "top1_acc" in history[-1]
+    # best checkpoint carries batch_stats for eval-mode BN
+    import os as _os
+    best = [f for f in _os.listdir(work) if f.startswith("model_best")]
+    assert best
+    from cross_modal_video_engine_tpu.train.checkpoint import load_checkpoint
+    variables, _cfg, _meta = load_checkpoint(_os.path.join(work, best[0]))
+    assert "batch_stats" in variables
