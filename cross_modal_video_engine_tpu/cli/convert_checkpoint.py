@@ -68,7 +68,7 @@ def main(argv=None):
     parser.add_argument("--type", required=True,
                         choices=["linas", "clip", "clip_resnet", "combiner",
                                  "timesformer", "yolov5", "resnet3d",
-                                 "slowfast", "videomae"])
+                                 "slowfast", "videomae", "x3d"])
     parser.add_argument("--src", required=True)
     parser.add_argument("--dst", required=True)
     parser.add_argument("--config", default=None,
@@ -152,6 +152,21 @@ def main(argv=None):
                          "num_classes": blob.get("num_classes")},
                         {"source": args.src})
         print(f"converted slowfast checkpoint -> {args.dst}")
+        return
+    elif args.type == "x3d":
+        from ..convert.torch_import import convert_x3d
+        from ..models.resnet3d import X3DConfig
+        sd = ckpt.get("state_dict", ckpt)
+        blob = json.load(open(args.config)) if args.config else {}
+        kwargs = {k: tuple(v) if isinstance(v, list) else v
+                  for k, v in blob.get("backbone", {}).items()}
+        cfg = X3DConfig(**kwargs)
+        variables = convert_x3d(sd, cfg)
+        save_checkpoint(args.dst, variables,
+                        {"backbone": blob.get("backbone", {}),
+                         "num_classes": blob.get("num_classes")},
+                        {"source": args.src})
+        print(f"converted x3d checkpoint -> {args.dst}")
         return
     elif args.type == "videomae":
         from ..convert.torch_import import convert_videomae

@@ -771,3 +771,60 @@ def convert_videomae(sd: Dict, prefix: str = "",
     if head_key and p + head_key + ".weight" in sd:
         variables["head"] = _dense(sd, p + head_key)
     return variables
+
+
+def convert_x3d(sd: Dict, cfg, backbone_prefix: str = "backbone.",
+                cls_head_prefix: Optional[str] = "cls_head.") -> Dict:
+    """mmaction X3D checkpoint -> flax variables for models.resnet3d.X3D
+    (+ X3DClassifier when the two-layer head is present).
+
+    Key map (x3d.py): conv1_s.conv (norm-free stem) -> stem_s;
+    conv1_t.conv/bn (depthwise temporal) -> stem_t/stem_bn;
+    layer{i}.{j}.conv{1,2,3}.conv/bn -> s{i}_{j}/conv{k}+bn{k};
+    se_module.fc{1,2} (1x1x1 convs) -> se/fc{1,2} dense; downsample ->
+    downsample/bn_down; conv5.conv/bn -> conv5/bn5; head fc1/fc2."""
+    p = backbone_prefix
+    params: Dict = {
+        "stem_s": _conv3d(sd[p + "conv1_s.conv.weight"]),
+        "stem_t": _conv3d(sd[p + "conv1_t.conv.weight"]),
+        "conv5": _conv3d(sd[p + "conv5.conv.weight"]),
+    }
+    stats: Dict = {}
+    params["stem_bn"], stats["stem_bn"] = _bn3d(sd, p + "conv1_t.bn")
+    params["bn5"], stats["bn5"] = _bn3d(sd, p + "conv5.bn")
+    for i, blocks in enumerate(cfg.stage_blocks, start=1):
+        for j in range(blocks):
+            src = f"{p}layer{i}.{j}."
+            dst = f"s{i}_{j}"
+            blk: Dict = {}
+            blk_stats: Dict = {}
+            for k in (1, 2, 3):
+                blk[f"conv{k}"] = _conv3d(sd[src + f"conv{k}.conv.weight"])
+                blk[f"bn{k}"], blk_stats[f"bn{k}"] = _bn3d(
+                    sd, src + f"conv{k}.bn")
+            if src + "se_module.fc1.weight" in sd:
+                blk["se"] = {
+                    "fc1": {"kernel": _np(sd[src + "se_module.fc1.weight"]
+                                          )[..., 0, 0, 0].T,
+                            "bias": _np(sd[src + "se_module.fc1.bias"])},
+                    "fc2": {"kernel": _np(sd[src + "se_module.fc2.weight"]
+                                          )[..., 0, 0, 0].T,
+                            "bias": _np(sd[src + "se_module.fc2.bias"])},
+                }
+            if src + "downsample.conv.weight" in sd:
+                blk["downsample"] = _conv3d(
+                    sd[src + "downsample.conv.weight"])
+                blk["bn_down"], blk_stats["bn_down"] = _bn3d(
+                    sd, src + "downsample.bn")
+            params[dst] = blk
+            stats[dst] = blk_stats
+    variables = {"params": params, "batch_stats": stats}
+    if cls_head_prefix and cls_head_prefix + "fc1.weight" in sd:
+        variables = {
+            "params": {"backbone": params,
+                       "cls_head": {
+                           "fc1": _dense(sd, cls_head_prefix + "fc1"),
+                           "fc2": _dense(sd, cls_head_prefix + "fc2")}},
+            "batch_stats": {"backbone": stats},
+        }
+    return variables

@@ -336,3 +336,26 @@ class RecognizerRelseq(nn.Module):
         probs = self(videos, mode="inference")
         probs = probs.reshape((-1, num_segs) + probs.shape[1:]).mean(axis=1)
         return probs
+
+
+@RECOGNIZERS.register("X3DClassifier")
+class X3DClassifier(nn.Module):
+    """X3D backbone + the reference's two-layer X3DHead (fc1 -> relu ->
+    dropout -> fc2), the checkpoint contract of mmaction's x3d configs."""
+
+    backbone: nn.Module
+    num_classes: int
+    mid_channels: int = 2048
+    dropout_ratio: float = 0.5
+
+    @nn.compact
+    def __call__(self, videos: jnp.ndarray, *, train: bool = False):
+        from .heads import X3DHead
+        feat = self.backbone(videos, train=train)
+        return X3DHead(self.num_classes, self.mid_channels,
+                       self.dropout_ratio, name="cls_head")(feat,
+                                                            train=train)
+
+    def forward_test(self, videos: jnp.ndarray, num_segs: int = 1,
+                     average_clips: str = "prob"):
+        return average_clip(self(videos), num_segs, average_clips)

@@ -254,6 +254,17 @@ class SlowFast(nn.Module):
         return jnp.concatenate([slow_pool, fast_pool], axis=-1)
 
 
+def se_round_width(width: float, min_width: int = 8,
+                   divisor: int = 8) -> int:
+    """mmaction x3d.py SEModule._round_width: the SE bottleneck is the
+    scaled width rounded to a multiple of 8 (min 8, +8 if it dropped
+    below 90%)."""
+    out = max(min_width, int(width + divisor / 2) // divisor * divisor)
+    if out < 0.9 * width:
+        out += divisor
+    return int(out)
+
+
 class SEBlock(nn.Module):
     ratio: float = 1 / 16
 
@@ -261,7 +272,8 @@ class SEBlock(nn.Module):
     def __call__(self, x):
         c = x.shape[-1]
         s = jnp.mean(x, axis=(1, 2, 3))
-        s = nn.relu(nn.Dense(max(1, int(c * self.ratio)), name="fc1")(s))
+        s = nn.relu(nn.Dense(se_round_width(c * self.ratio),
+                             name="fc1")(s))
         s = jax.nn.sigmoid(nn.Dense(c, name="fc2")(s))
         return x * s[:, None, None, None, :]
 
@@ -304,6 +316,8 @@ class X3DConfig:
     stage_channels: Tuple[int, ...] = (24, 48, 96, 192)
     expansion: float = 2.25
     feat_dim: int = 432
+    se_style: str = "half"        # mmaction default: SE on every other
+                                  # block (x3d.py:397-398); "all" everywhere
 
 
 @BACKBONES.register("X3D")
@@ -313,19 +327,21 @@ class X3D(nn.Module):
     @nn.compact
     def __call__(self, videos: jnp.ndarray, *, train: bool = False):
         cfg = self.cfg
-        x = nn.Conv(24, (1, 3, 3), strides=(1, 2, 2),
+        c0 = cfg.stage_channels[0]
+        x = nn.Conv(c0, (1, 3, 3), strides=(1, 2, 2),
                     padding=((0, 0), (1, 1), (1, 1)), use_bias=False,
                     name="stem_s")(videos)
-        x = nn.Conv(24, (5, 1, 1), padding=((2, 2), (0, 0), (0, 0)),
-                    feature_group_count=24, use_bias=False,
+        x = nn.Conv(c0, (5, 1, 1), padding=((2, 2), (0, 0), (0, 0)),
+                    feature_group_count=c0, use_bias=False,
                     name="stem_t")(x)
         x = nn.relu(_bn(train, "stem_bn")(x))
         for i, (blocks, ch) in enumerate(zip(cfg.stage_blocks,
                                              cfg.stage_channels)):
             inner = int(ch * cfg.expansion)
-            x = X3DBlock(ch, inner, 2, name=f"s{i+1}_0")(x, train=train)
-            for j in range(1, blocks):
-                x = X3DBlock(ch, inner, 1, name=f"s{i+1}_{j}")(x, train=train)
+            for j in range(blocks):
+                use_se = (cfg.se_style == "all" or j % 2 == 0)
+                x = X3DBlock(ch, inner, 2 if j == 0 else 1, use_se,
+                             name=f"s{i+1}_{j}")(x, train=train)
         x = nn.Conv(cfg.feat_dim, (1, 1, 1), use_bias=False, name="conv5")(x)
         x = nn.relu(_bn(train, "bn5")(x))
         return jnp.mean(x, axis=(1, 2, 3))
