@@ -16,6 +16,10 @@ Types:
                 config derived from the state dict
   timesformer — mmaction TimeSformer (needs --config)
   yolov5      — ultralytics yolov5 .pt (detect weights; config derived)
+  resnet3d    — mmaction ResNet3d/SlowOnly (ConvModule key grammar)
+  slowfast    — mmaction SlowFast (both pathways + lateral fusion convs)
+  videomae    — VideoMAE finetuned ViT (config derived from shapes)
+  x3d         — mmaction X3D (half-style SE, two-layer head)
 """
 
 from __future__ import annotations
