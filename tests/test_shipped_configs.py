@@ -55,3 +55,11 @@ def test_seq_generate_config_parses():
         REPO, "configs/seq_generate/timesformer_relseq.py"))
     assert cfg["model.decoder.num_classes"] == 36
     assert cfg["model.backbone.num_layers"] == 12
+
+
+def test_recognition_audio_config_parses():
+    cfg = Config.fromfile(os.path.join(
+        REPO, "configs/recognition_audio/resnet_audio_k400.py"))
+    assert cfg["model.n_mels"] == 80
+    from cross_modal_video_engine_tpu.data.pipelines import build_pipeline
+    assert build_pipeline(cfg["data.pipeline"]).ops
