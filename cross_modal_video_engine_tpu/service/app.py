@@ -24,22 +24,63 @@ from typing import Callable, Dict, Optional
 
 
 class EngineService:
-    """Callable registry for the four capabilities."""
+    """Callable registry for the four capabilities, with per-route
+    request counters and latency percentiles on GET /metrics (the
+    observability the reference's static demo never had)."""
 
     def __init__(self):
         self.handlers: Dict[str, Callable[[dict], dict]] = {}
+        self._lock = threading.Lock()
+        self._counts: Dict[str, int] = {}
+        self._errors: Dict[str, int] = {}
+        self._lat_ms: Dict[str, list] = {}
 
     def register(self, route: str, fn: Callable[[dict], dict]) -> None:
         self.handlers[route.strip("/")] = fn
 
+    def metrics(self) -> dict:
+        import numpy as np
+        with self._lock:
+            out = {}
+            for route in sorted(self._counts):
+                lat = self._lat_ms.get(route, [])
+                out[route] = {
+                    "requests": self._counts[route],
+                    "errors": self._errors.get(route, 0),
+                    "latency_ms_p50": (round(float(np.percentile(lat, 50)),
+                                             2) if lat else None),
+                    "latency_ms_p99": (round(float(np.percentile(lat, 99)),
+                                             2) if lat else None),
+                }
+            return out
+
+    def _record(self, route: str, dt_ms: float, error: bool) -> None:
+        with self._lock:
+            self._counts[route] = self._counts.get(route, 0) + 1
+            if error:
+                self._errors[route] = self._errors.get(route, 0) + 1
+            buf = self._lat_ms.setdefault(route, [])
+            buf.append(dt_ms)
+            del buf[:-1000]          # keep the last 1000 samples
+
     def dispatch(self, route: str, payload: dict) -> dict:
+        import time
         route = route.strip("/")
         if route == "health":
             return {"status": "ok",
                     "routes": sorted(self.handlers)}
+        if route == "metrics":
+            return self.metrics()
         if route not in self.handlers:
             raise KeyError(route)
-        return self.handlers[route](payload)
+        t0 = time.perf_counter()
+        try:
+            out = self.handlers[route](payload)
+        except Exception:
+            self._record(route, (time.perf_counter() - t0) * 1e3, True)
+            raise
+        self._record(route, (time.perf_counter() - t0) * 1e3, False)
+        return out
 
 
 def create_server(service: EngineService, host: str = "127.0.0.1",
@@ -54,8 +95,9 @@ def create_server(service: EngineService, host: str = "127.0.0.1",
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path.strip("/") == "health":
-                self._send(200, service.dispatch("health", {}))
+            route = self.path.strip("/")
+            if route in ("health", "metrics"):
+                self._send(200, service.dispatch(route, {}))
             else:
                 self._send(404, {"error": f"unknown route {self.path}"})
 

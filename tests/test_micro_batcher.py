@@ -66,3 +66,20 @@ def test_single_row_fast_path():
     out = b.submit(np.ones((2,), np.float32))
     np.testing.assert_allclose(out, [3.0, 3.0])
     b.close()
+
+
+def test_service_metrics_endpoint():
+    from cross_modal_video_engine_tpu.service.app import EngineService
+
+    svc = EngineService()
+    svc.register("echo", lambda p: {"ok": p["x"]})
+    for i in range(5):
+        svc.dispatch("echo", {"x": i})
+    try:
+        svc.dispatch("echo", {})     # KeyError inside handler -> error count
+    except KeyError:
+        pass
+    m = svc.dispatch("metrics", {})
+    assert m["echo"]["requests"] == 6
+    assert m["echo"]["errors"] == 1
+    assert m["echo"]["latency_ms_p50"] is not None
