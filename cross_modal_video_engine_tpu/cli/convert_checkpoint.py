@@ -72,7 +72,7 @@ def main(argv=None):
     parser.add_argument("--type", required=True,
                         choices=["linas", "clip", "clip_resnet", "combiner",
                                  "timesformer", "yolov5", "resnet3d",
-                                 "slowfast", "videomae", "x3d"])
+                                 "slowfast", "videomae", "x3d", "csn"])
     parser.add_argument("--src", required=True)
     parser.add_argument("--dst", required=True)
     parser.add_argument("--config", default=None,
@@ -171,6 +171,21 @@ def main(argv=None):
                          "num_classes": blob.get("num_classes")},
                         {"source": args.src})
         print(f"converted x3d checkpoint -> {args.dst}")
+        return
+    elif args.type == "csn":
+        from ..convert.torch_import import convert_csn
+        from ..models.resnet3d import CSNConfig
+        sd = ckpt.get("state_dict", ckpt)
+        blob = json.load(open(args.config)) if args.config else {}
+        kwargs = {k: tuple(v) if isinstance(v, list) else v
+                  for k, v in blob.get("backbone", {}).items()}
+        cfg = CSNConfig(**kwargs)
+        variables = convert_csn(sd, cfg)
+        save_checkpoint(args.dst, variables,
+                        {"backbone": blob.get("backbone", {}),
+                         "num_classes": blob.get("num_classes")},
+                        {"source": args.src})
+        print(f"converted csn checkpoint -> {args.dst}")
         return
     elif args.type == "videomae":
         from ..convert.torch_import import convert_videomae

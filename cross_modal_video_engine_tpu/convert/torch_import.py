@@ -828,3 +828,62 @@ def convert_x3d(sd: Dict, cfg, backbone_prefix: str = "backbone.",
             "batch_stats": {"backbone": stats},
         }
     return variables
+
+
+def convert_csn(sd: Dict, cfg, backbone_prefix: str = "backbone.",
+                cls_head_key: Optional[str] = "cls_head.fc_cls") -> Dict:
+    """mmaction ResNet3dCSN checkpoint -> flax variables for
+    models.resnet3d.CSN (+ BackboneClassifier head when present).
+
+    Key map (resnet3d_csn.py: CSNBottleneck3d turns Bottleneck3d's conv2
+    into nn.Sequential — conv2.0 is the ip pointwise (conv+bn) when
+    present, the depthwise conv+bn is the last element):
+      backbone.conv1.conv/bn                -> conv1/bn1
+      layer{i}.{j}.conv1.conv/bn            -> conv1/bn1
+      layer{i}.{j}.conv2.{0|1}.conv/bn      -> conv2_point/bn_point (ip),
+                                               conv2_depth/bn2
+      layer{i}.{j}.conv3.conv/bn            -> conv3/bn3
+      layer{i}.{j}.downsample.conv/bn       -> conv_down/bn_down
+    """
+    p = backbone_prefix
+    params: Dict = {"conv1": _conv3d(sd[p + "conv1.conv.weight"])}
+    stats: Dict = {}
+    params["bn1"], stats["bn1"] = _bn3d(sd, p + "conv1.bn")
+    ip = any(".conv2.1.conv.weight" in k for k in sd)
+    depth_idx = 1 if ip else 0
+    for i, blocks in enumerate(cfg.stage_blocks, start=1):
+        for j in range(blocks):
+            src = f"{p}layer{i}.{j}."
+            dst = f"layer{i}_{j}"
+            blk: Dict = {"conv1": _conv3d(sd[src + "conv1.conv.weight"]),
+                         "conv3": _conv3d(sd[src + "conv3.conv.weight"])}
+            blk_stats: Dict = {}
+            blk["bn1"], blk_stats["bn1"] = _bn3d(sd, src + "conv1.bn")
+            blk["bn3"], blk_stats["bn3"] = _bn3d(sd, src + "conv3.bn")
+            if ip:
+                blk["conv2_point"] = _conv3d(
+                    sd[src + "conv2.0.conv.weight"])
+                blk["bn_point"], blk_stats["bn_point"] = _bn3d(
+                    sd, src + "conv2.0.bn")
+            blk["conv2_depth"] = _conv3d(
+                sd[src + f"conv2.{depth_idx}.conv.weight"])
+            blk["bn2"], blk_stats["bn2"] = _bn3d(
+                sd, src + f"conv2.{depth_idx}.bn")
+            if src + "downsample.conv.weight" in sd:
+                blk["conv_down"] = _conv3d(
+                    sd[src + "downsample.conv.weight"])
+                blk["bn_down"], blk_stats["bn_down"] = _bn3d(
+                    sd, src + "downsample.bn")
+            params[dst] = blk
+            stats[dst] = blk_stats
+    variables = {"params": params, "batch_stats": stats}
+    if cls_head_key and cls_head_key + ".weight" in sd:
+        w = _np(sd[cls_head_key + ".weight"])
+        variables = {
+            "params": {"backbone": params,
+                       "cls_head": {"fc_cls": {
+                           "kernel": w.T,
+                           "bias": _np(sd[cls_head_key + ".bias"])}}},
+            "batch_stats": {"backbone": stats},
+        }
+    return variables

@@ -114,13 +114,21 @@ class ResNet3D(nn.Module):
 SLOWONLY_CFG = ResNet3DConfig()  # 1x1x1 conv1, temporal kernels late
 
 
+def _bn_csn(train: bool, name: str):
+    # mmaction CSN norm_cfg: BN3d with eps=1e-3 (resnet3d_csn.py:94)
+    return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                        epsilon=1e-3, name=name)
+
+
 class CSNBottleneck(nn.Module):
     """Channel-Separated bottleneck (mmaction backbones/resnet3d_csn.py):
     the 3x3x3 conv is DEPTHWISE (groups = channels); 'ip' keeps an extra
-    1x1x1 pointwise conv before it, 'ir' drops it."""
+    1x1x1 pointwise conv (+BN, no act) before it, 'ir' drops it.  Stage
+    transitions stride BOTH time and space (temporal_strides=(1,2,2,2))."""
 
     planes: int
     stride: int = 1
+    temporal_stride: int = 1
     mode: str = "ir"              # 'ir' | 'ip'
     expansion: int = 4
 
@@ -128,23 +136,24 @@ class CSNBottleneck(nn.Module):
     def __call__(self, x, *, train: bool = False):
         out = nn.Conv(self.planes, (1, 1, 1), use_bias=False,
                       name="conv1")(x)
-        out = nn.relu(_bn(train, "bn1")(out))
+        out = nn.relu(_bn_csn(train, "bn1")(out))
         if self.mode == "ip":
             out = nn.Conv(self.planes, (1, 1, 1), use_bias=False,
                           name="conv2_point")(out)
-        s = self.stride
-        out = nn.Conv(self.planes, (3, 3, 3), strides=(1, s, s),
+            out = _bn_csn(train, "bn_point")(out)
+        s, t = self.stride, self.temporal_stride
+        out = nn.Conv(self.planes, (3, 3, 3), strides=(t, s, s),
                       padding=1, feature_group_count=self.planes,
                       use_bias=False, name="conv2_depth")(out)
-        out = nn.relu(_bn(train, "bn2")(out))
+        out = nn.relu(_bn_csn(train, "bn2")(out))
         out = nn.Conv(self.planes * self.expansion, (1, 1, 1),
                       use_bias=False, name="conv3")(out)
-        out = _bn(train, "bn3")(out)
-        if s > 1 or x.shape[-1] != self.planes * self.expansion:
+        out = _bn_csn(train, "bn3")(out)
+        if s > 1 or t > 1 or x.shape[-1] != self.planes * self.expansion:
             sc = nn.Conv(self.planes * self.expansion, (1, 1, 1),
-                         strides=(1, s, s), use_bias=False,
+                         strides=(t, s, s), use_bias=False,
                          name="conv_down")(x)
-            sc = _bn(train, "bn_down")(sc)
+            sc = _bn_csn(train, "bn_down")(sc)
         else:
             sc = x
         return nn.relu(out + sc)
@@ -155,6 +164,7 @@ class CSNConfig:
     stage_blocks: Tuple[int, ...] = (3, 4, 6, 3)
     base_channels: int = 64
     mode: str = "ir"              # ir-CSN / ip-CSN
+    temporal_strides: Tuple[int, ...] = (1, 2, 2, 2)
 
 
 @BACKBONES.register("CSN")
@@ -170,16 +180,17 @@ class CSN(nn.Module):
         x = nn.Conv(cfg.base_channels, (3, 7, 7), strides=(1, 2, 2),
                     padding=((1, 1), (3, 3), (3, 3)), use_bias=False,
                     name="conv1")(videos)
-        x = nn.relu(_bn(train, "bn1")(x))
+        x = nn.relu(_bn_csn(train, "bn1")(x))
         x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2),
                         padding=((0, 0), (1, 1), (1, 1)))
         planes = cfg.base_channels
         for i, blocks in enumerate(cfg.stage_blocks):
             stride = 1 if i == 0 else 2
-            x = CSNBottleneck(planes, stride, cfg.mode,
+            x = CSNBottleneck(planes, stride, cfg.temporal_strides[i],
+                              cfg.mode,
                               name=f"layer{i+1}_0")(x, train=train)
             for j in range(1, blocks):
-                x = CSNBottleneck(planes, 1, cfg.mode,
+                x = CSNBottleneck(planes, 1, 1, cfg.mode,
                                   name=f"layer{i+1}_{j}")(x, train=train)
             planes *= 2
         return jnp.mean(x, axis=(1, 2, 3))
