@@ -20,6 +20,7 @@ Types:
   slowfast    — mmaction SlowFast (both pathways + lateral fusion convs)
   videomae    — VideoMAE finetuned ViT (config derived from shapes)
   x3d         — mmaction X3D (half-style SE, two-layer head)
+  csn         — mmaction ir/ip-CSN (Sequential conv2 grammar)
 """
 
 from __future__ import annotations
