@@ -21,6 +21,7 @@ Types:
   videomae    — VideoMAE finetuned ViT (config derived from shapes)
   x3d         — mmaction X3D (half-style SE, two-layer head)
   csn         — mmaction ir/ip-CSN (Sequential conv2 grammar)
+  tsm         — mmaction ResNetTSM (torchvision ResNet keys)
 """
 
 from __future__ import annotations
@@ -73,7 +74,7 @@ def main(argv=None):
     parser.add_argument("--type", required=True,
                         choices=["linas", "clip", "clip_resnet", "combiner",
                                  "timesformer", "yolov5", "resnet3d",
-                                 "slowfast", "videomae", "x3d", "csn"])
+                                 "slowfast", "videomae", "x3d", "csn", "tsm"])
     parser.add_argument("--src", required=True)
     parser.add_argument("--dst", required=True)
     parser.add_argument("--config", default=None,
@@ -187,6 +188,21 @@ def main(argv=None):
                          "num_classes": blob.get("num_classes")},
                         {"source": args.src})
         print(f"converted csn checkpoint -> {args.dst}")
+        return
+    elif args.type == "tsm":
+        from ..convert.torch_import import convert_tsm
+        from ..models.backbones2d import TSMConfig
+        sd = ckpt.get("state_dict", ckpt)
+        blob = json.load(open(args.config)) if args.config else {}
+        kwargs = {k: tuple(v) if isinstance(v, list) else v
+                  for k, v in blob.get("backbone", {}).items()}
+        cfg = TSMConfig(**kwargs)
+        variables = convert_tsm(sd, cfg)
+        save_checkpoint(args.dst, variables,
+                        {"backbone": blob.get("backbone", {}),
+                         "num_classes": blob.get("num_classes")},
+                        {"source": args.src})
+        print(f"converted tsm checkpoint -> {args.dst}")
         return
     elif args.type == "videomae":
         from ..convert.torch_import import convert_videomae

@@ -887,3 +887,57 @@ def convert_csn(sd: Dict, cfg, backbone_prefix: str = "backbone.",
             "batch_stats": {"backbone": stats},
         }
     return variables
+
+
+def _conv2d(w) -> Dict:
+    """torch Conv2d weight (out, in, h, w) -> flax (h, w, in, out)."""
+    return {"kernel": _np(w).transpose(2, 3, 1, 0)}
+
+
+def _bn_torch(sd: Dict, prefix: str) -> Tuple[Dict, Dict]:
+    """Plain torch BatchNorm (`prefix.weight/...`) -> flax split."""
+    return ({"scale": _np(sd[prefix + ".weight"]),
+             "bias": _np(sd[prefix + ".bias"])},
+            {"mean": _np(sd[prefix + ".running_mean"]),
+             "var": _np(sd[prefix + ".running_var"])})
+
+
+def convert_tsm(sd: Dict, cfg, backbone_prefix: str = "backbone.",
+                cls_head_key: Optional[str] = "cls_head.fc_cls") -> Dict:
+    """mmaction ResNetTSM checkpoint -> flax variables for
+    models.backbones2d.TSMResNet (+ Recognizer2D/TSNHead when the head is
+    present).  TSM adds NO weights over a torchvision ResNet-50 — the
+    temporal shift is parameter-free (backbones/resnet_tsm.py) — so the
+    key grammar is the plain torch one: conv{k}/bn{k},
+    downsample.0 (conv) / downsample.1 (bn)."""
+    p = backbone_prefix
+    params: Dict = {"conv1": _conv2d(sd[p + "conv1.weight"])}
+    stats: Dict = {}
+    params["bn1"], stats["bn1"] = _bn_torch(sd, p + "bn1")
+    for i, blocks in enumerate(cfg.stage_blocks, start=1):
+        for j in range(blocks):
+            src = f"{p}layer{i}.{j}."
+            dst = f"layer{i}_{j}"
+            blk: Dict = {}
+            blk_stats: Dict = {}
+            for k in (1, 2, 3):
+                blk[f"conv{k}"] = _conv2d(sd[src + f"conv{k}.weight"])
+                blk[f"bn{k}"], blk_stats[f"bn{k}"] = _bn_torch(
+                    sd, src + f"bn{k}")
+            if src + "downsample.0.weight" in sd:
+                blk["downsample"] = _conv2d(sd[src + "downsample.0.weight"])
+                blk["bn_down"], blk_stats["bn_down"] = _bn_torch(
+                    sd, src + "downsample.1")
+            params[dst] = blk
+            stats[dst] = blk_stats
+    variables = {"params": params, "batch_stats": stats}
+    if cls_head_key and cls_head_key + ".weight" in sd:
+        w = _np(sd[cls_head_key + ".weight"])
+        variables = {
+            "params": {"backbone": params,
+                       "cls_head": {"fc_cls": {
+                           "kernel": w.T,
+                           "bias": _np(sd[cls_head_key + ".bias"])}}},
+            "batch_stats": {"backbone": stats},
+        }
+    return variables
