@@ -7,7 +7,17 @@ variable trees so published weights run on TPU:
   LIST of sub-state-dicts in BaseModel.state_dict order,
   LINAS-engine/model.py:385-403);
 * `convert_clip_vit` — OpenAI-layout CLIP ViT state dicts (the format the
-  MultiFusion vendored clip.load produces).
+  MultiFusion vendored clip.load produces);
+* plus RN50x4 (`convert_clip_resnet`), Combiner, YOLOv5, TimeSformer,
+  Swin3D, ResNet3D/SlowOnly, SlowFast, X3D, CSN (ir/ip), TSM, VideoMAE
+  and the RNN caption head — every converter parity-tested against a
+  torch replica (tests/test_*_conversion.py).
+
+Intentionally without importers (each documented in its model file):
+MViT (our tower is a TPU-first simplification, not key-compatible with
+mmaction's pooled-attention + rel-pos checkpoints) and TIN (the
+reference's OffsetNet/WeightNet/tin_shift trio differs from our fused
+interlace module; reimplementing it exactly is the prerequisite).
 
 All converters are pure dict->dict transforms over numpy arrays; torch is
 only needed to unpickle .pth files (`load_torch_checkpoint`).
