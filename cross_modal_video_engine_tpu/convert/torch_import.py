@@ -916,14 +916,47 @@ def convert_tsm(sd: Dict, cfg, backbone_prefix: str = "backbone.",
                 cls_head_key: Optional[str] = "cls_head.fc_cls") -> Dict:
     """mmaction ResNetTSM checkpoint -> flax variables for
     models.backbones2d.TSMResNet (+ Recognizer2D/TSNHead when the head is
-    present).  TSM adds NO weights over a torchvision ResNet-50 — the
-    temporal shift is parameter-free (backbones/resnet_tsm.py) — so the
-    key grammar is the plain torch one: conv{k}/bn{k},
-    downsample.0 (conv) / downsample.1 (bn)."""
+    present).  TSM adds NO weights over the 2D ResNet-50 — the temporal
+    shift is parameter-free (backbones/resnet_tsm.py) — and mmaction's 2D
+    ResNet is ConvModule-based, so the key grammar is conv{k}.conv/bn,
+    downsample.conv/bn.  The shift wrapper (conv1.conv = TemporalShift(
+    net=conv)) nests the conv weight one level deeper: conv1.conv.net.
+
+    Torchvision-layout checkpoints (conv1.weight / bn1 / downsample.0)
+    are auto-detected and handled too."""
     p = backbone_prefix
-    params: Dict = {"conv1": _conv2d(sd[p + "conv1.weight"])}
+    torchvision = p + "conv1.weight" in sd
+
+    def stem():
+        if torchvision:
+            return _conv2d(sd[p + "conv1.weight"]), _bn_torch(sd, p + "bn1")
+        return (_conv2d(sd[p + "conv1.conv.weight"]),
+                _bn3d(sd, p + "conv1.bn"))
+
+    def block_conv(src, k):
+        if torchvision:
+            return (_conv2d(sd[src + f"conv{k}.weight"]),
+                    _bn_torch(sd, src + f"bn{k}"))
+        # the TSM wrapper may nest conv1's weight under conv1.conv.net
+        for key in (f"conv{k}.conv.weight", f"conv{k}.conv.net.weight"):
+            if src + key in sd:
+                return (_conv2d(sd[src + key]), _bn3d(sd, src + f"conv{k}.bn"))
+        raise KeyError(src + f"conv{k}.conv.weight")
+
+    def block_down(src):
+        if torchvision:
+            if src + "downsample.0.weight" not in sd:
+                return None
+            return (_conv2d(sd[src + "downsample.0.weight"]),
+                    _bn_torch(sd, src + "downsample.1"))
+        if src + "downsample.conv.weight" not in sd:
+            return None
+        return (_conv2d(sd[src + "downsample.conv.weight"]),
+                _bn3d(sd, src + "downsample.bn"))
+
+    params: Dict = {}
     stats: Dict = {}
-    params["bn1"], stats["bn1"] = _bn_torch(sd, p + "bn1")
+    params["conv1"], (params["bn1"], stats["bn1"]) = stem()
     for i, blocks in enumerate(cfg.stage_blocks, start=1):
         for j in range(blocks):
             src = f"{p}layer{i}.{j}."
@@ -931,13 +964,12 @@ def convert_tsm(sd: Dict, cfg, backbone_prefix: str = "backbone.",
             blk: Dict = {}
             blk_stats: Dict = {}
             for k in (1, 2, 3):
-                blk[f"conv{k}"] = _conv2d(sd[src + f"conv{k}.weight"])
-                blk[f"bn{k}"], blk_stats[f"bn{k}"] = _bn_torch(
-                    sd, src + f"bn{k}")
-            if src + "downsample.0.weight" in sd:
-                blk["downsample"] = _conv2d(sd[src + "downsample.0.weight"])
-                blk["bn_down"], blk_stats["bn_down"] = _bn_torch(
-                    sd, src + "downsample.1")
+                blk[f"conv{k}"], (blk[f"bn{k}"], blk_stats[f"bn{k}"]) = \
+                    block_conv(src, k)
+            down = block_down(src)
+            if down is not None:
+                blk["downsample"], (blk["bn_down"],
+                                    blk_stats["bn_down"]) = down
             params[dst] = blk
             stats[dst] = blk_stats
     variables = {"params": params, "batch_stats": stats}

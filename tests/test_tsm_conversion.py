@@ -109,3 +109,52 @@ def test_tsm_conversion_parity():
                          TSNHead(5, dropout_ratio=0.0))
     got = np.asarray(model.apply(variables, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_tsm_conversion_mmaction_grammar():
+    """The same weights renamed to mmaction's ConvModule grammar
+    (conv{k}.conv/bn, downsample.conv/bn, and the TemporalShift wrapper
+    nesting conv1's weight under conv1.conv.net) convert identically."""
+    cfg = TSMConfig(stage_blocks=(1, 1, 1, 1), base_channels=8)
+    T = 4
+    tmodel = TTSM(cfg, T, num_classes=5).eval()
+    with torch.no_grad():
+        for m in tmodel.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.1)
+                m.running_var.copy_(torch.rand_like(m.running_var) + 0.5)
+    sd_tv = dict(tmodel.state_dict())
+
+    def rename(k):
+        # stem: conv1.weight -> conv1.conv.weight; bn1.* -> conv1.bn.*
+        if k.startswith("backbone.conv1."):
+            return k.replace("backbone.conv1.", "backbone.conv1.conv.")
+        if k.startswith("backbone.bn1."):
+            return k.replace("backbone.bn1.", "backbone.conv1.bn.")
+        # blocks: convk.weight -> convk.conv[.net for conv1].weight,
+        # bnk -> convk.bn, downsample.0/.1 -> downsample.conv/bn
+        import re
+        m = re.match(r"(backbone\.layer\d\.\d\.)(.*)", k)
+        if not m:
+            return k
+        head, tail = m.groups()
+        tail = re.sub(r"^conv1\.(weight)$", r"conv1.conv.net.\1", tail)
+        tail = re.sub(r"^conv(\d)\.(weight)$", r"conv\1.conv.\2", tail)
+        tail = re.sub(r"^bn(\d)\.", r"conv\1.bn.", tail)
+        tail = tail.replace("downsample.0.", "downsample.conv.")
+        tail = tail.replace("downsample.1.", "downsample.bn.")
+        return head + tail
+
+    sd_mm = {rename(k): v for k, v in sd_tv.items()
+             if "num_batches_tracked" not in k}
+
+    x = np.random.default_rng(10).standard_normal(
+        (2, T, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(
+            x.transpose(0, 1, 4, 2, 3))).numpy()
+
+    variables = convert_tsm(sd_mm, cfg)
+    model = Recognizer2D(TSMResNet(cfg), TSNHead(5, dropout_ratio=0.0))
+    got = np.asarray(model.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
