@@ -21,7 +21,8 @@ Types:
   videomae    — VideoMAE finetuned ViT (config derived from shapes)
   x3d         — mmaction X3D (half-style SE, two-layer head)
   csn         — mmaction ir/ip-CSN (Sequential conv2 grammar)
-  tsm         — mmaction ResNetTSM (torchvision ResNet keys)
+  tsm         — mmaction ResNetTSM (ConvModule or torchvision keys)
+  tin         — mmaction ResNetTIN (CombineNet-wrapped interlace)
 """
 
 from __future__ import annotations
@@ -74,7 +75,7 @@ def main(argv=None):
     parser.add_argument("--type", required=True,
                         choices=["linas", "clip", "clip_resnet", "combiner",
                                  "timesformer", "yolov5", "resnet3d",
-                                 "slowfast", "videomae", "x3d", "csn", "tsm"])
+                                 "slowfast", "videomae", "x3d", "csn", "tsm", "tin"])
     parser.add_argument("--src", required=True)
     parser.add_argument("--dst", required=True)
     parser.add_argument("--config", default=None,
@@ -203,6 +204,21 @@ def main(argv=None):
                          "num_classes": blob.get("num_classes")},
                         {"source": args.src})
         print(f"converted tsm checkpoint -> {args.dst}")
+        return
+    elif args.type == "tin":
+        from ..convert.torch_import import convert_tin
+        from ..models.tin_mobilenet import TINExactConfig
+        sd = ckpt.get("state_dict", ckpt)
+        blob = json.load(open(args.config)) if args.config else {}
+        kwargs = {k: tuple(v) if isinstance(v, list) else v
+                  for k, v in blob.get("backbone", {}).items()}
+        cfg = TINExactConfig(**kwargs)
+        variables = convert_tin(sd, cfg)
+        save_checkpoint(args.dst, variables,
+                        {"backbone": blob.get("backbone", {}),
+                         "num_classes": blob.get("num_classes")},
+                        {"source": args.src})
+        print(f"converted tin checkpoint -> {args.dst}")
         return
     elif args.type == "videomae":
         from ..convert.torch_import import convert_videomae

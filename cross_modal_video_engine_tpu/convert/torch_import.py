@@ -13,11 +13,10 @@ variable trees so published weights run on TPU:
   and the RNN caption head — every converter parity-tested against a
   torch replica (tests/test_*_conversion.py).
 
-Intentionally without importers (each documented in its model file):
-MViT (our tower is a TPU-first simplification, not key-compatible with
-mmaction's pooled-attention + rel-pos checkpoints) and TIN (the
-reference's OffsetNet/WeightNet/tin_shift trio differs from our fused
-interlace module; reimplementing it exactly is the prerequisite).
+Intentionally without an importer: MViT only (our tower is a TPU-first
+simplification, not key-compatible with mmaction's pooled-attention +
+rel-pos checkpoints).  TIN imports via `convert_tin` into the exact
+TINResNetExact rebuild (OffsetNet/WeightNet/linear_sampler).
 
 All converters are pure dict->dict transforms over numpy arrays; torch is
 only needed to unpickle .pth files (`load_torch_checkpoint`).
@@ -970,6 +969,71 @@ def convert_tsm(sd: Dict, cfg, backbone_prefix: str = "backbone.",
             if down is not None:
                 blk["downsample"], (blk["bn_down"],
                                     blk_stats["bn_down"]) = down
+            params[dst] = blk
+            stats[dst] = blk_stats
+    variables = {"params": params, "batch_stats": stats}
+    if cls_head_key and cls_head_key + ".weight" in sd:
+        w = _np(sd[cls_head_key + ".weight"])
+        variables = {
+            "params": {"backbone": params,
+                       "cls_head": {"fc_cls": {
+                           "kernel": w.T,
+                           "bias": _np(sd[cls_head_key + ".bias"])}}},
+            "batch_stats": {"backbone": stats},
+        }
+    return variables
+
+
+def _conv1d(sd: Dict, name: str) -> Dict:
+    """torch Conv1d (out, in, k) -> flax Conv (k, in, out)."""
+    return {"kernel": _np(sd[name + ".weight"]).transpose(2, 1, 0),
+            "bias": _np(sd[name + ".bias"])}
+
+
+def convert_tin(sd: Dict, cfg, backbone_prefix: str = "backbone.",
+                cls_head_key: Optional[str] = "cls_head.fc_cls") -> Dict:
+    """mmaction ResNetTIN checkpoint -> flax variables for
+    models.tin_mobilenet.TINResNetExact (+ Recognizer2D/TSNHead).
+
+    ResNetTIN wraps each block's conv1.conv in CombineNet(net1=
+    TemporalInterlace, net2=conv) (resnet_tin.py:344-358), so keys are
+      layer{i}.{j}.conv1.conv.net1.offset_net.{conv,fc1,fc2}
+      layer{i}.{j}.conv1.conv.net1.weight_net.conv
+      layer{i}.{j}.conv1.conv.net2  (the 1x1 conv itself)
+    over the ConvModule grammar of the 2D ResNet."""
+    p = backbone_prefix
+    params: Dict = {"conv1": _conv2d(sd[p + "conv1.conv.weight"])}
+    stats: Dict = {}
+    params["bn1"], stats["bn1"] = _bn3d(sd, p + "conv1.bn")
+    for i, blocks in enumerate(cfg.stage_blocks, start=1):
+        for j in range(blocks):
+            src = f"{p}layer{i}.{j}."
+            dst = f"layer{i}_{j}"
+            net1 = src + "conv1.conv.net1."
+            blk: Dict = {
+                "interlace": {
+                    "offset_net": {
+                        "conv": _conv1d(sd, net1 + "offset_net.conv"),
+                        "fc1": _dense(sd, net1 + "offset_net.fc1"),
+                        "fc2": _dense(sd, net1 + "offset_net.fc2"),
+                    },
+                    "weight_net": {
+                        "conv": _conv1d(sd, net1 + "weight_net.conv"),
+                    },
+                },
+                "conv1": _conv2d(sd[src + "conv1.conv.net2.weight"]),
+                "conv2": _conv2d(sd[src + "conv2.conv.weight"]),
+                "conv3": _conv2d(sd[src + "conv3.conv.weight"]),
+            }
+            blk_stats: Dict = {}
+            for k in (1, 2, 3):
+                blk[f"bn{k}"], blk_stats[f"bn{k}"] = _bn3d(
+                    sd, src + f"conv{k}.bn")
+            if src + "downsample.conv.weight" in sd:
+                blk["downsample"] = _conv2d(
+                    sd[src + "downsample.conv.weight"])
+                blk["bn_down"], blk_stats["bn_down"] = _bn3d(
+                    sd, src + "downsample.bn")
             params[dst] = blk
             stats[dst] = blk_stats
     variables = {"params": params, "batch_stats": stats}
