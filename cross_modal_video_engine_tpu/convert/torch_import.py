@@ -13,10 +13,12 @@ variable trees so published weights run on TPU:
   and the RNN caption head — every converter parity-tested against a
   torch replica (tests/test_*_conversion.py).
 
-Intentionally without an importer: MViT only (our tower is a TPU-first
-simplification, not key-compatible with mmaction's pooled-attention +
-rel-pos checkpoints).  TIN imports via `convert_tin` into the exact
-TINResNetExact rebuild (OffsetNet/WeightNet/linear_sampler).
+Intentionally without an importer: MViT only — the reference's own MViT
+backbone is a wrapper over the UN-VENDORED facebook `slowfast` package
+(mvit.py:22-33 imports slowfast.models.attention.MultiScaleBlock etc.,
+which is not in the tree), so checkpoint parity would target code
+outside the reference; our models/mvit.py is the TPU-first counterpart.
+TIN imports via `convert_tin` into the exact TINResNetExact rebuild.
 
 All converters are pure dict->dict transforms over numpy arrays; torch is
 only needed to unpickle .pth files (`load_torch_checkpoint`).
