@@ -95,7 +95,10 @@ def train_from_config(cfg: Config, work_dir: str,
 
     start_epoch = 0
     if resume:
-        state, loop = load_train_state(resume, state)
+        # batch_stats ride in the payload so BN resumes warm.
+        payload, loop = load_train_state(
+            resume, {"state": state, "batch_stats": stats})
+        state, stats = payload["state"], payload["batch_stats"]
         start_epoch = int(loop.get("epoch", -1)) + 1
 
     epochs = num_epochs or cfg.get("total_epochs", tcfg.num_epochs)
@@ -119,7 +122,8 @@ def train_from_config(cfg: Config, work_dir: str,
             save_best({"params": state.params, "batch_stats": stats},
                       dict(cfg["model"]), report["top1_acc"],
                       {"epoch": epoch})
-        save_train_state(os.path.join(work_dir, f"epoch_{epoch}"), state,
+        save_train_state(os.path.join(work_dir, f"epoch_{epoch}"),
+                         {"state": state, "batch_stats": stats},
                          {"epoch": epoch})
         history.append(rec)
         print(json.dumps(rec))

@@ -87,15 +87,22 @@ def ap_per_class(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray,
     """Per-class AP over each IoU level (utils/metrics.py:31-96).
 
     Returns (classes, ap[C, T], precision[C], recall[C]) where
-    precision/recall are read at the end of the confidence sweep.
+    precision/recall are read at the confidence that maximises the
+    mean F1 across classes — the same operating point yolov5's
+    val.py summary row reports (its curves are interpolated onto a
+    1000-point confidence grid and ``f1.mean(0).argmax()`` picks the
+    column; we skip yolov5's box-filter smoothing of the mean-F1
+    curve, which only dithers the chosen column).
     """
     order = np.argsort(-np.asarray(conf))
+    conf = np.asarray(conf, np.float64)[order]
     tp = np.asarray(tp, np.float64)[order]
     pred_cls = np.asarray(pred_cls)[order]
     classes, n_labels = np.unique(np.asarray(target_cls), return_counts=True)
     ap = np.zeros((len(classes), tp.shape[1]))
-    prec = np.zeros(len(classes))
-    rec = np.zeros(len(classes))
+    px = np.linspace(0, 1, 1000)
+    p_curve = np.zeros((len(classes), px.size))
+    r_curve = np.zeros((len(classes), px.size))
     for ci, c in enumerate(classes):
         sel = pred_cls == c
         if not sel.any() or n_labels[ci] == 0:
@@ -106,9 +113,13 @@ def ap_per_class(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray,
         precision = tpc / np.maximum(tpc + fpc, eps)
         for t in range(tp.shape[1]):
             ap[ci, t] = average_precision(recall[:, t], precision[:, t])
-        prec[ci] = precision[-1, 0]
-        rec[ci] = recall[-1, 0]
-    return classes.astype(int), ap, prec, rec
+        # negated xs because np.interp needs increasing xs while conf
+        # is sorted decreasing (yolov5 utils/metrics.py:52-54)
+        r_curve[ci] = np.interp(-px, -conf[sel], recall[:, 0], left=0)
+        p_curve[ci] = np.interp(-px, -conf[sel], precision[:, 0], left=1)
+    f1 = 2 * p_curve * r_curve / (p_curve + r_curve + eps)
+    best = int(f1.mean(0).argmax())
+    return classes.astype(int), ap, p_curve[:, best], r_curve[:, best]
 
 
 def detection_map(predictions: Sequence[Dict], ground_truths: Sequence[Dict],

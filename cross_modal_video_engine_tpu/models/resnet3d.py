@@ -73,6 +73,9 @@ class ResNet3DConfig:
     pool1_stride_t: int = 1
     stage_temporal_kernels: Tuple[int, ...] = (1, 1, 3, 3)  # SlowOnly recipe
     channel_ratio: int = 1         # fast pathway uses 8x thinner channels
+    # AVA detection keeps the last stage at stride 1 for finer RoI maps
+    # (configs/detection/ava/*.py spatial_strides=(1, 2, 2, 1))
+    stage_spatial_strides: Tuple[int, ...] = (1, 2, 2, 2)
 
 
 @BACKBONES.register("ResNet3D")
@@ -98,7 +101,7 @@ class ResNet3D(nn.Module):
         planes = c0
         for i, (blocks, tk) in enumerate(zip(cfg.stage_blocks,
                                              cfg.stage_temporal_kernels)):
-            stride = 1 if i == 0 else 2
+            stride = cfg.stage_spatial_strides[i]
             x = Bottleneck3D(planes, stride, tk, name=f"layer{i+1}_0")(
                 x, train=train)
             for j in range(1, blocks):

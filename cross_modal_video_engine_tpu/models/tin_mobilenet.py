@@ -179,13 +179,18 @@ class MobileNetV2TSM(nn.Module):
 def tin_shift(data: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
     """mmcv.ops.tin_shift semantics: data (N, T, C, HW); shift (N, G)
     integer temporal shifts, channels split into G contiguous groups;
-    out[n, t, c] = data[n, t + shift[n, g_c], c] (zero out of range)."""
+    out[n, t, c] = data[n, t - shift[n, g_c], c] (zero out of range).
+
+    Direction: mmcv's tin_shift_cuda_kernel.cuh computes
+    ``data_id = i - t_shift; output[t=i] = input[t=data_id]`` — the
+    source index is t MINUS the shift (a positive shift delays the
+    signal), so we gather at ``t - shift`` here."""
     N, T, C, HW = data.shape
     G = shift.shape[1]
     gsize = C // G
     group_of_c = jnp.arange(C) // gsize                        # (C,)
     t_src = (jnp.arange(T)[None, :, None]
-             + shift[:, None, :][:, :, group_of_c])            # (N, T, C)
+             - shift[:, None, :][:, :, group_of_c])            # (N, T, C)
     valid = (t_src >= 0) & (t_src < T)
     gathered = jnp.take_along_axis(
         data, jnp.clip(t_src, 0, T - 1)[..., None], axis=1)

@@ -120,7 +120,14 @@ class MicroBatcher:
             rows = [r for r, _ in items]
             futs = [f for _, f in items]
             try:
-                outs = self.fn(rows)
+                outs = list(self.fn(rows))
+                # A short result list would otherwise leave unmatched
+                # futures pending forever (submit blocks the HTTP
+                # worker thread); raising resolves them all below.
+                if len(outs) != len(rows):
+                    raise RuntimeError(
+                        f"batch fn returned {len(outs)} results for "
+                        f"{len(rows)} rows")
                 self.batches_run += 1
                 self.rows_run += len(rows)
                 for fut, out in zip(futs, outs):

@@ -64,7 +64,10 @@ def test_detection_map_false_positive_halves_precision():
     out = detection_map(preds, gts)
     # TP first -> AP stays ~1.0 (precision envelope holds at recall 1)
     assert out["map50"] == pytest.approx(1.0, abs=0.02)
-    assert out["precision"] == pytest.approx(0.5, abs=1e-6)
+    # yolov5 val.py reports P/R at the max-F1 confidence: thresholding
+    # at ~0.9 keeps the TP and drops the 0.3-conf FP, so P = R = 1.
+    assert out["precision"] == pytest.approx(1.0, abs=1e-3)
+    assert out["recall"] == pytest.approx(1.0, abs=1e-3)
 
     # FP ranked ABOVE the TP drags AP to ~0.5
     preds[0]["scores"] = np.array([0.3, 0.9])

@@ -19,8 +19,9 @@ torch.manual_seed(5)
 
 
 def t_tin_shift(data, shift):
-    """torch replica of mmcv tin_shift: data (N, T, C, HW), shift
-    (N, G) ints; out[n, t, c] = data[n, t + shift[n, g_c], c] or 0."""
+    """torch replica of mmcv tin_shift (tin_shift_cuda_kernel.cuh:
+    ``data_id = i - t_shift``): data (N, T, C, HW), shift (N, G) ints;
+    out[n, t, c] = data[n, t - shift[n, g_c], c] or 0."""
     N, T, C, HW = data.shape
     G = shift.shape[1]
     gsize = C // G
@@ -30,10 +31,25 @@ def t_tin_shift(data, shift):
             s = int(shift[n, g])
             cs = slice(g * gsize, (g + 1) * gsize)
             for t in range(T):
-                ts = t + s
+                ts = t - s
                 if 0 <= ts < T:
                     out[n, t, cs] = data[n, ts, cs]
     return out
+
+
+def test_tin_shift_direction_golden():
+    """Direct golden of the kernel semantics (not via the replica):
+    tin_shift_cuda_kernel.cuh does ``data_id = i - t_shift`` so a
+    shift of +1 delays the signal — out[:, 0] is zero-padded and
+    out[:, t] == in[:, t-1]."""
+    from cross_modal_video_engine_tpu.models.tin_mobilenet import tin_shift
+    data = jnp.arange(1.0, 5.0).reshape(1, 4, 1, 1)       # frames 1..4
+    out = tin_shift(data, jnp.array([[1]]))
+    np.testing.assert_allclose(
+        np.asarray(out).ravel(), [0.0, 1.0, 2.0, 3.0])
+    out_neg = tin_shift(data, jnp.array([[-1]]))
+    np.testing.assert_allclose(
+        np.asarray(out_neg).ravel(), [2.0, 3.0, 4.0, 0.0])
 
 
 def t_linear_sampler(data, offset):
