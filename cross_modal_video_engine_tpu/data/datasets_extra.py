@@ -127,7 +127,8 @@ class AVADataset:
             filename = vid
             if data_prefix:
                 filename = os.path.join(data_prefix, vid)
-            self.keyframes.append(dict(filename=filename, timestamp=ts,
+            self.keyframes.append(dict(filename=filename, video_id=vid,
+                                       timestamp=ts,
                                        boxes=boxes, labels=labels))
 
     def __len__(self) -> int:

@@ -345,6 +345,13 @@ class Flip:
         if flip:
             results["imgs"] = [np.ascontiguousarray(im[:, ::-1])
                                for im in results["imgs"]]
+            # detection pipelines carry normalized x1y1x2y2 boxes
+            # (mmaction's Flip mirrors gt_bboxes/proposals too)
+            for key in ("gt_bboxes", "proposals"):
+                if results.get(key) is not None and len(results[key]):
+                    b = np.asarray(results[key], np.float32).copy()
+                    b[:, [0, 2]] = 1.0 - b[:, [2, 0]]
+                    results[key] = b
         return results
 
 

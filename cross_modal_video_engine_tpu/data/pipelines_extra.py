@@ -814,7 +814,8 @@ class SampleAVAFrames:
         fps = results["fps"]
         center = fps * (results["timestamp"]
                         - results["timestamp_start"]) + 1
-        shot = results["shot_info"]
+        # AVADataset rawframes mode defaults shot_info=(0, total_frames)
+        shot = results.get("shot_info") or (0, results["total_frames"])
         start = center - (self.clip_len // 2) * self.frame_interval
         end = center + ((self.clip_len + 1) // 2) * self.frame_interval
         inds = np.arange(start, end, self.frame_interval)

@@ -13,6 +13,9 @@ from .resnet3d import (ResNet3D, ResNet3DConfig, SlowFast, SlowFastConfig,
                        X3D, X3DConfig, CSN, CSNConfig)
 from .tpn import TPN, TPNConfig
 from .ava_head import AVARoIHead, AVAHeadConfig, roi_align, ava_bbox_loss
+from .lfb import (ACRNHead, ACRNHeadConfig, FBOAvg, FBOHead, FBOHeadConfig,
+                  FBOMax, FBONonLocal, LFBBuilder, LongTermFeatureBank,
+                  NonLocalLayer)
 from .videoclip import VideoCLIP, VideoCLIPConfig
 from .backbones2d import (TSMResNet, TSMConfig, C3D, R2Plus1D,
                           R2Plus1DConfig)

@@ -78,11 +78,18 @@ class AVAHeadConfig:
 
 
 class AVARoIHead(nn.Module):
+    """Optionally threads a shared head between RoIAlign and the
+    classifier, like mmdet FastRCNN's shared_head slot: `ACRNHead`
+    (context relation) or `FBOHead` (long-term feature bank fusion —
+    pass the sampled window as `lt_feat`)."""
+
     cfg: AVAHeadConfig
+    shared_head: Optional[nn.Module] = None
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, rois: jnp.ndarray,
-                 *, train: bool = False) -> jnp.ndarray:
+                 *, lt_feat: Optional[jnp.ndarray] = None,
+                 train: bool = False) -> jnp.ndarray:
         """feats: (B, T, H, W, C); rois: (N, 5) rows
         (batch_idx, x1, y1, x2, y2) with box coords normalized to [0, 1].
         Returns multilabel logits (N, num_classes)."""
@@ -103,6 +110,20 @@ class AVARoIHead(nn.Module):
             lambda m, b: roi_align(m, b[None], cfg.roi_size,
                                    cfg.sampling_ratio)[0])(
             per_roi_maps, boxes)                      # (N, r, r, C)
+
+        if self.shared_head is not None:
+            roi5 = pooled[:, None]                    # (N, 1, r, r, C)
+            from .lfb import ACRNHead, FBOHead        # avoid cycle
+            if isinstance(self.shared_head, ACRNHead):
+                roi5 = self.shared_head(roi5, maps[:, None], rois,
+                                        train=train)
+            elif isinstance(self.shared_head, FBOHead):
+                if lt_feat is None:
+                    raise ValueError("FBOHead needs lt_feat")
+                roi5 = self.shared_head(roi5, lt_feat, train=train)
+            else:
+                roi5 = self.shared_head(roi5, train=train)
+            pooled = roi5.mean(axis=1)    # (N, H', W', C') temporal collapse
 
         if cfg.spatial_pool == "max":
             x = pooled.max(axis=(1, 2))

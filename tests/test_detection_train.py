@@ -1,0 +1,114 @@
+"""AVA detection training end-to-end on a tiny synthetic fixture:
+config-driven CLI (cli/detection_train), loss decreases, AVA-protocol
+frame-mAP evaluation runs, and resume restores batch_stats."""
+
+import numpy as np
+
+from cross_modal_video_engine_tpu.cli import detection_train
+from cross_modal_video_engine_tpu.io.video_decode import write_test_video
+from cross_modal_video_engine_tpu.train.detection_trainer import (
+    assign_proposals, pack_detection_batch)
+
+rng = np.random.default_rng(7)
+
+
+def _fixture(tmp_path, n_videos=4):
+    """Videos whose keyframe box holds a bright (action 1) or dark
+    (action 2) patch; boxes at known normalized coords."""
+    vdir = tmp_path / "videos"
+    vdir.mkdir()
+    rows = []
+    for i in range(n_videos):
+        action = 1 + (i % 2)
+        frames = np.full((12, 32, 32, 3), 128, np.uint8)
+        lum = 230 if action == 1 else 20
+        # box occupies the upper-left quadrant
+        frames[:, 2:14, 2:14] = lum
+        frames = np.clip(frames + rng.integers(-8, 8, frames.shape),
+                         0, 255).astype(np.uint8)
+        write_test_video(str(vdir / f"v{i}.mp4"), frames, fps=10)
+        # keyframe at t=0.6s (frame 6 of 12 at 10 fps)
+        rows.append(f"v{i}.mp4,0.6,0.0625,0.0625,0.4375,0.4375,{action},0")
+    ann = tmp_path / "ann.csv"
+    ann.write_text("\n".join(rows))
+
+    cfg = tmp_path / "config.py"
+    cfg.write_text(f"""
+model = dict(
+    backbone=dict(type='SlowOnly', stage_blocks=[1, 1, 1, 1],
+                  base_channels=8, conv1_kernel_t=1,
+                  stage_temporal_kernels=[1, 1, 3, 3],
+                  stage_spatial_strides=[1, 2, 2, 1]),
+    roi_head=dict(num_classes=4, roi_size=2, sampling_ratio=1,
+                  dropout=0.0),
+    train_cfg=dict(pos_iou_thr=0.9, max_boxes=2),
+    test_cfg=dict(action_thr=0.002))
+data = dict(
+    train=dict(ann_file=r'{ann}', data_prefix=r'{vdir}'),
+    val=dict(ann_file=r'{ann}', data_prefix=r'{vdir}'),
+    fps=10, timestamp_start=0,
+    pipeline=[
+        dict(type='DecordInit'),
+        dict(type='SampleAVAFrames', clip_len=4, frame_interval=2,
+             test_mode=True),
+        dict(type='DecordDecode'),
+        dict(type='Resize', scale=(32, 32), keep_ratio=False),
+        dict(type='Normalize', mean=[127.5]*3, std=[127.5]*3),
+        dict(type='FormatShape', input_format='NTHWC'),
+    ],
+    videos_per_gpu=4)
+optimizer = dict(optimizer='adamw', learning_rate=2e-3, grad_clip=1.0)
+total_epochs = 8
+eval_interval = 4
+""")
+    return str(cfg)
+
+
+def test_detection_train_cli_e2e(tmp_path):
+    cfg = _fixture(tmp_path)
+    work = str(tmp_path / "work")
+    history = detection_train.main([cfg, "--work_dir", work])
+    assert len(history) == 8
+    losses = [h["loss"] for h in history]
+    assert losses[-1] < losses[0] * 0.8, losses
+    # AVA-protocol eval ran and returned a finite frame-mAP
+    evals = [h for h in history if "mAP@0.5IOU" in h]
+    assert evals, history
+    assert 0.0 <= evals[-1]["mAP@0.5IOU"] <= 1.0
+    # boxes are separable by brightness: the trained model should rank
+    # the true action first on its own train set
+    assert evals[-1]["mAP@0.5IOU"] > 0.9, evals
+
+    # resume continues from the saved epoch with warm batch_stats
+    history2 = detection_train.main([cfg, "--work_dir", work, "--resume",
+                                     "--total_epochs", "10"])
+    assert [h["epoch"] for h in history2] == [8, 9]
+
+
+def test_assign_proposals_semantics():
+    gt = np.array([[0.1, 0.1, 0.5, 0.5]], np.float32)
+    gl = np.zeros((1, 4), np.float32)
+    gl[0, 2] = 1.0
+    props = np.array([[0.1, 0.1, 0.5, 0.5],     # IoU 1 -> positive
+                      [0.6, 0.6, 0.9, 0.9]],    # IoU 0 -> background
+                     np.float32)
+    boxes, labels = assign_proposals(props, gt, gl, 4, pos_iou_thr=0.9)
+    # gt prepended (add_gt_as_proposals), then the two proposals
+    assert boxes.shape == (3, 4)
+    np.testing.assert_allclose(labels[0], gl[0])   # the GT row
+    np.testing.assert_allclose(labels[1], gl[0])   # matched proposal
+    np.testing.assert_allclose(labels[2], 0.0)     # background
+
+
+def test_pack_detection_batch_static_layout():
+    items = [dict(clip=np.zeros((2, 8, 8, 3)),
+                  boxes=np.array([[0, 0, 1, 1]], np.float32),
+                  labels=np.eye(3, dtype=np.float32)[:1]),
+             dict(clip=np.zeros((2, 8, 8, 3)),
+                  boxes=np.zeros((0, 4), np.float32),
+                  labels=np.zeros((0, 3), np.float32))]
+    clips, rois, labels, valid = pack_detection_batch(items, 2, 3)
+    assert clips.shape == (2, 2, 8, 8, 3)
+    assert rois.shape == (4, 5) and labels.shape == (4, 3)
+    np.testing.assert_allclose(valid, [1, 0, 0, 0])
+    assert rois[0, 0] == 0                          # batch index

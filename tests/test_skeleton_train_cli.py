@@ -1,0 +1,107 @@
+"""Skeleton family end-to-end: STGCN / 2s-AGCN (joint + bone streams) /
+PoseC3D recipes train on synthetic pose data via cli/skeleton_train and
+the loss decreases."""
+
+import pickle
+
+import numpy as np
+
+from cross_modal_video_engine_tpu.cli import skeleton_train
+from cross_modal_video_engine_tpu.cli.skeleton_train import to_bone_stream
+
+rng = np.random.default_rng(11)
+
+
+def _pose_fixture(tmp_path, n=8, T=12, V=17):
+    """Class 0 raises the arms (joints 9/10 high), class 1 lowers them —
+    separable by both joint positions and bone vectors.  Coordinates
+    are in pixels on a 16x16 canvas (GeneratePoseTarget's convention:
+    keypoints are pixel coords on img_shape)."""
+    annos = []
+    rng = np.random.default_rng(11)          # order-independent fixture
+    for i in range(n):
+        label = i % 2
+        kp = rng.normal(0.0, 0.6, (T, V, 3)).astype(np.float32)
+        kp[..., :2] += 8.0
+        kp[..., 2] = 1.0                     # confidence
+        dy = -4.0 if label == 0 else 4.0
+        kp[:, 9, 1] += dy
+        kp[:, 10, 1] += dy
+        annos.append({"keypoint": kp, "label": label})
+    p = tmp_path / "poses.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(annos, f)
+    return str(p)
+
+
+def _cfg(tmp_path, ann, model_block, data_extra="", lr=3e-2, epochs=10):
+    cfg = tmp_path / "config.py"
+    cfg.write_text(f"""
+model = {model_block}
+data = dict(
+    train=dict(ann_file=r'{ann}'),
+    val=dict(ann_file=r'{ann}'),
+    clip_len=8, batch_size=8{data_extra})
+optimizer = dict(optimizer='adamw', learning_rate={lr}, grad_clip=1.0)
+total_epochs = {epochs}
+eval_interval = {epochs}
+""")
+    return str(cfg)
+
+
+def _run(cfg, work, min_ratio=0.9):
+    history = skeleton_train.main([cfg, "--work_dir", work])
+    losses = [h["loss"] for h in history]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * min_ratio, losses
+    assert "top1_acc" in history[-1]
+    return history
+
+
+def test_stgcn_recipe(tmp_path):
+    ann = _pose_fixture(tmp_path)
+    cfg = _cfg(tmp_path, ann,
+               "dict(backbone=dict(type='STGCN', num_joints=17, "
+               "channels=[8, 8], temporal_strides=[1, 2]), num_classes=2)")
+    history = _run(cfg, str(tmp_path / "w"))
+    # the fixture is separable: the model fits it (eval accuracy uses
+    # BN running stats, which lag on a 10-step run, so assert on train)
+    assert history[-1]["train_top1"] == 1.0
+
+
+def test_agcn_joint_and_bone_streams(tmp_path):
+    ann = _pose_fixture(tmp_path)
+    cfg = _cfg(tmp_path, ann,
+               "dict(backbone=dict(type='AGCN', num_joints=17, "
+               "channels=[8, 8], temporal_strides=[1, 2]), num_classes=2)")
+    _run(cfg, str(tmp_path / "wj"))
+    cfg_bone = _cfg(tmp_path, ann,
+                    "dict(backbone=dict(type='AGCN', num_joints=17, "
+                    "channels=[8, 8], temporal_strides=[1, 2]), "
+                    "num_classes=2)",
+                    data_extra=", stream='bone'")
+    _run(cfg_bone, str(tmp_path / "wb"))
+
+
+def test_posec3d_recipe_heatmap_input(tmp_path):
+    ann = _pose_fixture(tmp_path, n=4)
+    cfg = _cfg(tmp_path, ann,
+               "dict(backbone=dict(type='PoseC3D', stage_blocks=[1, 1], "
+               "base_channels=8, conv1_kernel_t=1, "
+               "stage_temporal_kernels=[1, 3], "
+               "stage_spatial_strides=[1, 2]), num_classes=2)",
+               data_extra=", heatmap=dict(sigma=1.0, img_shape=[16, 16])",
+               lr=3e-3, epochs=6)
+    _run(cfg, str(tmp_path / "w"), min_ratio=1.0)
+
+
+def test_bone_stream_is_parent_relative():
+    kp = np.zeros((1, 17, 3), np.float32)
+    kp[0, 5, :2] = [1.0, 2.0]     # parent of joint 7
+    kp[0, 7, :2] = [1.5, 2.5]
+    kp[..., 2] = 0.9
+    bones = to_bone_stream(kp)
+    np.testing.assert_allclose(bones[0, 7, :2], [0.5, 0.5])
+    np.testing.assert_allclose(bones[0, 7, 2], 0.9)   # score untouched
+    # root joint 0 keeps zero bone
+    np.testing.assert_allclose(bones[0, 0, :2], kp[0, 0, :2] - kp[0, 0, :2])
