@@ -65,22 +65,53 @@ def build_retrieval_handler(args):
 
 
 def build_caption_handler(args):
+    """Decode on the host per request; coalesce the decoder forward
+    across concurrent requests (forward_test natively handles
+    (B*num_segs, ...) batches)."""
+    import jax.numpy as jnp
     import numpy as np
+    from ..data.pipelines import build_pipeline
     from ..models.decoder_head import RNNDecoderConfig
     from ..models.recognizer import Recognizer3DRelseq
     from ..models.timesformer import TimeSformerConfig
+    from ..service.batching import MicroBatcher
     from ..train.checkpoint import load_checkpoint
-    from .caption_inference import caption_video
+    from .caption_inference import DEFAULT_PIPELINE
 
     variables, cfg_d, _ = load_checkpoint(args.caption_checkpoint)
     ts = TimeSformerConfig(**{k: tuple(v) if isinstance(v, list) else v
                               for k, v in cfg_d["backbone"].items()})
     model = Recognizer3DRelseq(ts, RNNDecoderConfig(**cfg_d["decoder"]))
+    pipe = build_pipeline(DEFAULT_PIPELINE)
+
+    def model_rows(rows):
+        # rows: (num_clips, T, H, W, C) float arrays, same shape
+        num_segs = rows[0].shape[0]
+        n = len(rows)
+        padded = 1
+        while padded < n:
+            padded *= 2
+        rows = list(rows) + [rows[0]] * (padded - n)
+        batch = jnp.asarray(np.concatenate(rows, axis=0))
+        probs = np.asarray(model.apply(variables, batch,
+                                       num_segs=num_segs,
+                                       method="forward_test"))
+        return [probs[i] for i in range(n)]
+
+    batcher = MicroBatcher(model_rows,
+                           max_batch=getattr(args, "max_batch", 8),
+                           max_wait_ms=getattr(args, "max_wait_ms", 5.0),
+                           name="caption-model")
 
     def handler(payload: dict) -> dict:
-        steps, probs = caption_video(model, variables, payload["video"])
+        r = pipe({"filename": payload["video"], "start_index": 0})
+        clips = np.asarray(r["imgs"], np.float32)
+        probs = batcher.submit(clips)                 # (max_len, C)
+        threshold = float(payload.get("threshold", 0.5))
+        steps = [list(np.nonzero(p > threshold)[0]) for p in probs]
         return {"steps": [[int(i) for i in s] for s in steps]}
 
+    handler.batcher = batcher
     return handler
 
 
@@ -124,21 +155,51 @@ def build_composed_handler(args):
         index_high.append(hh)
     index_high = np.stack(index_high)
 
+    from ..service.batching import MicroBatcher
+
+    # pre-normalized target index (rank_index recomputes this per call;
+    # hoist it so the batched stage is one matmul)
+    index = index_high.mean(axis=1)
+    index = index / np.maximum(
+        np.linalg.norm(index, axis=1, keepdims=True), 1e-12)
+
+    def rank_rows(rows):
+        # rows: (ref_high (F, D), ref_middle (F, L, D), token_ids (S,))
+        # -> one encode_text + one combine + one index matmul for the
+        # whole wave
+        n = len(rows)
+        padded = 1
+        while padded < n:
+            padded *= 2
+        rows = list(rows) + [rows[0]] * (padded - n)
+        highs = jnp.asarray(np.stack([r[0] for r in rows]))
+        middles = jnp.asarray(np.stack([r[1] for r in rows]))
+        ids = jnp.asarray(np.concatenate([r[2] for r in rows]))  # (B, S)
+        text_feat = clip_model.apply(clip_vars, ids, method="encode_text")
+        pred = combiner.apply(comb_vars, (highs, middles), text_feat,
+                              method="combine_features")
+        scores = 1.0 - np.asarray(pred) @ index.T     # distances
+        order = np.argsort(scores, axis=1)
+        return [order[i] for i in range(n)]
+
+    batcher = MicroBatcher(rank_rows,
+                           max_batch=getattr(args, "max_batch", 8),
+                           max_wait_ms=getattr(args, "max_wait_ms", 5.0),
+                           name="composed-rank")
+
     def handler(payload: dict) -> dict:
         rh, rm = extract_video_features(clip_model, clip_vars,
                                         payload["reference_video"],
                                         dim=clip_cfg.image_resolution)
         ref_high, ref_middle = build_combiner_inputs(
             rh, rm, dim=comb_cfg.clip_feature_dim)
-        ids = jnp.asarray(tok.tokenize(payload["text"],
-                                       clip_cfg.context_length))
-        text_feat = np.asarray(clip_model.apply(clip_vars, ids,
-                                                method="encode_text"))
-        order = rank_index(combiner, comb_vars, ref_high, ref_middle,
-                           text_feat, index_high)
+        ids = np.asarray(tok.tokenize(payload["text"],
+                                      clip_cfg.context_length))
+        order = batcher.submit((ref_high, ref_middle, ids))
         k = int(payload.get("topK", 1))
         return {"results": [names[i] for i in order[:k]]}
 
+    handler.batcher = batcher
     return handler
 
 
@@ -167,14 +228,52 @@ def build_explain_handler(args):
                    if args.label_names else None)
     pipe = build_pipeline(DEFAULT_PIPELINE)
 
+    from ..explain.ctv import concept_scores, top_concepts
+    from ..explain.grads import grad_extract, normalized_cls_grad
+    from ..service.batching import MicroBatcher
+
+    default_layer = args.target_layer
+
+    def grad_rows(rows):
+        # rows: (num_clips, T, H, W, 3), same shape; the forward+grad
+        # pass batches every request's clips into one program, then
+        # per-request slices feed the (host-side) concept scoring
+        k = rows[0].shape[0]
+        n = len(rows)
+        padded = 1
+        while padded < n:
+            padded *= 2
+        rows = list(rows) + [rows[0]] * (padded - n)
+        batch = jnp.asarray(np.concatenate(rows, axis=0))
+        g = grad_extract(model, variables, batch, [default_layer])
+        grads = np.asarray(g["gradients"][default_layer])
+        preds = np.asarray(g["pred"])
+        scores = np.asarray(g["scores"])
+        return [dict(pred=preds[i * k: (i + 1) * k],
+                     scores=scores[i * k: (i + 1) * k],
+                     grad_probe=normalized_cls_grad(
+                         grads[i * k: (i + 1) * k]))
+                for i in range(n)]
+
+    batcher = MicroBatcher(grad_rows,
+                           max_batch=getattr(args, "max_batch", 8),
+                           max_wait_ms=getattr(args, "max_wait_ms", 5.0),
+                           name="explain-grad")
+
     def handler(payload: dict) -> dict:
         r = pipe({"filename": payload["video"], "start_index": 0})
-        clips = jnp.asarray(np.asarray(r["imgs"], np.float32))
-        out = explain_video(model, variables, clips,
-                            target_layer=int(payload.get(
-                                "target_layer", args.target_layer)),
-                            concept_banks=banks,
-                            topk=int(payload.get("topK", 5)))
+        clips = np.asarray(r["imgs"], np.float32)
+        layer = int(payload.get("target_layer", default_layer))
+        topk = int(payload.get("topK", 5))
+        if layer == default_layer:
+            out = batcher.submit(clips)
+            for level, bank in banks.items():
+                s = concept_scores(bank.matrix, out["grad_probe"])
+                out[f"{level}_top"] = top_concepts(s, bank.names, topk)
+        else:       # custom layer: un-batched fallback path
+            out = explain_video(model, variables, jnp.asarray(clips),
+                                target_layer=layer, concept_banks=banks,
+                                topk=topk)
         pred = int(out["pred"][0])
         resp = {
             "prediction": label_names[pred] if label_names else pred,
@@ -186,6 +285,7 @@ def build_explain_handler(args):
                 for n, s in out[f"{level}_top"]]
         return resp
 
+    handler.batcher = batcher
     return handler
 
 

@@ -83,3 +83,15 @@ def test_service_metrics_endpoint():
     assert m["echo"]["requests"] == 6
     assert m["echo"]["errors"] == 1
     assert m["echo"]["latency_ms_p50"] is not None
+
+
+def test_short_result_list_fails_all_futures():
+    """A handler returning fewer results than rows must raise into every
+    pending future instead of leaving them blocked forever."""
+    import pytest
+    from cross_modal_video_engine_tpu.service.batching import MicroBatcher
+
+    bad = MicroBatcher(lambda rows: rows[:-1], max_batch=4, max_wait_ms=1)
+    with pytest.raises(RuntimeError, match="returned 0 results for 1"):
+        bad.submit(np.zeros(2), timeout=5)
+    bad.close()

@@ -122,7 +122,9 @@ def test_all_four_routes(tmp_path, monkeypatch):
         clip_checkpoint=clip_ckpt, combiner_checkpoint=comb_ckpt,
         videos_dir=videos_dir, merges=merges,
         explain_checkpoint=rec_ckpt, concept_banks=banks,
-        target_layer=0, label_names=label_names)
+        target_layer=0, label_names=label_names,
+        max_wait_ms=50.0)     # generous straggler window -> coalescing
+                              # is deterministic under the load test
     service = serve.build_service(args)
     assert sorted(service.handlers) == [
         "caption", "composed_retrieval", "explain", "retrieval"]
@@ -155,20 +157,48 @@ def test_all_four_routes(tmp_path, monkeypatch):
         assert len(out["symbolic_top"]) == 2
         assert len(out["scores"]) == 5
 
-        # concurrent retrieval requests coalesce through the MicroBatcher
+        # concurrent requests coalesce through every route's
+        # MicroBatcher: N requests land in < N device batches
         import threading
-        batcher = service.handlers["retrieval"].batcher
-        rows_before = batcher.rows_run
-        results = [None] * 8
-        def hit(i):
-            results[i] = _post(port, "retrieval",
-                               {"query": f"query number {i}", "topK": 2})
-        threads = [threading.Thread(target=hit, args=(i,)) for i in range(8)]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
+
+        def load(route, payload_fn, n=8):
+            batcher = service.handlers[route].batcher
+            rows0, batches0 = batcher.rows_run, batcher.batches_run
+            results = [None] * n
+
+            def hit(i):
+                results[i] = _post(port, route, payload_fn(i))
+
+            threads = [threading.Thread(target=hit, args=(i,))
+                       for i in range(n)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            return (results, batcher.rows_run - rows0,
+                    batcher.batches_run - batches0)
+
+        results, rows, batches = load(
+            "retrieval", lambda i: {"query": f"query number {i}",
+                                    "topK": 2})
         assert all(len(r["results"]) == 2 for r in results)
-        assert batcher.rows_run - rows_before == 8
+        assert rows == 8 and batches < 8
+
+        results, rows, batches = load(
+            "caption", lambda i: {"video": ref_video})
+        assert all(len(r["steps"]) == 3 for r in results)
+        assert rows == 8 and batches < 8
+
+        results, rows, batches = load(
+            "explain", lambda i: {"video": ref_video, "topK": 2})
+        assert all(len(r["symbolic_top"]) == 2 for r in results)
+        assert rows == 8 and batches < 8
+
+        results, rows, batches = load(
+            "composed_retrieval",
+            lambda i: {"reference_video": ref_video,
+                       "text": "make it red", "topK": 1}, n=4)
+        assert all(len(r["results"]) == 1 for r in results)
+        assert rows == 4 and batches < 4
     finally:
         server.shutdown()
