@@ -53,6 +53,23 @@ from .pipelines import CenterCrop, Resize  # noqa: F401 (Resize reused)
 # ---------------------------------------------------------------------------
 
 
+def resample_audio(y: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Polyphase windowed-sinc resampling (scipy.signal.resample_poly,
+    Kaiser-windowed FIR) — the band-limited resampler class librosa's
+    loader uses, replacing the earlier linear interpolation which
+    aliased everything above the new Nyquist."""
+    from fractions import Fraction
+
+    from scipy.signal import resample_poly
+    frac = Fraction(sr_out, sr_in).limit_denominator(1000)
+    out = resample_poly(y.astype(np.float64), frac.numerator,
+                        frac.denominator)
+    n_target = int(round(len(y) * sr_out / sr_in))
+    if len(out) < n_target:
+        out = np.pad(out, (0, n_target - len(out)))
+    return out[:n_target].astype(np.float32)
+
+
 @PIPELINES.register("AudioDecodeInit")
 class AudioDecodeInit:
     """loading.py:1443-1511.  The reference decodes via librosa (resample to
@@ -88,9 +105,7 @@ class AudioDecodeInit:
         if n_ch > 1:
             y = y.reshape(-1, n_ch).mean(axis=1)
         if sr != self.sample_rate:
-            n_out = int(round(len(y) * self.sample_rate / sr))
-            y = np.interp(np.linspace(0, len(y) - 1, n_out),
-                          np.arange(len(y)), y).astype(np.float32)
+            y = resample_audio(y, sr, self.sample_rate)
         return y
 
     def __call__(self, results: Dict) -> Dict:
@@ -212,9 +227,12 @@ class AudioAmplify:
 @PIPELINES.register("MelSpectrogram")
 class MelSpectrogram:
     """augmentations.py:1887-1958.  The reference shells out to
-    librosa.feature.melspectrogram; we compute the identical pipeline in
-    numpy (hann-windowed power STFT x triangular mel filterbank, the same
-    filterbank construction as the on-device front end in models/audio.py).
+    librosa.feature.melspectrogram; we reproduce librosa's exact
+    pipeline in numpy: centered STFT (reflect padding of n_fft//2),
+    PERIODIC hann window, power-2 spectrum, Slaney-scale mel filterbank
+    with 'slaney' area normalization (models/audio.py
+    librosa_mel_filterbank) — so imported audio checkpoints see the
+    training-time feature distribution, not a shifted one.
     Output is time-major (clips, fixed_length, n_mels) so it feeds
     FormatAudioShape exactly like AudioFeatureSelector's offline features —
     the reference's (n_mels, t) orientation + its transposed-pad call would
@@ -228,16 +246,20 @@ class MelSpectrogram:
         self.fixed_length = fixed_length
 
     def __call__(self, results: Dict) -> Dict:
-        from ..models.audio import mel_filterbank
+        from ..models.audio import librosa_mel_filterbank, periodic_hann
 
         signals = np.atleast_2d(results["audios"])
         sr = results["sample_rate"]
         n_fft = int(round(sr * self.window_size / 1000))
         hop = int(round(sr * self.step_size / 1000))
-        window = np.hanning(n_fft).astype(np.float32)
-        fb = mel_filterbank(self.n_mels, n_fft, sr)  # (n_fft//2+1, n_mels)
+        window = periodic_hann(n_fft)
+        fb = librosa_mel_filterbank(self.n_mels, n_fft, sr)
         mels = []
         for clip in signals[:results.get("num_clips", signals.shape[0])]:
+            # librosa center=True: reflect-pad n_fft//2 both sides, then
+            # 1 + len//hop frames
+            clip = np.pad(clip, n_fft // 2,
+                          mode="reflect" if len(clip) > 1 else "constant")
             n_frames = max(1, 1 + (len(clip) - n_fft) // hop)
             if len(clip) < n_fft:
                 clip = np.pad(clip, (0, n_fft - len(clip)))

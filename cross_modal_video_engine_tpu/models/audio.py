@@ -19,6 +19,65 @@ from flax import linen as nn
 from ..utils.registry import BACKBONES, RECOGNIZERS
 
 
+def slaney_hz_to_mel(f):
+    """librosa.hz_to_mel(htk=False): linear below 1 kHz (mel = 3f/200),
+    log-spaced above with step ln(6.4)/27 — the Slaney/Auditory-Toolbox
+    scale librosa.filters.mel defaults to."""
+    f = np.asarray(f, np.float64)
+    f_sp = 200.0 / 3
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(f >= min_log_hz,
+                    min_log_mel + np.log(np.maximum(f, 1e-10)
+                                         / min_log_hz) / logstep,
+                    f / f_sp)
+
+
+def slaney_mel_to_hz(m):
+    m = np.asarray(m, np.float64)
+    f_sp = 200.0 / 3
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(m >= min_log_mel,
+                    min_log_hz * np.exp(logstep * (m - min_log_mel)),
+                    f_sp * m)
+
+
+def librosa_mel_filterbank(n_mels: int, n_fft: int, sample_rate: int,
+                           fmin: float = 0.0,
+                           fmax: float | None = None) -> np.ndarray:
+    """(n_fft//2+1, n_mels) — librosa.filters.mel(htk=False,
+    norm='slaney') reimplemented from the published algorithm:
+    continuous-frequency triangles between Slaney-mel-spaced centers,
+    each filter scaled by 2/(f[m+2]-f[m]) (unit area).  This is what
+    the reference's MelSpectrogram pipeline op actually produces
+    (augmentations.py:1887-1958 shells out to
+    librosa.feature.melspectrogram), so imported audio checkpoints see
+    the training-time feature distribution."""
+    fmax = fmax if fmax is not None else sample_rate / 2.0
+    fftfreqs = np.linspace(0, sample_rate / 2.0, n_fft // 2 + 1)
+    mel_f = slaney_mel_to_hz(np.linspace(slaney_hz_to_mel(fmin),
+                                         slaney_hz_to_mel(fmax),
+                                         n_mels + 2))
+    fdiff = np.diff(mel_f)
+    ramps = mel_f[:, None] - fftfreqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1][:, None]
+    upper = ramps[2:] / fdiff[1:][:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    enorm = 2.0 / (mel_f[2: n_mels + 2] - mel_f[:n_mels])
+    weights = weights * enorm[:, None]
+    return weights.T.astype(np.float32)       # (n_fft//2+1, n_mels)
+
+
+def periodic_hann(n: int) -> np.ndarray:
+    """scipy.signal.get_window('hann', n, fftbins=True) — what librosa's
+    STFT uses; np.hanning is the symmetric variant and differs."""
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)).astype(
+        np.float32)
+
+
 def mel_filterbank(n_mels: int, n_fft: int, sample_rate: int) -> np.ndarray:
     """(n_fft//2+1, n_mels) triangular mel filters."""
     def hz_to_mel(f):
