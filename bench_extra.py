@@ -164,11 +164,134 @@ def bench_u8_ingest(batch=32, frames=8, steps=20):
     }))
 
 
+def _flops_per_step(jitted, *args):
+    """XLA's own cost analysis for the compiled step (fwd+bwd+update);
+    None when the backend doesn't report flops."""
+    try:
+        an = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(an, (list, tuple)):
+            an = an[0]
+        return float(an.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def bench_train_step_timesformer(batch=4, steps=10):
+    """Recognition TRAIN throughput: TimeSformer divST 8x224 (the
+    production recognition flagship, configs/recognition/timesformer),
+    full fwd+bwd+SGD step on one chip, bf16 compute."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from cross_modal_video_engine_tpu.models.recognizer import Recognizer3D
+    from cross_modal_video_engine_tpu.models.timesformer import (
+        TimeSformerConfig)
+    from cross_modal_video_engine_tpu.utils.profiling import device_time
+
+    cfg = TimeSformerConfig(num_frames=8, img_size=224, patch_size=16,
+                            embed_dims=768, num_heads=12, num_layers=12,
+                            drop_path_max=0.0, dropout_ratio=0.0,
+                            dtype="bfloat16")
+    model = Recognizer3D(cfg, num_classes=400)
+    rng = np.random.default_rng(5)
+    clips = jnp.asarray(rng.standard_normal(
+        (batch, 8, 224, 224, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 400, (batch,)), jnp.int32)
+    shapes = jax.eval_shape(lambda k: model.init(k, clips),
+                            jax.random.key(0))
+    variables = jax.tree.map(
+        lambda s: jnp.asarray(
+            rng.standard_normal(s.shape).astype(np.float32) * 0.02,
+            s.dtype), shapes)
+    tx = optax.sgd(0.005, momentum=0.9)
+    opt_state = tx.init(variables["params"])
+
+    def step(params, opt_state, clips, labels):
+        def loss_fn(p):
+            scores = model.apply({"params": p}, clips)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                scores, labels).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    flops = _flops_per_step(jax.jit(step), variables["params"], opt_state,
+                            clips, labels)
+    dt = device_time(step, variables["params"], opt_state, clips, labels,
+                     steps=steps, perturb_argnums=(2,))
+    vps = batch / dt
+    row = {"metric": "train_step_timesformer_divst_8x224_b%d" % batch,
+           "value": round(vps, 2), "unit": "videos/sec/chip",
+           "vs_baseline": round(vps / 9.0, 3)}    # 8xGPU ref: ~9 v/s/gpu
+    if flops:
+        row["tflops_per_sec"] = round(flops / dt / 1e12, 1)
+    print(json.dumps(row))
+    return vps
+
+
+def bench_train_step_slowfast(batch=8, frames=32, steps=10):
+    """Recognition TRAIN throughput: SlowFast-R50 4x16 (BatchNorm path,
+    batch_stats threaded like make_cls_train_step_stats), fwd+bwd+SGD."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from cross_modal_video_engine_tpu.models.recognizer import (
+        BackboneClassifier)
+    from cross_modal_video_engine_tpu.models.resnet3d import (
+        SlowFast, SlowFastConfig)
+    from cross_modal_video_engine_tpu.utils.profiling import device_time
+
+    # 4x16x1 recipe: fast sees 32 frames, slow every 8th (4 frames)
+    model = BackboneClassifier(SlowFast(SlowFastConfig(alpha=8)),
+                               num_classes=400)
+    rng = np.random.default_rng(6)
+    clips = jnp.asarray(rng.standard_normal(
+        (batch, frames, 224, 224, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 400, (batch,)), jnp.int32)
+    shapes = jax.eval_shape(lambda k: model.init(k, clips),
+                            jax.random.key(0))
+    variables = jax.tree.map(
+        lambda s: jnp.asarray(
+            rng.standard_normal(s.shape).astype(np.float32) * 0.02,
+            s.dtype), shapes)
+    tx = optax.sgd(0.005, momentum=0.9)
+    opt_state = tx.init(variables["params"])
+    stats0 = variables.get("batch_stats", {})
+
+    def step(params, stats, opt_state, clips, labels):
+        def loss_fn(p):
+            scores, new = model.apply(
+                {"params": p, "batch_stats": stats}, clips, train=True,
+                mutable=["batch_stats"])
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                scores, labels).mean()
+            return loss, new["batch_stats"]
+        (loss, stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), stats, opt_state, loss
+
+    flops = _flops_per_step(jax.jit(step), variables["params"], stats0,
+                            opt_state, clips, labels)
+    dt = device_time(step, variables["params"], stats0, opt_state, clips,
+                     labels, steps=steps, perturb_argnums=(3,))
+    vps = batch / dt
+    row = {"metric": "train_step_slowfast_r50_4x16_b%d" % batch,
+           "value": round(vps, 2), "unit": "videos/sec/chip",
+           "vs_baseline": round(vps / 18.0, 3)}   # ~18 v/s/gpu V100 est.
+    if flops:
+        row["tflops_per_sec"] = round(flops / dt / 1e12, 1)
+    print(json.dumps(row))
+    return vps
+
+
 def main():
     bench_retrieval_p50()
     bench_flash_sweep()
     bench_text_tower()
     bench_u8_ingest()
+    bench_train_step_timesformer()
+    bench_train_step_slowfast()
 
 
 if __name__ == "__main__":

@@ -24,8 +24,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-COLUMN_SPLIT_SUFFIXES = ("q_proj", "k_proj", "v_proj", "c_fc")
-ROW_SPLIT_SUFFIXES = ("out_proj", "c_proj")
+COLUMN_SPLIT_SUFFIXES = ("q_proj", "k_proj", "v_proj", "c_fc", "ffn_fc1")
+ROW_SPLIT_SUFFIXES = ("out_proj", "c_proj", "ffn_fc2")
 
 
 def _rule(path: tuple, leaf) -> P:
