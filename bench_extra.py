@@ -229,9 +229,11 @@ def bench_train_step_timesformer(batch=4, steps=10):
     return vps
 
 
-def bench_train_step_slowfast(batch=8, frames=32, steps=10):
-    """Recognition TRAIN throughput: SlowFast-R50 4x16 (BatchNorm path,
-    batch_stats threaded like make_cls_train_step_stats), fwd+bwd+SGD."""
+def bench_train_step_slowfast(batch=32, frames=32, steps=8):
+    """Recognition TRAIN throughput: SlowFast-R50 4x16 (BatchNorm path),
+    fwd+bwd+SGD with the production bf16 mixed-precision step
+    (make_cls_train_step_stats(bf16=True) — the A/B in docs/PERF.md
+    measured f32 B=8 at 37.9 videos/s vs bf16 B=16/32 at 78.7/95.3)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -260,14 +262,20 @@ def bench_train_step_slowfast(batch=8, frames=32, steps=10):
 
     def step(params, stats, opt_state, clips, labels):
         def loss_fn(p):
+            p = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, p)
             scores, new = model.apply(
-                {"params": p, "batch_stats": stats}, clips, train=True,
+                {"params": p, "batch_stats": stats},
+                clips.astype(jnp.bfloat16), train=True,
+                rngs={"dropout": jax.random.key(0)},
                 mutable=["batch_stats"])
             loss = optax.softmax_cross_entropy_with_integer_labels(
-                scores, labels).mean()
+                scores.astype(jnp.float32), labels).mean()
             return loss, new["batch_stats"]
         (loss, stats), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params)
+        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), stats, opt_state, loss
 
@@ -276,7 +284,7 @@ def bench_train_step_slowfast(batch=8, frames=32, steps=10):
     dt = device_time(step, variables["params"], stats0, opt_state, clips,
                      labels, steps=steps, perturb_argnums=(3,))
     vps = batch / dt
-    row = {"metric": "train_step_slowfast_r50_4x16_b%d" % batch,
+    row = {"metric": "train_step_slowfast_r50_4x16_bf16_b%d" % batch,
            "value": round(vps, 2), "unit": "videos/sec/chip",
            "vs_baseline": round(vps / 18.0, 3)}   # ~18 v/s/gpu V100 est.
     if flops:

@@ -88,7 +88,7 @@ def train_from_config(cfg: Config, work_dir: str,
     stats = variables["batch_stats"]
     state = RecTrainState(variables["params"], tx.init(variables["params"]),
                           jnp.zeros((), jnp.int32))
-    step = make_cls_train_step_stats(model, tx)
+    step = make_cls_train_step_stats(model, tx, bf16=tcfg.bf16)
     save_best = best_checkpoint_manager(work_dir)
     sampler = ShardedSampler(len(train_ds), shuffle=True)
     rng = jax.random.key(1)

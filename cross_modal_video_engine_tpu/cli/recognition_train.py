@@ -126,9 +126,11 @@ def train_from_config(cfg: Config, work_dir: str,
             bcfg.get("alpha", 0.2))
     if stats is not None:
         from ..train.recognition_trainer import make_cls_train_step_stats
-        step_bn = make_cls_train_step_stats(model, tx, blending=blending)
+        step_bn = make_cls_train_step_stats(model, tx, blending=blending,
+                                            bf16=tcfg.bf16)
     else:
-        step = make_cls_train_step(model, tx, blending=blending)
+        step = make_cls_train_step(model, tx, blending=blending,
+                                   bf16=tcfg.bf16)
     save_best = best_checkpoint_manager(work_dir)
     sampler = ShardedSampler(len(train_ds), shuffle=True)
     rng = jax.random.key(1)

@@ -143,9 +143,10 @@ def train_from_config(cfg: Config, work_dir: str,
     state = RecTrainState(variables["params"], tx.init(variables["params"]),
                           jnp.zeros((), jnp.int32))
     if stats is not None:
-        step_bn = make_cls_train_step_stats(model, tx)
+        step_bn = make_cls_train_step_stats(model, tx,
+                                            bf16=tcfg.bf16)
     else:
-        step = make_cls_train_step(model, tx)
+        step = make_cls_train_step(model, tx, bf16=tcfg.bf16)
     save_best = best_checkpoint_manager(work_dir)
     sampler = ShardedSampler(len(train_ds), shuffle=True)
     rng = jax.random.key(1)

@@ -17,7 +17,33 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import pytest  # noqa: E402
+
 import jax  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--full", action="store_true", default=False,
+        help="also run the full lane: heavy shape/parity tests whose "
+             "coverage is duplicated by importer-parity or e2e tests")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "full: heavy test whose coverage is duplicated elsewhere; "
+        "skipped unless --full is given (this box has ONE cpu core — "
+        "wall-clock is the scarce resource)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--full"):
+        return
+    skip = pytest.mark.skip(reason="full lane only (pytest --full)")
+    for item in items:
+        if "full" in item.keywords:
+            item.add_marker(skip)
 
 # the axon TPU plugin (PYTHONPATH sitecustomize) may have pinned the platform
 # before this conftest runs; force CPU at the config level too.

@@ -1,6 +1,7 @@
 """AGCN (adaptive graph conv) skeleton backbone."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
@@ -10,6 +11,8 @@ from cross_modal_video_engine_tpu.models import AGCN, AGCNConfig
 rng = np.random.default_rng(507)
 
 
+@pytest.mark.full    # full lane: shape probe; test_agcn_trains + the skeleton CLI e2e
+# cover AGCN
 def test_agcn_shapes_and_adaptivity():
     cfg = AGCNConfig(channels=(8, 16), temporal_strides=(1, 2))
     model = AGCN(cfg)

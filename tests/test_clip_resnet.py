@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -8,6 +9,8 @@ from cross_modal_video_engine_tpu.models.clip_resnet import (
 rng = np.random.default_rng(77)
 
 
+@pytest.mark.full    # full lane: shape probe; the RN50x4 conversion parity test covers
+# the exact structure
 def test_modified_resnet_shapes():
     cfg = ModifiedResNetConfig(layers=(1, 1, 1, 1), width=16, output_dim=32,
                                heads=4, image_resolution=64, middle_stage=2)

@@ -28,6 +28,8 @@ def test_resnet3d_slowonly_shapes():
     assert stages[-1].shape[1] == 8
 
 
+@pytest.mark.full    # full lane: shape probe; convert_slowfast parity test exercises the
+# same structure against torch
 def test_slowfast_two_pathways():
     cfg = SlowFastConfig(depth_blocks=(1, 1, 1, 1), alpha=4, beta_inv=8,
                          base_channels=16)
@@ -41,6 +43,8 @@ def test_slowfast_two_pathways():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.full    # full lane: shape probe; convert_x3d parity test covers the exact
+# structure
 def test_x3d_shapes():
     cfg = X3DConfig(stage_blocks=(1, 1, 1, 1), stage_channels=(8, 16, 24, 32),
                     feat_dim=48)

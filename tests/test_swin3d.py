@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -41,6 +42,8 @@ def test_shifted_mask_blocks_cross_region():
         assert (np.diagonal(mask[i]) == 0).all()
 
 
+@pytest.mark.full    # full lane: forward probe; the Swin3D importer parity test covers
+# the exact structure
 def test_swin3d_forward():
     cfg = Swin3DConfig(embed_dim=8, depths=(1, 1), num_heads=(2, 2),
                        window_size=(2, 4, 4), patch_size=(2, 4, 4))

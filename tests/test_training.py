@@ -1,6 +1,7 @@
 """Training-loop tests: losses go down, schedules fire, combiner learns."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -130,6 +131,8 @@ def test_combiner_training_learns():
     assert not np.any(order[:, 0] == np.asarray(reference_rows))
 
 
+@pytest.mark.full    # full lane: trainer-level resume; every CLI has its own resume e2e
+# (recognition/audio/caption/detection restore state + batch_stats)
 def test_resume_training(tmp_path):
     """Interrupt-and-resume: resumed run continues from the saved epoch
     with optimizer state and scheduler memory intact."""
@@ -156,6 +159,8 @@ def test_resume_training(tmp_path):
     assert hist2[0]["lr"] < 1e-3 * 0.99
 
 
+@pytest.mark.full    # full lane: mesh dp training; the multichip dryrun runs a sharded
+# dp+tp train step every round
 def test_mesh_data_parallel_training():
     """Batch sharded over the 8-device 'data' axis: step runs, loss is
     replicated and finite, params update identically to single-device."""
