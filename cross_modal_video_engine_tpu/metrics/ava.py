@@ -52,8 +52,9 @@ __all__ = [
 
 
 def make_image_key(video_id: str, timestamp) -> str:
-    """ava_utils.py:57-59."""
-    return f"{video_id},{int(timestamp):04d}"
+    """ava_utils.py:57-59 (int(float(..)) so csv strings and fractional
+    test timestamps both key on the whole second)."""
+    return f"{video_id},{int(float(timestamp)):04d}"
 
 
 def read_csv(csv_file: IO, class_whitelist: Optional[Set[int]] = None

@@ -2,6 +2,8 @@
 config-driven CLI (cli/detection_train), loss decreases, AVA-protocol
 frame-mAP evaluation runs, and resume restores batch_stats."""
 
+import os
+
 import numpy as np
 
 from cross_modal_video_engine_tpu.cli import detection_train
@@ -83,6 +85,32 @@ def test_detection_train_cli_e2e(tmp_path):
     history2 = detection_train.main([cfg, "--work_dir", work, "--resume",
                                      "--total_epochs", "10"])
     assert [h["epoch"] for h in history2] == [8, 9]
+
+
+def test_detection_test_cli_offline_eval(tmp_path):
+    """Train briefly, then score offline through cli/detection_test:
+    results.csv in the AVA format + file-level ava_eval frame-mAP."""
+    from cross_modal_video_engine_tpu.cli import detection_test
+
+    cfg = _fixture(tmp_path)
+    work = str(tmp_path / "work")
+    detection_train.main([cfg, "--work_dir", work, "--total_epochs", "4"])
+
+    labels = tmp_path / "labels.pbtxt"
+    labels.write_text("item {\n  name: \"act1\"\n  id: 1\n}\n"
+                      "item {\n  name: \"act2\"\n  id: 2\n}\n"
+                      "item {\n  name: \"act3\"\n  id: 3\n}\n")
+    out_csv = str(tmp_path / "results.csv")
+    import glob
+    best = glob.glob(os.path.join(work, "model_best"))[0]
+    report = detection_test.main([cfg, "--checkpoint", best,
+                                  "--out", out_csv,
+                                  "--label_file", str(labels)])
+    assert os.path.exists(out_csv)
+    rows = [l.split(",") for l in open(out_csv).read().splitlines() if l]
+    assert all(len(r) == 8 for r in rows)          # AVA result format
+    assert "PascalBoxes_Precision/mAP@0.5IOU" in report
+    assert 0.0 <= report["PascalBoxes_Precision/mAP@0.5IOU"] <= 1.0
 
 
 def test_assign_proposals_semantics():
