@@ -19,6 +19,9 @@ backbone is a wrapper over the UN-VENDORED facebook `slowfast` package
 which is not in the tree), so checkpoint parity would target code
 outside the reference; our models/mvit.py is the TPU-first counterpart.
 TIN imports via `convert_tin` into the exact TINResNetExact rebuild.
+Round 3 adds `convert_c3d`, `convert_r2plus1d` (factorized
+Conv2plus1d grammar incl. downsamples) and `convert_mobilenetv2_tsm`
+(TemporalShift-wrapped ConvModules) — 19 importer families total.
 
 All converters are pure dict->dict transforms over numpy arrays; torch is
 only needed to unpickle .pth files (`load_torch_checkpoint`).
@@ -1046,6 +1049,159 @@ def convert_tin(sd: Dict, cfg, backbone_prefix: str = "backbone.",
                        "cls_head": {"fc_cls": {
                            "kernel": w.T,
                            "bias": _np(sd[cls_head_key + ".bias"])}}},
+            "batch_stats": {"backbone": stats},
+        }
+    return variables
+
+
+def convert_c3d(sd: Dict, backbone_prefix: str = "backbone.",
+                cls_head_key: Optional[str] = "cls_head.fc_cls") -> Dict:
+    """mmaction C3D checkpoint -> flax variables for
+    models.backbones2d.C3D(exact_head=True) (+ Recognizer head).
+
+    Key map (mmaction backbones/c3d.py:64-106, ConvModule with
+    norm_cfg=None so convs carry biases and there are no BNs):
+      backbone.conv{k}.conv -> conv{k};  backbone.fc6/fc7 -> fc6/fc7.
+    fc6 consumes torch's channel-first flatten of the (512, 1, 4, 4)
+    pool5 map; the kernel rows are permuted to the model's
+    (C, T, H, W)-flattened order (which matches torch's, since the
+    model transposes to channel-first before flattening)."""
+    p = backbone_prefix
+    params: Dict = {}
+    for name in ("conv1a", "conv2a", "conv3a", "conv3b", "conv4a",
+                 "conv4b", "conv5a", "conv5b"):
+        params[name] = {
+            "kernel": _np(sd[p + name + ".conv.weight"]).transpose(
+                2, 3, 4, 1, 0),
+            "bias": _np(sd[p + name + ".conv.bias"]),
+        }
+    params["fc6"] = _dense(sd, p.rstrip(".") + ".fc6")
+    params["fc7"] = _dense(sd, p.rstrip(".") + ".fc7")
+    variables: Dict = {"params": params}
+    if cls_head_key and cls_head_key + ".weight" in sd:
+        variables = {"params": {
+            "backbone": params,
+            "cls_head": {"fc_cls": _dense(sd, cls_head_key)}}}
+    return variables
+
+
+def _conv2plus1d(sd: Dict, prefix: str) -> Tuple[Dict, Dict]:
+    """mmaction Conv2plus1d (conv_s + bn_s + conv_t) -> the flax
+    Conv2Plus1D module's (params, batch_stats)."""
+    bn_p, bn_s = _bn3d(sd, prefix + ".bn_s")
+    return ({"conv_s": _conv3d(sd[prefix + ".conv_s.weight"]),
+             "bn_s": bn_p,
+             "conv_t": _conv3d(sd[prefix + ".conv_t.weight"])},
+            {"bn_s": bn_s})
+
+
+def convert_r2plus1d(sd: Dict, cfg, backbone_prefix: str = "backbone.",
+                     cls_head_key: Optional[str] = "cls_head.fc_cls"
+                     ) -> Dict:
+    """mmaction ResNet2Plus1d checkpoint -> flax variables for
+    models.backbones2d.R2Plus1D (+ I3DHead when present).
+
+    Key map (resnet2plus1d.py over resnet3d.py BasicBlock3d with
+    conv_cfg=Conv2plus1d; every conv — stem, block convs AND the 1x1x1
+    downsamples — is a factorized conv_s/bn_s/conv_t triplet):
+      backbone.conv1.conv.{conv_s,bn_s,conv_t} + conv1.bn -> conv1/bn1
+      backbone.layer{s}.{j}.conv{k}.conv.*     + conv{k}.bn
+                                    -> layer{s}_{j}/conv{k} + bn{k}
+      backbone.layer{s}.{j}.downsample.conv.*  + downsample.bn
+                                    -> downsample + bn_down
+    """
+    p = backbone_prefix
+    params: Dict = {}
+    stats: Dict = {}
+    params["conv1"], stats["conv1"] = _conv2plus1d(sd, p + "conv1.conv")
+    params["bn1"], stats["bn1"] = _bn3d(sd, p + "conv1.bn")
+    for s, blocks in enumerate(cfg.stage_blocks, start=1):
+        for j in range(blocks):
+            src = f"{p}layer{s}.{j}."
+            dst = f"layer{s}_{j}"
+            blk: Dict = {}
+            blk_stats: Dict = {}
+            for k in (1, 2):
+                blk[f"conv{k}"], cs = _conv2plus1d(
+                    sd, src + f"conv{k}.conv")
+                blk_stats[f"conv{k}"] = cs
+                blk[f"bn{k}"], blk_stats[f"bn{k}"] = _bn3d(
+                    sd, src + f"conv{k}.bn")
+            if src + "downsample.conv.conv_s.weight" in sd:
+                blk["downsample"], ds = _conv2plus1d(
+                    sd, src + "downsample.conv")
+                blk_stats["downsample"] = ds
+                blk["bn_down"], blk_stats["bn_down"] = _bn3d(
+                    sd, src + "downsample.bn")
+            params[dst] = blk
+            stats[dst] = blk_stats
+    variables = {"params": params, "batch_stats": stats}
+    if cls_head_key and cls_head_key + ".weight" in sd:
+        variables = {
+            "params": {"backbone": params,
+                       "cls_head": {"fc_cls": _dense(sd, cls_head_key)}},
+            "batch_stats": {"backbone": stats},
+        }
+    return variables
+
+
+def convert_mobilenetv2_tsm(sd: Dict, cfg,
+                            backbone_prefix: str = "backbone.",
+                            cls_head_key: Optional[str] = "cls_head.fc_cls"
+                            ) -> Dict:
+    """mmaction MobileNetV2TSM checkpoint -> flax variables for
+    models.tin_mobilenet.MobileNetV2TSM (+ TSNHead).
+
+    Key map (backbones/mobilenet_v2.py:37-121 + mobilenet_v2_tsm.py's
+    TemporalShift wrapping of conv[0] on residual blocks):
+      backbone.conv1.conv/bn               -> stem / bn_stem
+      backbone.layer{i}.{j}.conv.{k}.conv  -> s{i-1}_b{j}/{expand,dw,
+                                              project} (+ bn1/bn2/bn3);
+        the first ConvModule may sit under conv.0.net.* when TSM-wrapped,
+        and expand_ratio=1 blocks have no expand ConvModule at all
+      backbone.conv2.conv/bn               -> head / bn_head
+    """
+    p = backbone_prefix
+    params: Dict = {"stem": _conv2d(sd[p + "conv1.conv.weight"])}
+    stats: Dict = {}
+    bn, st = _bn3d(sd, p + "conv1.bn")
+    params["bn_stem"], stats["bn_stem"] = bn, st
+
+    def conv_module(prefix):
+        """ConvModule possibly behind a TemporalShift 'net' wrapper."""
+        for mid in ("", "net."):
+            if prefix + mid + "conv.weight" in sd:
+                w = _conv2d(sd[prefix + mid + "conv.weight"])
+                b, s = _bn3d(sd, prefix + mid + "bn")
+                return w, b, s
+        raise KeyError(prefix + "conv.weight")
+
+    for si, (e, c, n, s) in enumerate(cfg.stages):
+        for j in range(n):
+            src = f"{p}layer{si + 1}.{j}.conv."
+            dst = f"s{si}_b{j}"
+            blk: Dict = {}
+            blk_stats: Dict = {}
+            k = 0
+            if e != 1:
+                blk["expand"], blk["bn1"], blk_stats["bn1"] = conv_module(
+                    src + f"{k}.")
+                k += 1
+            blk["dw"], blk["bn2"], blk_stats["bn2"] = conv_module(
+                src + f"{k}.")
+            k += 1
+            # project ConvModule (no activation)
+            blk["project"] = _conv2d(sd[src + f"{k}.conv.weight"])
+            blk["bn3"], blk_stats["bn3"] = _bn3d(sd, src + f"{k}.bn")
+            params[dst] = blk
+            stats[dst] = blk_stats
+    params["head"] = _conv2d(sd[p + "conv2.conv.weight"])
+    params["bn_head"], stats["bn_head"] = _bn3d(sd, p + "conv2.bn")
+    variables = {"params": params, "batch_stats": stats}
+    if cls_head_key and cls_head_key + ".weight" in sd:
+        variables = {
+            "params": {"backbone": params,
+                       "cls_head": {"fc_cls": _dense(sd, cls_head_key)}},
             "batch_stats": {"backbone": stats},
         }
     return variables

@@ -110,9 +110,17 @@ class TSMResNet(nn.Module):
 
 @BACKBONES.register("C3D")
 class C3D(nn.Module):
-    """c3d.py: conv1a..conv5b + fc6/fc7 (4096)."""
+    """c3d.py: conv1a..conv5b + fc6/fc7 (4096).
+
+    ``exact_head=True`` reproduces the mmaction head precisely for
+    checkpoint import (c3d.py:64-83,120-135): pool5 is a 2x2x2 max pool
+    with (0,1,1) spatial padding and fc6 consumes the FLATTENED
+    (512,1,4,4)=8192 map at the canonical 16x112x112 input, not a
+    global average.  The default keeps the global-pool head, which is
+    input-size agnostic."""
 
     fc_dim: int = 4096
+    exact_head: bool = False
 
     @nn.compact
     def __call__(self, videos: jnp.ndarray, *, train: bool = False):
@@ -132,41 +140,75 @@ class C3D(nn.Module):
         x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
         x = conv(x, 512, "conv5a")
         x = conv(x, 512, "conv5b")
-        x = jnp.mean(x, axis=(1, 2, 3))
+        if self.exact_head:
+            x = nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2),
+                            padding=((0, 0), (1, 1), (1, 1)))
+            # torch flattens channel-first (C, T, H, W); match that
+            # order so imported fc6 weights line up
+            x = x.transpose(0, 4, 1, 2, 3).reshape(x.shape[0], -1)
+        else:
+            x = jnp.mean(x, axis=(1, 2, 3))
         x = nn.relu(nn.Dense(self.fc_dim, name="fc6")(x))
         x = nn.Dropout(0.5, deterministic=not train)(x)
         x = nn.relu(nn.Dense(self.fc_dim, name="fc7")(x))
         return x
 
 
+def conv2plus1d_mid(in_c: int, out_c: int, kt: int, kh: int, kw: int
+                    ) -> int:
+    """mmaction Conv2plus1d mid-plane formula (common/conv2plus1d.py:
+    60-65): M = floor(t * d^2 * N_in * N_out / (d^2 * N_in + t * N_out))."""
+    return max(int(kt * kh * kw * in_c * out_c
+                   // (kh * kw * in_c + kt * out_c)), 1)
+
+
+class Conv2Plus1D(nn.Module):
+    """mmaction's Conv2plus1d (common/conv2plus1d.py): spatial conv ->
+    bn_s -> relu -> temporal conv, with the paper's mid-plane formula.
+    Used for every conv in ResNet2Plus1d — including the 1x1x1
+    downsample convs, which mmaction also factorizes."""
+
+    out_ch: int
+    kernel: Tuple[int, int, int] = (3, 3, 3)
+    stride: Tuple[int, int, int] = (1, 1, 1)
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        kt, kh, kw = self.kernel
+        t, s1, s2 = self.stride
+        mid = conv2plus1d_mid(x.shape[-1], self.out_ch, kt, kh, kw)
+        x = nn.Conv(mid, (1, kh, kw), strides=(1, s1, s2),
+                    padding=((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2)),
+                    use_bias=False, name="conv_s")(x)
+        x = nn.relu(_bn(train, "bn_s")(x))
+        return nn.Conv(self.out_ch, (kt, 1, 1), strides=(t, 1, 1),
+                       padding=((kt // 2, kt // 2), (0, 0), (0, 0)),
+                       use_bias=False, name="conv_t")(x)
+
+
 class R2Plus1DBlock(nn.Module):
+    """BasicBlock3d with Conv2plus1d convs (backbones/resnet3d.py:24-165
+    under conv_cfg=Conv2plus1d): conv1 strides both time and space,
+    conv2 is stride-1, the residual downsample is a factorized 1x1x1."""
+
     planes: int
-    stride: int = 1
-    expansion: int = 1   # r2+1d uses BasicBlock style
+    stride: int = 1          # applied to BOTH temporal and spatial dims
+                             # (r2plus1d_r34.py: temporal_strides ==
+                             # spatial_strides == (1, 2, 2, 2))
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         in_c = x.shape[-1]
-        # factored conv: mid planes per the (2+1)D paper
-        def conv2p1(x, out_c, stride, name):
-            mid = (3 * 3 * 3 * in_c * out_c) // (3 * 3 * in_c + 3 * out_c)
-            mid = max(mid, 1)
-            x = nn.Conv(mid, (1, 3, 3), strides=(1, stride, stride),
-                        padding=((0, 0), (1, 1), (1, 1)), use_bias=False,
-                        name=f"{name}_s")(x)
-            x = nn.relu(_bn(train, f"{name}_bn_s")(x))
-            x = nn.Conv(out_c, (3, 1, 1), strides=(stride, 1, 1),
-                        padding=((1, 1), (0, 0), (0, 0)), use_bias=False,
-                        name=f"{name}_t")(x)
-            return x
-
-        out = nn.relu(_bn(train, "bn1")(conv2p1(x, self.planes, self.stride,
-                                                "conv1")))
-        out = _bn(train, "bn2")(conv2p1(out, self.planes, 1, "conv2"))
-        if self.stride != 1 or in_c != self.planes:
-            sc = nn.Conv(self.planes, (1, 1, 1),
-                         strides=(self.stride,) * 3, use_bias=False,
-                         name="downsample")(x)
+        s = self.stride
+        out = Conv2Plus1D(self.planes, (3, 3, 3), (s, s, s),
+                          name="conv1")(x, train=train)
+        out = nn.relu(_bn(train, "bn1")(out))
+        out = Conv2Plus1D(self.planes, (3, 3, 3), name="conv2")(
+            out, train=train)
+        out = _bn(train, "bn2")(out)
+        if s != 1 or in_c != self.planes:
+            sc = Conv2Plus1D(self.planes, (1, 1, 1), (s, s, s),
+                             name="downsample")(x, train=train)
             sc = _bn(train, "bn_down")(sc)
         else:
             sc = x
@@ -175,25 +217,27 @@ class R2Plus1DBlock(nn.Module):
 
 @dataclasses.dataclass(frozen=True)
 class R2Plus1DConfig:
-    stage_blocks: Tuple[int, ...] = (2, 2, 2, 2)   # r2+1d-18
+    stage_blocks: Tuple[int, ...] = (3, 4, 6, 3)   # r2+1d-34
     base_channels: int = 64
 
 
 @BACKBONES.register("R2Plus1D")
 class R2Plus1D(nn.Module):
+    """mmaction ResNet2Plus1d (backbones/resnet2plus1d.py + the
+    r2plus1d_r34 recipe): factorized (3,7,7) stem with the formula mid
+    width (83 for 3->64, NOT torchvision's 45), (1,3,3) stem max pool,
+    BasicBlock stages with equal temporal/spatial strides, no pool2."""
+
     cfg: R2Plus1DConfig
 
     @nn.compact
     def __call__(self, videos: jnp.ndarray, *, train: bool = False):
         cfg = self.cfg
-        x = nn.Conv(45, (1, 7, 7), strides=(1, 2, 2),
-                    padding=((0, 0), (3, 3), (3, 3)), use_bias=False,
-                    name="stem_s")(videos)
-        x = nn.relu(_bn(train, "stem_bn_s")(x))
-        x = nn.Conv(cfg.base_channels, (3, 1, 1),
-                    padding=((1, 1), (0, 0), (0, 0)), use_bias=False,
-                    name="stem_t")(x)
-        x = nn.relu(_bn(train, "stem_bn_t")(x))
+        x = Conv2Plus1D(cfg.base_channels, (3, 7, 7), (1, 2, 2),
+                        name="conv1")(videos, train=train)
+        x = nn.relu(_bn(train, "bn1")(x))
+        x = nn.max_pool(x, (1, 3, 3), strides=(1, 2, 2),
+                        padding=((0, 0), (1, 1), (1, 1)))
         planes = cfg.base_channels
         for i, blocks in enumerate(cfg.stage_blocks):
             stride = 1 if i == 0 else 2

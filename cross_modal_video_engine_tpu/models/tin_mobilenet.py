@@ -122,8 +122,13 @@ class InvertedResidual(nn.Module):
         bn = lambda n: nn.BatchNorm(use_running_average=not train,
                                     momentum=0.9, name=n)
         mid = C * self.expand
-        y = nn.relu6(bn("bn1")(nn.Conv(mid, (1, 1), use_bias=False,
-                                       name="expand")(hf)))
+        if self.expand != 1:
+            y = nn.relu6(bn("bn1")(nn.Conv(mid, (1, 1), use_bias=False,
+                                           name="expand")(hf)))
+        else:
+            # mmaction mobilenet_v2.py:76-84 skips the expand ConvModule
+            # entirely at expand_ratio=1 (checkpoint parity)
+            y = hf
         y = nn.relu6(bn("bn2")(nn.Conv(mid, (3, 3), strides=self.stride,
                                        padding=1, feature_group_count=mid,
                                        use_bias=False, name="dw")(y)))
@@ -165,8 +170,11 @@ class MobileNetV2TSM(nn.Module):
                                      shift_div=cfg.shift_div,
                                      name=f"s{si}_b{j}")(x, train=train)
         xf = x.reshape((B * T,) + x.shape[2:])
-        xf = nn.relu6(nn.Conv(cfg.last_channels, (1, 1), use_bias=False,
-                              name="head")(xf))
+        # mmaction conv2 is a full ConvModule: conv + BN + relu6
+        xf = nn.relu6(nn.BatchNorm(use_running_average=not train,
+                                   momentum=0.9, name="bn_head")(
+            nn.Conv(cfg.last_channels, (1, 1), use_bias=False,
+                    name="head")(xf)))
         x = xf.reshape((B, T) + xf.shape[1:])
         return jnp.mean(x, axis=(2, 3))       # (B, T, last_channels)
 
