@@ -1205,3 +1205,90 @@ def convert_mobilenetv2_tsm(sd: Dict, cfg,
             "batch_stats": {"backbone": stats},
         }
     return variables
+
+
+def convert_stgcn(sd: Dict, channels=None, temporal_strides=None,
+                  backbone_prefix: str = "backbone.",
+                  cls_head_key: Optional[str] = "cls_head.fc") -> Tuple:
+    """mmaction STGCN checkpoint -> (flax variables, STGCNConfig) for
+    models.stgcn.STGCN (+ BackboneClassifier head when cls_head.fc is
+    present).
+
+    Key map (backbones/stgcn.py:23-280 + skeleton_gcn SkeletonGCN):
+      backbone.data_bn (BatchNorm1d over V*C)   -> data_bn
+      backbone.A (graph buffer, (K, V, V))      -> cfg.adjacency
+                                                   (axes 1/2 swapped to
+                                                   our A[k, tgt, src])
+      backbone.st_gcn_networks.{i}.gcn.conv     -> block_{i}/gcn
+      ...tcn.0 / tcn.2 / tcn.3                  -> bn_gcn / tcn / bn_tcn
+      ...residual.0 / residual.1                -> residual / bn_res
+      backbone.edge_importance.{i}              -> block_{i}/
+                                                   edge_importance
+      cls_head.fc (1x1 Conv2d)                  -> cls_head/fc_cls
+    """
+    from ..models.stgcn import STGCNConfig
+    p = backbone_prefix
+    A = _np(sd[p + "A"])
+    K, V, _ = A.shape
+    A_ours = np.swapaxes(A, 1, 2)
+    adjacency = tuple(tuple(tuple(float(v) for v in row) for row in sub)
+                      for sub in A_ours)
+
+    n_blocks = 0
+    while f"{p}st_gcn_networks.{n_blocks}.gcn.conv.weight" in sd:
+        n_blocks += 1
+    if channels is None:
+        channels = tuple(
+            _np(sd[f"{p}st_gcn_networks.{i}.tcn.2.weight"]).shape[0]
+            for i in range(n_blocks))
+    if temporal_strides is None:
+        # stride-2 blocks carry a conv residual whose weight strides;
+        # infer from the reference ladder: stride 2 wherever channels
+        # jump, 1 elsewhere (stgcn.py:216-227)
+        temporal_strides = tuple(
+            2 if i > 0 and channels[i] != channels[i - 1] else 1
+            for i in range(n_blocks))
+    in_channels = _np(sd[p + "st_gcn_networks.0.gcn.conv.weight"]).shape[1]
+    cfg = STGCNConfig(num_joints=V, in_channels=in_channels,
+                      channels=tuple(channels),
+                      temporal_strides=tuple(temporal_strides),
+                      adjacency=adjacency)
+
+    params: Dict = {}
+    stats: Dict = {}
+    dbn_p, dbn_s = _bn3d(sd, p + "data_bn")
+    params["data_bn"], stats["data_bn"] = dbn_p, dbn_s
+    for i in range(n_blocks):
+        src = f"{p}st_gcn_networks.{i}."
+        w = _np(sd[src + "gcn.conv.weight"])       # (K*out, in, 1, 1)
+        blk: Dict = {
+            "gcn": {"kernel": w[:, :, 0, 0].T,
+                    "bias": _np(sd[src + "gcn.conv.bias"])},
+            "tcn": {"kernel": _np(sd[src + "tcn.2.weight"]).transpose(
+                        2, 3, 1, 0),
+                    "bias": _np(sd[src + "tcn.2.bias"])},
+            "edge_importance": _np(sd[p + f"edge_importance.{i}"]),
+        }
+        blk_stats: Dict = {}
+        blk["bn_gcn"], blk_stats["bn_gcn"] = _bn3d(sd, src + "tcn.0")
+        blk["bn_tcn"], blk_stats["bn_tcn"] = _bn3d(sd, src + "tcn.3")
+        if src + "residual.0.weight" in sd:
+            blk["residual"] = {
+                "kernel": _np(sd[src + "residual.0.weight"]).transpose(
+                    2, 3, 1, 0),
+                "bias": _np(sd[src + "residual.0.bias"])}
+            blk["bn_res"], blk_stats["bn_res"] = _bn3d(
+                sd, src + "residual.1")
+        params[f"block_{i}"] = blk
+        stats[f"block_{i}"] = blk_stats
+    variables: Dict = {"params": params, "batch_stats": stats}
+    if cls_head_key and cls_head_key + ".weight" in sd:
+        w = _np(sd[cls_head_key + ".weight"])      # (cls, C, 1, 1)
+        variables = {
+            "params": {"backbone": params,
+                       "cls_head": {"fc_cls": {
+                           "kernel": w[:, :, 0, 0].T,
+                           "bias": _np(sd[cls_head_key + ".bias"])}}},
+            "batch_stats": {"backbone": stats},
+        }
+    return variables, cfg

@@ -60,10 +60,16 @@ def build_partitioned_adjacency(num_joints: int = 17,
 
 
 class STGCNBlock(nn.Module):
+    """mmaction backbones/stgcn.py:23-99 structure: gcn conv (biased)
+    -> adjacency einsum -> [BN, ReLU, temporal conv, BN] + residual
+    (1x1 conv + BN when shapes change; block 0 runs residual-free)."""
+
     out_channels: int
-    adjacency: Tuple   # static (3, V, V) as nested tuples
+    adjacency: Tuple   # static (3, V, V) as nested tuples, OUR
+                       # orientation A[k, target, source]
     temporal_stride: int = 1
     temporal_kernel: int = 9
+    residual: bool = True
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -75,8 +81,8 @@ class STGCNBlock(nn.Module):
                           (K, V, V))
         Aw = A * edge
         # spatial graph conv: per-subset linear then neighborhood mix
-        feats = nn.Dense(self.out_channels * K, use_bias=False,
-                         name="gcn")(x)
+        # (ConvTemporalGraphical: biased 1x1 conv, stgcn.py:143-152)
+        feats = nn.Dense(self.out_channels * K, name="gcn")(x)
         feats = feats.reshape(B, T, V, K, self.out_channels)
         y = jnp.einsum("btvkc,kwv->btwc", feats, Aw,
                        preferred_element_type=jnp.float32)
@@ -89,9 +95,13 @@ class STGCNBlock(nn.Module):
                     padding=((tk // 2, tk // 2), (0, 0)), name="tcn")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          name="bn_tcn")(y)
-        if s != 1 or C != self.out_channels:
+        if not self.residual:
+            sc = 0.0
+        elif s != 1 or C != self.out_channels:
             sc = nn.Conv(self.out_channels, (1, 1), strides=(s, 1),
                          name="residual")(x)
+            sc = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                              name="bn_res")(sc)
         else:
             sc = x
         return nn.relu(y + sc)
@@ -103,6 +113,10 @@ class STGCNConfig:
     in_channels: int = 3             # (x, y, score)
     channels: Tuple[int, ...] = (64, 64, 128, 128, 256, 256)
     temporal_strides: Tuple[int, ...] = (1, 1, 2, 1, 2, 1)
+    # checkpoint import: the reference stores the graph as a buffer;
+    # pass it here (OUR orientation, A[k, target, source]) to override
+    # the built-in COCO spatial partition
+    adjacency: Optional[Tuple] = None
 
 
 class AGCNBlock(nn.Module):
@@ -201,10 +215,20 @@ class STGCN(nn.Module):
     def __call__(self, keypoints: jnp.ndarray, *, train: bool = False):
         """keypoints: (B, T, V, C) -> pooled feature (B, channels[-1])."""
         cfg = self.cfg
-        A = build_partitioned_adjacency(cfg.num_joints)
-        A_t = tuple(tuple(tuple(r) for r in s) for s in A)
+        if cfg.adjacency is not None:
+            A_t = cfg.adjacency
+        else:
+            A = build_partitioned_adjacency(cfg.num_joints)
+            A_t = tuple(tuple(tuple(r) for r in s) for s in A)
+        # data_bn normalizes per (joint, channel) pair like the
+        # reference's BatchNorm1d(V*C) on (N*M, V*C, T)
+        # (stgcn.py:212-215, 262-266)
+        B, T, V, C = keypoints.shape
+        x = keypoints.reshape(B, T, V * C)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="data_bn")(keypoints)
+                         name="data_bn")(x)
+        x = x.reshape(B, T, V, C)
         for i, (c, s) in enumerate(zip(cfg.channels, cfg.temporal_strides)):
-            x = STGCNBlock(c, A_t, s, name=f"block_{i}")(x, train=train)
+            x = STGCNBlock(c, A_t, s, residual=i > 0,
+                           name=f"block_{i}")(x, train=train)
         return jnp.mean(x, axis=(1, 2))
