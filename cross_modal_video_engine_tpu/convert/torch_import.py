@@ -1292,3 +1292,95 @@ def convert_stgcn(sd: Dict, channels=None, temporal_strides=None,
             "batch_stats": {"backbone": stats},
         }
     return variables, cfg
+
+
+def convert_agcn(sd: Dict, channels=None, temporal_strides=None,
+                 backbone_prefix: str = "backbone.",
+                 cls_head_key: Optional[str] = "cls_head.fc") -> Tuple:
+    """mmaction AGCN (2s-AGCN) checkpoint -> (flax variables,
+    AGCNConfig) for models.stgcn.AGCN.
+
+    Key map (backbones/agcn.py:42-331):
+      backbone.data_bn / backbone.A (buffer)    -> data_bn /
+                                                   cfg.adjacency (as-is:
+                                                   the block einsum uses
+                                                   the reference
+                                                   orientation)
+      backbone.agcn_networks.{i}.gcn.PA         -> block_{i}/PA
+      ...gcn.conv_{a,b,d}.{k}                   -> conv_{a,b,d}{k}
+      ...gcn.down.0 / down.1                    -> down / bn_down
+      ...gcn.bn                                 -> bn_gcn
+      ...tcn.0 / tcn.1                          -> tcn / bn_tcn
+      ...residual.0 / residual.1                -> residual / bn_res
+      cls_head.fc (1x1 Conv2d)                  -> cls_head/fc_cls
+    """
+    from ..models.stgcn import AGCNConfig
+    p = backbone_prefix
+    A = _np(sd[p + "A"])
+    K, V, _ = A.shape
+    adjacency = tuple(tuple(tuple(float(v) for v in row) for row in sub)
+                      for sub in A)
+
+    n_blocks = 0
+    while f"{p}agcn_networks.{n_blocks}.gcn.PA" in sd:
+        n_blocks += 1
+    if channels is None:
+        channels = tuple(
+            _np(sd[f"{p}agcn_networks.{i}.tcn.0.weight"]).shape[0]
+            for i in range(n_blocks))
+    if temporal_strides is None:
+        temporal_strides = tuple(
+            2 if i > 0 and channels[i] != channels[i - 1] else 1
+            for i in range(n_blocks))
+    in_channels = _np(
+        sd[p + "agcn_networks.0.gcn.conv_d.0.weight"]).shape[1]
+    cfg = AGCNConfig(num_joints=V, in_channels=in_channels,
+                     channels=tuple(channels),
+                     temporal_strides=tuple(temporal_strides),
+                     adjacency=adjacency)
+
+    def conv1x1(prefix):
+        w = _np(sd[prefix + ".weight"])            # (out, in, 1, 1)
+        return {"kernel": w[:, :, 0, 0].T,
+                "bias": _np(sd[prefix + ".bias"])}
+
+    params: Dict = {}
+    stats: Dict = {}
+    params["data_bn"], stats["data_bn"] = _bn3d(sd, p + "data_bn")
+    for i in range(n_blocks):
+        src = f"{p}agcn_networks.{i}."
+        blk: Dict = {"PA": _np(sd[src + "gcn.PA"])}
+        blk_stats: Dict = {}
+        for k in range(K):
+            blk[f"conv_a{k}"] = conv1x1(src + f"gcn.conv_a.{k}")
+            blk[f"conv_b{k}"] = conv1x1(src + f"gcn.conv_b.{k}")
+            blk[f"conv_d{k}"] = conv1x1(src + f"gcn.conv_d.{k}")
+        blk["bn_gcn"], blk_stats["bn_gcn"] = _bn3d(sd, src + "gcn.bn")
+        if src + "gcn.down.0.weight" in sd:
+            blk["down"] = conv1x1(src + "gcn.down.0")
+            blk["bn_down"], blk_stats["bn_down"] = _bn3d(
+                sd, src + "gcn.down.1")
+        blk["tcn"] = {
+            "kernel": _np(sd[src + "tcn.0.weight"]).transpose(2, 3, 1, 0),
+            "bias": _np(sd[src + "tcn.0.bias"])}
+        blk["bn_tcn"], blk_stats["bn_tcn"] = _bn3d(sd, src + "tcn.1")
+        if src + "residual.0.weight" in sd:
+            blk["residual"] = {
+                "kernel": _np(sd[src + "residual.0.weight"]).transpose(
+                    2, 3, 1, 0),
+                "bias": _np(sd[src + "residual.0.bias"])}
+            blk["bn_res"], blk_stats["bn_res"] = _bn3d(
+                sd, src + "residual.1")
+        params[f"block_{i}"] = blk
+        stats[f"block_{i}"] = blk_stats
+    variables: Dict = {"params": params, "batch_stats": stats}
+    if cls_head_key and cls_head_key + ".weight" in sd:
+        w = _np(sd[cls_head_key + ".weight"])
+        variables = {
+            "params": {"backbone": params,
+                       "cls_head": {"fc_cls": {
+                           "kernel": w[:, :, 0, 0].T,
+                           "bias": _np(sd[cls_head_key + ".bias"])}}},
+            "batch_stats": {"backbone": stats},
+        }
+    return variables, cfg

@@ -126,9 +126,12 @@ class AGCNBlock(nn.Module):
     followed by the usual temporal conv, residual around both."""
 
     out_channels: int
-    adjacency: Tuple   # static (K, V, V) nested tuples
+    adjacency: Tuple   # static (K, V, V) nested tuples, REFERENCE
+                       # orientation A[k, source, target] (agcn.py's
+                       # matmul(x, A1) contracts over source)
     temporal_stride: int = 1
     temporal_kernel: int = 9
+    residual: bool = True     # agcn.py:281-289: block 0 runs without
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -171,7 +174,9 @@ class AGCNBlock(nn.Module):
         t = nn.Conv(self.out_channels, (tk, 1), strides=(s, 1),
                     padding=((tk // 2, tk // 2), (0, 0)), name="tcn")(g)
         t = bn("bn_tcn")(t)
-        if s != 1 or C != self.out_channels:
+        if not self.residual:
+            res = 0.0
+        elif s != 1 or C != self.out_channels:
             res = bn("bn_res")(nn.Conv(self.out_channels, (1, 1),
                                        strides=(s, 1), name="residual")(x))
         else:
@@ -186,6 +191,9 @@ class AGCNConfig:
     channels: Tuple[int, ...] = (64, 64, 64, 64, 128, 128, 128, 256, 256,
                                  256)
     temporal_strides: Tuple[int, ...] = (1, 1, 1, 1, 2, 1, 1, 2, 1, 1)
+    # checkpoint import: override with the reference's graph buffer
+    # (A[k, source, target] — used as-is by the block einsum)
+    adjacency: Optional[Tuple] = None
 
 
 @BACKBONES.register("AGCN")
@@ -198,12 +206,21 @@ class AGCN(nn.Module):
     def __call__(self, keypoints: jnp.ndarray, *, train: bool = False):
         """keypoints: (B, T, V, C) -> pooled feature (B, channels[-1])."""
         cfg = self.cfg
-        A = build_partitioned_adjacency(cfg.num_joints)
-        A_t = tuple(tuple(tuple(r) for r in s) for s in A)
+        if cfg.adjacency is not None:
+            A_t = cfg.adjacency
+        else:
+            A = build_partitioned_adjacency(cfg.num_joints)
+            A_t = tuple(tuple(tuple(r) for r in s) for s in A)
+        # per-(joint, channel) data_bn like the reference's
+        # BatchNorm1d(V*C) (agcn.py:277-279, 325-331)
+        B, T, V, C = keypoints.shape
+        x = keypoints.reshape(B, T, V * C)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         name="data_bn")(keypoints)
+                         name="data_bn")(x)
+        x = x.reshape(B, T, V, C)
         for i, (c, s) in enumerate(zip(cfg.channels, cfg.temporal_strides)):
-            x = AGCNBlock(c, A_t, s, name=f"block_{i}")(x, train=train)
+            x = AGCNBlock(c, A_t, s, residual=i > 0,
+                          name=f"block_{i}")(x, train=train)
         return jnp.mean(x, axis=(1, 2))
 
 
