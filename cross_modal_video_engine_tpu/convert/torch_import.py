@@ -1384,3 +1384,61 @@ def convert_agcn(sd: Dict, channels=None, temporal_strides=None,
             "batch_stats": {"backbone": stats},
         }
     return variables, cfg
+
+
+def convert_tanet(sd: Dict, cfg, backbone_prefix: str = "backbone.",
+                  cls_head_key: Optional[str] = "cls_head.fc_cls") -> Dict:
+    """mmaction TANet checkpoint -> flax variables for
+    models.tanet.TANet (+ Recognizer2D/TSNHead).
+
+    Key map (backbones/tanet.py TABlock wrapping + common/tam.py):
+      backbone.conv1.conv/bn                   -> conv1 / bn1
+      backbone.layer{s}.{j}.block.conv{k}.conv -> layer{s}_{j}/conv{k}
+      ...block.downsample.conv/bn              -> downsample / bn_down
+      ...tam.G.{0,1,3} (Linear/BN/Linear)      -> tam/{g_fc1,g_bn,g_fc2}
+      ...tam.L.{0,1,3} (Conv1d/BN/Conv1d)      -> tam/{l_conv1,l_bn,
+                                                  l_conv2}
+    """
+    p = backbone_prefix
+    params: Dict = {"conv1": _conv2d(sd[p + "conv1.conv.weight"])}
+    stats: Dict = {}
+    params["bn1"], stats["bn1"] = _bn3d(sd, p + "conv1.bn")
+    for s, blocks in enumerate(cfg.stage_blocks, start=1):
+        for j in range(blocks):
+            src = f"{p}layer{s}.{j}."
+            dst = f"layer{s}_{j}"
+            blk: Dict = {}
+            blk_stats: Dict = {}
+            for k in (1, 2, 3):
+                blk[f"conv{k}"] = _conv2d(
+                    sd[src + f"block.conv{k}.conv.weight"])
+                blk[f"bn{k}"], blk_stats[f"bn{k}"] = _bn3d(
+                    sd, src + f"block.conv{k}.bn")
+            if src + "block.downsample.conv.weight" in sd:
+                blk["downsample"] = _conv2d(
+                    sd[src + "block.downsample.conv.weight"])
+                blk["bn_down"], blk_stats["bn_down"] = _bn3d(
+                    sd, src + "block.downsample.bn")
+            tam: Dict = {
+                "g_fc1": {"kernel": _np(sd[src + "tam.G.0.weight"]).T},
+                "g_fc2": {"kernel": _np(sd[src + "tam.G.3.weight"]).T},
+                "l_conv1": {"kernel": _np(
+                    sd[src + "tam.L.0.weight"]).transpose(2, 1, 0)},
+                "l_conv2": {"kernel": _np(
+                    sd[src + "tam.L.3.weight"]).transpose(2, 1, 0)},
+            }
+            tam_stats: Dict = {}
+            tam["g_bn"], tam_stats["g_bn"] = _bn3d(sd, src + "tam.G.1")
+            tam["l_bn"], tam_stats["l_bn"] = _bn3d(sd, src + "tam.L.1")
+            blk["tam"] = tam
+            blk_stats["tam"] = tam_stats
+            params[dst] = blk
+            stats[dst] = blk_stats
+    variables = {"params": params, "batch_stats": stats}
+    if cls_head_key and cls_head_key + ".weight" in sd:
+        variables = {
+            "params": {"backbone": params,
+                       "cls_head": {"fc_cls": _dense(sd, cls_head_key)}},
+            "batch_stats": {"backbone": stats},
+        }
+    return variables

@@ -23,28 +23,42 @@ from ..utils.registry import BACKBONES
 
 
 class TAM(nn.Module):
+    """mmaction common/tam.py:34-122 exactly: global branch
+    Linear(T->Ta, no bias) -> BN -> ReLU -> Linear(Ta->K, no bias) ->
+    softmax builds a per-(video, channel) temporal kernel; local branch
+    Conv1d(C->C/b, k3, no bias) -> BN -> ReLU -> Conv1d(C/b->C, k1,
+    no bias) -> sigmoid gates frames; gated features get the adaptive
+    kernel as a depthwise temporal conv (stride/pad 1)."""
+
     channels: int
-    kernel: int = 3
+    kernel: int = 3               # adaptive_kernel_size
     alpha: int = 2
     beta: int = 4
+    conv1d_kernel: int = 3
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, train: bool = False
+                 ) -> jnp.ndarray:
         """x: (B, T, H, W, C)."""
         B, T, H, W, C = x.shape
         K = self.kernel
+        bn = lambda n: nn.BatchNorm(use_running_average=not train,
+                                    momentum=0.9, name=n)
         ctx = x.mean(axis=(2, 3))                     # (B, T, C)
 
         # global branch: per-channel adaptive temporal kernel
         g = ctx.transpose(0, 2, 1).reshape(B * C, T)  # (B*C, T)
-        g = nn.relu(nn.Dense(T * self.alpha, name="g_fc1")(g))
-        g = nn.Dense(K, name="g_fc2")(g)
+        g = nn.Dense(T * self.alpha, use_bias=False, name="g_fc1")(g)
+        g = nn.relu(bn("g_bn")(g))
+        g = nn.Dense(K, use_bias=False, name="g_fc2")(g)
         g = jax.nn.softmax(g, axis=-1).reshape(B, C, K)
 
         # local branch: per-frame channel importance
-        l = nn.Conv(C // self.beta, (K,), padding=K // 2, name="l_conv1")(ctx)
-        l = nn.relu(nn.BatchNorm(use_running_average=True, name="l_bn")(l))
-        l = nn.Conv(C, (K,), padding=K // 2, name="l_conv2")(l)
+        ck = self.conv1d_kernel
+        l = nn.Conv(C // self.beta, (ck,), padding=ck // 2,
+                    use_bias=False, name="l_conv1")(ctx)
+        l = nn.relu(bn("l_bn")(l))
+        l = nn.Conv(C, (1,), use_bias=False, name="l_conv2")(l)
         l = jax.nn.sigmoid(l)                         # (B, T, C)
 
         x = x * l[:, :, None, None, :]
@@ -54,8 +68,7 @@ class TAM(nn.Module):
         xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (0, 0), (0, 0)))
         out = jnp.zeros_like(x)
         for k in range(K):
-            out = out + xp[:, k:k + T] * g[:, None, None, None, :, k].transpose(
-                0, 1, 2, 3, 4)
+            out = out + xp[:, k:k + T] * g[:, None, None, None, :, k]
         return out
 
 
@@ -76,7 +89,7 @@ class TABlock(nn.Module):
 
         h = nn.relu(bn("bn1")(nn.Conv(self.planes, (1, 1), use_bias=False,
                                       name="conv1")(flat(x))))
-        h = TAM(self.planes, name="tam")(unflat(h))
+        h = TAM(self.planes, name="tam")(unflat(h), train=train)
         h = flat(h)
         h = nn.relu(bn("bn2")(nn.Conv(self.planes, (3, 3),
                                       strides=self.stride, padding=1,
