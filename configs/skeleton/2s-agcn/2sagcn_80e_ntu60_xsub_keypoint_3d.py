@@ -9,7 +9,8 @@ model = dict(
 data = dict(
     train=dict(ann_file='data/posec3d/ntu60_xsub_train.pkl'),
     val=dict(ann_file='data/posec3d/ntu60_xsub_val.pkl'),
-    clip_len=100, batch_size=16, stream='joint')
+    clip_len=100, batch_size=16, stream='joint',
+    num_persons=2)   # NTU two-person clips, STGCNHead num_person=2
 optimizer = dict(optimizer='sgd', learning_rate=0.1, momentum=0.9,
                  weight_decay=1e-4, grad_clip=40.0)
 total_epochs = 80

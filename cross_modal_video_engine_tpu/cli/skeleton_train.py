@@ -61,16 +61,26 @@ def build_skeleton_model(cfg: Config):
     btype = bcfg.pop("type", "STGCN")
     kw = {k: tuple(v) if isinstance(v, list) else v for k, v in bcfg.items()}
     num_classes = cfg["model.num_classes"]
+    # heatmap (PoseC3D) inputs max-combine persons into one volume, so
+    # per-person feature averaging only applies to the GCN streams
+    person_avg = (cfg.get("data.num_persons", 1) > 1
+                  and not cfg.get("data.heatmap"))
+
+    def wrap(backbone):
+        if person_avg:
+            from ..models.stgcn import SkeletonClassifier
+            return SkeletonClassifier(backbone, num_classes)
+        return BackboneClassifier(backbone, num_classes)
+
     if btype == "STGCN":
         from ..models.stgcn import STGCN, STGCNConfig
-        return BackboneClassifier(STGCN(STGCNConfig(**kw)), num_classes)
+        return wrap(STGCN(STGCNConfig(**kw)))
     if btype == "AGCN":
         from ..models.stgcn import AGCN, AGCNConfig
-        return BackboneClassifier(AGCN(AGCNConfig(**kw)), num_classes)
+        return wrap(AGCN(AGCNConfig(**kw)))
     if btype in ("PoseC3D", "SlowOnly"):
         from ..models.resnet3d import ResNet3D, ResNet3DConfig
-        return BackboneClassifier(ResNet3D(ResNet3DConfig(**kw)),
-                                  num_classes)
+        return wrap(ResNet3D(ResNet3DConfig(**kw)))
     raise ValueError(f"unknown skeleton backbone {btype}")
 
 
@@ -84,17 +94,21 @@ def to_bone_stream(kp: np.ndarray,
 
 
 def _heatmap_volume(kp: np.ndarray, hm_cfg: Dict) -> np.ndarray:
-    """PoseC3D input: GeneratePoseTarget pseudo-heatmaps (T, H, W, K)."""
+    """PoseC3D input: GeneratePoseTarget pseudo-heatmaps (T, H, W, K).
+    kp may be (T, V, C) or multi-person (M, T, V, C) — the heatmaps
+    max-combine persons like the reference."""
     from ..data.pipelines_extra import GeneratePoseTarget
     h, w = hm_cfg.get("img_shape", (56, 56))
     op = GeneratePoseTarget(sigma=hm_cfg.get("sigma", 0.6),
                             use_score=hm_cfg.get("use_score", True),
                             with_kp=hm_cfg.get("with_kp", True),
                             with_limb=hm_cfg.get("with_limb", False))
-    results = {"keypoint": kp[None, ..., :2],
-               "keypoint_score": kp[None, ..., 2]
+    if kp.ndim == 3:
+        kp = kp[None]
+    results = {"keypoint": kp[..., :2],
+               "keypoint_score": kp[..., 2]
                if kp.shape[-1] > 2 else np.ones(kp.shape[:-1],
-                                                np.float32)[None],
+                                                np.float32),
                "img_shape": (h, w)}
     return np.asarray(op(results)["imgs"], np.float32)
 
@@ -130,10 +144,12 @@ def train_from_config(cfg: Config, work_dir: str,
     stream = cfg.get("data.stream", "joint")
     heatmap = cfg.get("data.heatmap")
     bs = cfg.get("data.batch_size", 16)
+    num_persons = cfg.get("data.num_persons", 1)
 
     train_ds = PoseDataset(cfg["data.train.ann_file"], clip_len,
-                           num_joints)
-    val_ds = PoseDataset(cfg["data.val.ann_file"], clip_len, num_joints)
+                           num_joints, num_persons)
+    val_ds = PoseDataset(cfg["data.val.ann_file"], clip_len, num_joints,
+                         num_persons)
 
     tcfg = RecognitionTrainConfig(**cfg.get("optimizer", {}))
     tx = make_rec_optimizer(tcfg)

@@ -54,14 +54,21 @@ class HVUDataset:
 
 
 class PoseDataset:
-    """Pickled list of dicts: {'keypoint': (M, T, V, C), 'label': int}."""
+    """Pickled list of dicts: {'keypoint': (M, T, V, C), 'label': int}.
+
+    ``num_persons=1`` (default) yields (T, V, C) for the single-person
+    GCN path; ``num_persons=M`` keeps up to M persons zero-padded to a
+    static (M, T, V, C) — the NTU layout the reference's skeleton
+    pipelines batch as (N, C, T, V, M) with num_person=2
+    (heads/stgcn_head.py:46-57)."""
 
     def __init__(self, ann_file: str, clip_len: int = 48,
-                 num_joints: int = 17):
+                 num_joints: int = 17, num_persons: int = 1):
         with open(ann_file, "rb") as f:
             self.annos = pickle.load(f)
         self.clip_len = clip_len
         self.num_joints = num_joints
+        self.num_persons = num_persons
 
     def __len__(self) -> int:
         return len(self.annos)
@@ -69,15 +76,23 @@ class PoseDataset:
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, int]:
         a = self.annos[idx]
         kp = np.asarray(a["keypoint"], np.float32)
-        if kp.ndim == 4:                 # (M persons, T, V, C) -> first
-            kp = kp[0]
-        T = kp.shape[0]
+        if kp.ndim == 3:                  # (T, V, C) -> one person
+            kp = kp[None]
+        M = self.num_persons
+        if kp.shape[0] >= M:
+            kp = kp[:M]
+        else:
+            pad = np.zeros((M - kp.shape[0],) + kp.shape[1:], np.float32)
+            kp = np.concatenate([kp, pad])
+        T = kp.shape[1]
         if T >= self.clip_len:            # uniform sample
             sel = np.round(np.linspace(0, T - 1, self.clip_len)).astype(int)
-            kp = kp[sel]
+            kp = kp[:, sel]
         else:                             # loop pad
             reps = int(np.ceil(self.clip_len / T))
-            kp = np.tile(kp, (reps, 1, 1))[: self.clip_len]
+            kp = np.tile(kp, (1, reps, 1, 1))[:, : self.clip_len]
+        if M == 1:
+            return kp[0], int(a["label"])
         return kp, int(a["label"])
 
     def batches(self, batch_size: int

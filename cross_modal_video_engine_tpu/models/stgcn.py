@@ -249,3 +249,26 @@ class STGCN(nn.Module):
             x = STGCNBlock(c, A_t, s, residual=i > 0,
                            name=f"block_{i}")(x, train=train)
         return jnp.mean(x, axis=(1, 2))
+
+
+class SkeletonClassifier(nn.Module):
+    """Person-averaged skeleton recognizer: the backbone runs per
+    person, pooled features average over the M axis before the
+    classifier — STGCNHead's num_person semantics
+    (heads/stgcn_head.py:46-57: pool, view (n/M, M, -1), mean(1), fc)."""
+
+    backbone: nn.Module
+    num_classes: int
+    dropout_ratio: float = 0.0
+
+    @nn.compact
+    def __call__(self, keypoints: jnp.ndarray, *, train: bool = False):
+        """keypoints: (B, M, T, V, C) -> class scores (B, num_classes)."""
+        from .heads import I3DHead
+        B, M = keypoints.shape[:2]
+        feat = self.backbone(
+            keypoints.reshape((B * M,) + keypoints.shape[2:]),
+            train=train)
+        feat = feat.reshape(B, M, -1).mean(axis=1)
+        return I3DHead(self.num_classes, self.dropout_ratio,
+                       name="cls_head")(feat, train=train)

@@ -105,3 +105,50 @@ def test_bone_stream_is_parent_relative():
     np.testing.assert_allclose(bones[0, 7, 2], 0.9)   # score untouched
     # root joint 0 keeps zero bone
     np.testing.assert_allclose(bones[0, 0, :2], kp[0, 0, :2] - kp[0, 0, :2])
+
+
+def test_multi_person_stgcn(tmp_path):
+    """NTU-style 2-person clips: (M, T, V, C) batches fold persons into
+    the backbone batch and average per-person features before the head
+    (STGCNHead num_person semantics)."""
+    import pickle
+    annos = []
+    rng2 = np.random.default_rng(31)
+    for i in range(8):
+        label = i % 2
+        kp = rng2.normal(0.0, 0.6, (2, 12, 17, 3)).astype(np.float32)
+        kp[..., :2] += 8.0
+        kp[..., 2] = 1.0
+        dy = -4.0 if label == 0 else 4.0
+        kp[:, :, 9, 1] += dy
+        kp[:, :, 10, 1] += dy
+        if i % 3 == 0:        # some clips have only one visible person
+            kp = kp[:1]
+        annos.append({"keypoint": kp, "label": label})
+    ann = tmp_path / "poses2.pkl"
+    with open(ann, "wb") as f:
+        pickle.dump(annos, f)
+
+    cfg = _cfg(tmp_path, str(ann),
+               "dict(backbone=dict(type='STGCN', num_joints=17, "
+               "channels=[8, 8], temporal_strides=[1, 2]), num_classes=2)",
+               data_extra=", num_persons=2")
+    history = _run(cfg, str(tmp_path / "wmp"))
+    assert history[-1]["train_top1"] == 1.0
+
+
+def test_pose_dataset_multi_person_padding(tmp_path):
+    import pickle
+    from cross_modal_video_engine_tpu.data.datasets_extra import PoseDataset
+    annos = [{"keypoint": np.ones((1, 6, 17, 3), np.float32), "label": 0},
+             {"keypoint": np.ones((3, 6, 17, 3), np.float32), "label": 1}]
+    p = tmp_path / "p.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(annos, f)
+    ds = PoseDataset(str(p), clip_len=4, num_persons=2)
+    kp0, _ = ds[0]
+    assert kp0.shape == (2, 4, 17, 3)
+    np.testing.assert_allclose(kp0[1], 0.0)       # zero-padded person
+    kp1, _ = ds[1]
+    assert kp1.shape == (2, 4, 17, 3)             # truncated to M
+    np.testing.assert_allclose(kp1[1], 1.0)
