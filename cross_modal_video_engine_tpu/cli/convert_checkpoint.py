@@ -75,7 +75,10 @@ def main(argv=None):
     parser.add_argument("--type", required=True,
                         choices=["linas", "clip", "clip_resnet", "combiner",
                                  "timesformer", "yolov5", "resnet3d",
-                                 "slowfast", "videomae", "x3d", "csn", "tsm", "tin"])
+                                 "slowfast", "videomae", "x3d", "csn",
+                                 "tsm", "tin", "c3d", "r2plus1d",
+                                 "mobilenetv2_tsm", "stgcn", "agcn",
+                                 "tanet"])
     parser.add_argument("--src", required=True)
     parser.add_argument("--dst", required=True)
     parser.add_argument("--config", default=None,
@@ -233,6 +236,78 @@ def main(argv=None):
         save_checkpoint(args.dst, variables, {"backbone": kwargs},
                         {"source": args.src})
         print(f"converted videomae checkpoint -> {args.dst}")
+        return
+    elif args.type == "c3d":
+        from ..convert.torch_import import convert_c3d
+        sd = ckpt.get("state_dict", ckpt)
+        variables = convert_c3d(sd)
+        save_checkpoint(args.dst, variables,
+                        {"backbone": {"type": "C3D", "exact_head": True}},
+                        {"source": args.src})
+        print(f"converted c3d checkpoint -> {args.dst}")
+        return
+    elif args.type == "r2plus1d":
+        from ..convert.torch_import import convert_r2plus1d
+        from ..models.backbones2d import R2Plus1DConfig
+        sd = ckpt.get("state_dict", ckpt)
+        blob = json.load(open(args.config)) if args.config else {}
+        kwargs = {k: tuple(v) if isinstance(v, list) else v
+                  for k, v in blob.get("backbone", {}).items()}
+        cfg = R2Plus1DConfig(**kwargs)
+        variables = convert_r2plus1d(sd, cfg)
+        save_checkpoint(args.dst, variables,
+                        {"backbone": blob.get("backbone", {}),
+                         "num_classes": blob.get("num_classes")},
+                        {"source": args.src})
+        print(f"converted r2plus1d checkpoint -> {args.dst}")
+        return
+    elif args.type == "mobilenetv2_tsm":
+        from ..convert.torch_import import convert_mobilenetv2_tsm
+        from ..models.tin_mobilenet import MobileNetV2TSMConfig
+        sd = ckpt.get("state_dict", ckpt)
+        blob = json.load(open(args.config)) if args.config else {}
+        kwargs = {k: tuple(tuple(s) for s in v) if k == "stages" else v
+                  for k, v in blob.get("backbone", {}).items()}
+        cfg = MobileNetV2TSMConfig(**kwargs)
+        variables = convert_mobilenetv2_tsm(sd, cfg)
+        save_checkpoint(args.dst, variables,
+                        {"backbone": blob.get("backbone", {}),
+                         "num_classes": blob.get("num_classes")},
+                        {"source": args.src})
+        print(f"converted mobilenetv2_tsm checkpoint -> {args.dst}")
+        return
+    elif args.type in ("stgcn", "agcn"):
+        from ..convert.torch_import import convert_agcn, convert_stgcn
+        sd = ckpt.get("state_dict", ckpt)
+        fn = convert_stgcn if args.type == "stgcn" else convert_agcn
+        variables, cfg = fn(sd)
+        save_checkpoint(args.dst, variables,
+                        {"backbone": {"type": args.type.upper(),
+                                      "num_joints": cfg.num_joints,
+                                      "in_channels": cfg.in_channels,
+                                      "channels": list(cfg.channels),
+                                      "temporal_strides": list(
+                                          cfg.temporal_strides),
+                                      "adjacency": [
+                                          [list(r) for r in s]
+                                          for s in cfg.adjacency]}},
+                        {"source": args.src})
+        print(f"converted {args.type} checkpoint -> {args.dst}")
+        return
+    elif args.type == "tanet":
+        from ..convert.torch_import import convert_tanet
+        from ..models.tanet import TANetConfig
+        sd = ckpt.get("state_dict", ckpt)
+        blob = json.load(open(args.config)) if args.config else {}
+        kwargs = {k: tuple(v) if isinstance(v, list) else v
+                  for k, v in blob.get("backbone", {}).items()}
+        cfg = TANetConfig(**kwargs)
+        variables = convert_tanet(sd, cfg)
+        save_checkpoint(args.dst, variables,
+                        {"backbone": blob.get("backbone", {}),
+                         "num_classes": blob.get("num_classes")},
+                        {"source": args.src})
+        print(f"converted tanet checkpoint -> {args.dst}")
         return
     elif args.type == "yolov5":
         from ..convert.torch_import import (
