@@ -4,7 +4,8 @@
 # the two models' scores (the reference's two-stream recipe).
 _base_ = ['../../_base_/default_runtime.py']
 model = dict(
-    backbone=dict(type='AGCN', num_joints=17, in_channels=3),
+    backbone=dict(type='AGCN', num_joints=25, in_channels=3,
+                  layout='ntu-rgb+d'),
     num_classes=60)
 data = dict(
     train=dict(ann_file='data/posec3d/ntu60_xsub_train.pkl'),

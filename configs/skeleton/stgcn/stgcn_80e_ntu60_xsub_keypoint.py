@@ -3,7 +3,8 @@
 # 'coco', SGD lr 0.1 / 80 epochs, bs 16x2).
 _base_ = ['../../_base_/default_runtime.py']
 model = dict(
-    backbone=dict(type='STGCN', num_joints=17, in_channels=3),
+    backbone=dict(type='STGCN', num_joints=17, in_channels=3,
+                  layout='coco'),
     num_classes=60)
 data = dict(
     train=dict(ann_file='data/posec3d/ntu60_xsub_train.pkl'),

@@ -26,12 +26,31 @@ COCO_EDGES = ((0, 1), (0, 2), (1, 3), (2, 4), (0, 5), (0, 6), (5, 7),
               (7, 9), (6, 8), (8, 10), (5, 11), (6, 12), (11, 13),
               (13, 15), (12, 14), (14, 16), (11, 12), (5, 6))
 
+# NTU-RGB+D 25-joint layout (skeleton_gcn/utils/graph.py:107-119,
+# 1-based list converted; center = joint 20, the spine)
+NTU_EDGES = tuple((i - 1, j - 1) for i, j in
+                  ((1, 2), (2, 21), (3, 21), (4, 3), (5, 21), (6, 5),
+                   (7, 6), (8, 7), (9, 21), (10, 9), (11, 10), (12, 11),
+                   (13, 1), (14, 13), (15, 14), (16, 15), (17, 1),
+                   (18, 17), (19, 18), (20, 19), (22, 23), (23, 8),
+                   (24, 25), (25, 12)))
+
+GRAPH_LAYOUTS = {
+    "coco": (17, COCO_EDGES, 0),
+    "ntu-rgb+d": (25, NTU_EDGES, 20),
+}
+
 
 def build_partitioned_adjacency(num_joints: int = 17,
                                 edges: Tuple = COCO_EDGES,
-                                center: int = 0) -> np.ndarray:
+                                center: int = 0,
+                                layout: Optional[str] = None) -> np.ndarray:
     """(3, V, V): identity / centripetal / centrifugal normalized subsets
-    (the 'spatial' partition strategy)."""
+    (the 'spatial' partition strategy).  `layout` ('coco' | 'ntu-rgb+d')
+    overrides (num_joints, edges, center) with the reference Graph's
+    named layouts (skeleton_gcn/utils/graph.py)."""
+    if layout is not None:
+        num_joints, edges, center = GRAPH_LAYOUTS[layout]
     V = num_joints
     adj = np.eye(V)
     for a, b in edges:
@@ -117,6 +136,7 @@ class STGCNConfig:
     # pass it here (OUR orientation, A[k, target, source]) to override
     # the built-in COCO spatial partition
     adjacency: Optional[Tuple] = None
+    layout: Optional[str] = None     # 'coco' | 'ntu-rgb+d' named graph
 
 
 class AGCNBlock(nn.Module):
@@ -194,6 +214,7 @@ class AGCNConfig:
     # checkpoint import: override with the reference's graph buffer
     # (A[k, source, target] — used as-is by the block einsum)
     adjacency: Optional[Tuple] = None
+    layout: Optional[str] = None     # 'coco' | 'ntu-rgb+d' named graph
 
 
 @BACKBONES.register("AGCN")
@@ -209,7 +230,8 @@ class AGCN(nn.Module):
         if cfg.adjacency is not None:
             A_t = cfg.adjacency
         else:
-            A = build_partitioned_adjacency(cfg.num_joints)
+            A = build_partitioned_adjacency(cfg.num_joints,
+                                            layout=cfg.layout)
             A_t = tuple(tuple(tuple(r) for r in s) for s in A)
         # per-(joint, channel) data_bn like the reference's
         # BatchNorm1d(V*C) (agcn.py:277-279, 325-331)
@@ -235,7 +257,8 @@ class STGCN(nn.Module):
         if cfg.adjacency is not None:
             A_t = cfg.adjacency
         else:
-            A = build_partitioned_adjacency(cfg.num_joints)
+            A = build_partitioned_adjacency(cfg.num_joints,
+                                            layout=cfg.layout)
             A_t = tuple(tuple(tuple(r) for r in s) for s in A)
         # data_bn normalizes per (joint, channel) pair like the
         # reference's BatchNorm1d(V*C) on (N*M, V*C, T)

@@ -152,3 +152,22 @@ def test_pose_dataset_multi_person_padding(tmp_path):
     kp1, _ = ds[1]
     assert kp1.shape == (2, 4, 17, 3)             # truncated to M
     np.testing.assert_allclose(kp1[1], 1.0)
+
+
+def test_ntu_graph_layout():
+    """The named 'ntu-rgb+d' layout builds the reference Graph's
+    25-joint spatial partition (skeleton_gcn/utils/graph.py:107-119)
+    and drives both GCN backbones."""
+    import jax
+    import jax.numpy as jnp
+    from cross_modal_video_engine_tpu.models.stgcn import (
+        STGCN, STGCNConfig, build_partitioned_adjacency)
+    A = build_partitioned_adjacency(layout="ntu-rgb+d")
+    assert A.shape == (3, 25, 25)
+    # column-normalized: each joint's incoming weight sums to 1
+    np.testing.assert_allclose(A.sum(axis=(0, 1)), 1.0, atol=1e-5)
+    m = STGCN(STGCNConfig(num_joints=25, channels=(8,),
+                          temporal_strides=(1,), layout="ntu-rgb+d"))
+    x = jnp.zeros((2, 6, 25, 3))
+    v = m.init(jax.random.key(0), x)
+    assert m.apply(v, x).shape == (2, 8)
