@@ -34,7 +34,7 @@ TPU-first rebuild of the reference's detection shared heads:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ all_to_all exchanges inside one shard_map program.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ and the multichip dryrun).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ frame-mAP@0.5 via metrics.ava (the results2csv/ava_eval equivalent).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, Iterable, List, NamedTuple, Optional, Sequence
 
 import jax
