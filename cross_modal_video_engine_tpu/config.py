@@ -120,7 +120,11 @@ class Config:
 
 def _deep_merge(dst: Dict, src: Dict) -> Dict:
     for k, v in src.items():
-        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+        if isinstance(v, dict) and v.pop("_delete_", False):
+            # mmcv Config semantics: `_delete_=True` replaces the base
+            # dict wholesale instead of deep-merging into it
+            dst[k] = copy.deepcopy(v)
+        elif isinstance(v, dict) and isinstance(dst.get(k), dict):
             _deep_merge(dst[k], v)
         else:
             dst[k] = copy.deepcopy(v)

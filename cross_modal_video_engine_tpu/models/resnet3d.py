@@ -214,9 +214,12 @@ class SlowFast(nn.Module):
     cfg: SlowFastConfig
 
     @nn.compact
-    def __call__(self, videos: jnp.ndarray, *, train: bool = False):
+    def __call__(self, videos: jnp.ndarray, *, train: bool = False,
+                 return_stages: bool = False):
         """videos: (B, T, H, W, 3) fast-rate input.  Slow pathway samples
-        every alpha-th frame.  Returns concat pooled (B, C_slow + C_fast)."""
+        every alpha-th frame.  Returns concat pooled (B, C_slow + C_fast),
+        or with ``return_stages`` the temporally pooled dual-pathway map
+        list for the AVA RoI head."""
         cfg = self.cfg
         fast_in = videos
         slow_in = videos[:, ::cfg.alpha]
@@ -263,6 +266,14 @@ class SlowFast(nn.Module):
                 x = Bottleneck3D(planes, 1, tks[i], name=f"slow_l{i+1}_{j}")(
                     x, train=train)
             planes *= 2
+        if return_stages:
+            # AVA detection path (SingleRoIExtractor3D
+            # with_temporal_pool=True): temporal-pool each pathway,
+            # concat channels -> one (B, 1, H', W', Cs+Cf) map for the
+            # RoI head (configs/detection/ava/slowfast_*.py)
+            slow_map = x.mean(axis=1, keepdims=True)
+            fast_map = fast_feats[-1].mean(axis=1, keepdims=True)
+            return [jnp.concatenate([slow_map, fast_map], axis=-1)]
         slow_pool = jnp.mean(x, axis=(1, 2, 3))
         fast_pool = jnp.mean(fast_feats[-1], axis=(1, 2, 3))
         return jnp.concatenate([slow_pool, fast_pool], axis=-1)

@@ -140,3 +140,39 @@ def test_pack_detection_batch_static_layout():
     assert rois.shape == (4, 5) and labels.shape == (4, 3)
     np.testing.assert_allclose(valid, [1, 0, 0, 0])
     assert rois[0, 0] == 0                          # batch index
+
+
+def test_slowfast_detection_backbone(tmp_path):
+    """Dual-pathway SlowFast drives the AVA RoI head: return_stages
+    temporal-pools each pathway and concats channels
+    (SingleRoIExtractor3D with_temporal_pool semantics); the recipe
+    swaps the backbone via mmcv-style _delete_ inheritance."""
+    base_cfg = _fixture(tmp_path)
+    cfg = tmp_path / "config_sf.py"
+    cfg.write_text(f"""
+_base_ = ['{os.path.basename(base_cfg)}']
+model = dict(
+    backbone=dict(_delete_=True, type='SlowFast',
+                  depth_blocks=[1, 1, 1, 1], alpha=2, beta_inv=8,
+                  base_channels=8))
+""")
+    history = detection_train.main([str(cfg), "--work_dir",
+                                    str(tmp_path / "wsf"),
+                                    "--total_epochs", "2"])
+    assert len(history) == 2
+    assert all(np.isfinite(h["loss"]) for h in history)
+
+
+def test_config_delete_replaces_base_dict(tmp_path):
+    """mmcv `_delete_=True` semantics in _base_ inheritance."""
+    from cross_modal_video_engine_tpu.config import Config
+    base = tmp_path / "base.py"
+    base.write_text("model = dict(backbone=dict(type='A', depth=50, "
+                    "extra=1))\n")
+    child = tmp_path / "child.py"
+    child.write_text(f"_base_ = ['{base.name}']\n"
+                     "model = dict(backbone=dict(_delete_=True, "
+                     "type='B', width=8))\n")
+    cfg = Config.fromfile(str(child))
+    bb = cfg["model.backbone"]
+    assert bb == {"type": "B", "width": 8}       # base keys dropped
