@@ -1442,3 +1442,61 @@ def convert_tanet(sd: Dict, cfg, backbone_prefix: str = "backbone.",
             "batch_stats": {"backbone": stats},
         }
     return variables
+
+
+def convert_tpn(sd: Dict, cfg, neck_prefix: str = "neck.") -> Dict:
+    """mmaction TPN neck checkpoint -> flax variables for models.tpn.TPN.
+
+    Key map (necks/tpn.py):
+      neck.spatial_modulation.spatial_modulation.{i}.{j}.conv/bn
+                                             -> sm{i}_conv{j} / sm{i}_bn{j}
+      neck.temporal_modulation_ops.{i}.conv.conv -> tm{i}/conv
+      neck.downsample_ops.{i}.conv.conv          -> down{i}
+      neck.level_fusion_{1,2}.downsamples.{i}.conv.conv/bn
+                                             -> fuse_{td,bu}/down{i}(+bn)
+      neck.level_fusion_{1,2}.fusion_conv.conv/bn -> fusion / fusion_bn
+      neck.pyramid_fusion.conv/bn            -> pyramid_fusion/pyramid_bn
+      neck.aux_head.conv.conv/bn + aux_head.fc -> aux_conv/aux_bn/aux_fc
+    """
+    p = neck_prefix
+    params: Dict = {}
+    stats: Dict = {}
+    n = len(cfg.in_channels)
+    for i in range(n):
+        j = 0
+        while (f"{p}spatial_modulation.spatial_modulation.{i}.{j}"
+               f".conv.weight") in sd:
+            src = f"{p}spatial_modulation.spatial_modulation.{i}.{j}."
+            params[f"sm{i}_conv{j}"] = _conv3d(sd[src + "conv.weight"])
+            params[f"sm{i}_bn{j}"], stats[f"sm{i}_bn{j}"] = _bn3d(
+                sd, src + "bn")
+            j += 1
+        params[f"tm{i}"] = {"conv": _conv3d(
+            sd[f"{p}temporal_modulation_ops.{i}.conv.conv.weight"])}
+        if f"{p}downsample_ops.{i}.conv.conv.weight" in sd:
+            params[f"down{i}"] = _conv3d(
+                sd[f"{p}downsample_ops.{i}.conv.conv.weight"])
+    for ref_lf, ours in (("level_fusion_1", "fuse_td"),
+                         ("level_fusion_2", "fuse_bu")):
+        blk: Dict = {}
+        blk_stats: Dict = {}
+        for i in range(n):
+            src = f"{p}{ref_lf}.downsamples.{i}.conv."
+            blk[f"down{i}"] = _conv3d(sd[src + "conv.weight"])
+            blk[f"down_bn{i}"], blk_stats[f"down_bn{i}"] = _bn3d(
+                sd, src + "bn")
+        blk["fusion"] = _conv3d(sd[f"{p}{ref_lf}.fusion_conv.conv.weight"])
+        blk["fusion_bn"], blk_stats["fusion_bn"] = _bn3d(
+            sd, f"{p}{ref_lf}.fusion_conv.bn")
+        params[ours] = blk
+        stats[ours] = blk_stats
+    params["pyramid_fusion"] = _conv3d(
+        sd[p + "pyramid_fusion.conv.weight"])
+    params["pyramid_bn"], stats["pyramid_bn"] = _bn3d(
+        sd, p + "pyramid_fusion.bn")
+    if p + "aux_head.conv.conv.weight" in sd:
+        params["aux_conv"] = _conv3d(sd[p + "aux_head.conv.conv.weight"])
+        params["aux_bn"], stats["aux_bn"] = _bn3d(
+            sd, p + "aux_head.conv.bn")
+        params["aux_fc"] = _dense(sd, p.rstrip(".") + ".aux_head.fc")
+    return {"params": params, "batch_stats": stats}

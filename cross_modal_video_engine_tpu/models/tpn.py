@@ -1,15 +1,25 @@
 """TPN: Temporal Pyramid Network neck.
 
-TPU rebuild of MCT/mmaction/models/necks/tpn.py (the missing neck of the
-inventory): takes the last N backbone stages, aligns them spatially
-(SpatialModulation), modulates temporal rates (grouped 3x1x1 conv +
-temporal maxpool), fuses a top-down and a bottom-up pyramid (LevelFusion
-x2 + pyramid fusion conv), and optionally supervises stage -2 with an
-auxiliary classification head (AuxHead, loss weight 0.5).
+TPU rebuild of MCT/mmaction/models/necks/tpn.py, structured
+parameter-for-parameter with the reference so checkpoints import
+(convert_tpn):
 
-Layout is channels-last (B, T, H, W, C); temporal up/downsampling uses
-nearest resize / strided maxpool, so each configured shape compiles to
-one fixed XLA program.
+* SpatialModulation (tpn.py:146-196): a channel-DOUBLING ladder of
+  strided (1,3,3) conv+BN+ReLU per non-top stage.
+* TemporalModulation (tpn.py:259-292): grouped (3,1,1) conv (no
+  bias/BN/act) + ceil-mode temporal maxpool.
+* Upsample hops (nn.Upsample, parameterless; the shipped recipe's
+  scale (1,1,1) makes them identity) and DownSample hops with a real
+  (3,1,1) conv (no BN/act) + maxpool (tpn.py:17-84).
+* Two LevelFusions (grouped 1x1x1 conv+BN+ReLU per level, concat,
+  1x1x1 fuse conv+BN+ReLU) + pyramid fusion conv+BN+ReLU
+  (tpn.py:85-143, 383-394).
+* AuxHead on stage -2 (conv+BN, avgpool, dropout, fc — tpn.py:198-256);
+  its params exist whenever `aux_num_classes` is configured (the loss
+  is only computed when labels are passed).
+
+Layout is channels-last (B, T, H, W, C); all up/downsampling compiles
+to one fixed XLA program per configured shape.
 """
 
 from __future__ import annotations
@@ -31,9 +41,10 @@ def _bn(train: bool, name: str):
 @dataclasses.dataclass(frozen=True)
 class TPNConfig:
     in_channels: Tuple[int, ...] = (1024, 2048)
-    out_channels: int = 1024
-    mid_channels: int = 1024
-    fusion_channels: int = 2048
+    out_channels: int = 1024          # temporal-modulation width
+    mid_channels: int = 1024          # level-fusion per-level width
+    lf_out_channels: int = 2048       # level-fusion output width
+    fusion_channels: int = 2048       # pyramid-fusion output width
     downsample_scales: Tuple[int, ...] = (8, 8)
     groups: int = 32                  # grouped convs like the reference
     flow_type: str = "cascade"        # | 'parallel'
@@ -61,8 +72,9 @@ class _TemporalModulation(nn.Module):
 
 
 class _LevelFusion(nn.Module):
-    """Per-level grouped 1x1x1 conv+BN+ReLU, concat, 1x1x1 fuse
-    (tpn.py:85-143)."""
+    """Per-level grouped 1x1x1 conv+BN+ReLU, concat, 1x1x1 fuse conv+
+    BN+ReLU (tpn.py:85-143; the recipe's downsample_scales (1,1,1) make
+    the per-level pools identity)."""
 
     mid_channels: int
     out_channels: int
@@ -97,8 +109,9 @@ class TPN(nn.Module):
         assert len(stages) == n
         aux = {}
 
-        if cfg.aux_num_classes is not None and target is not None:
-            # AuxHead on the second-to-last stage (tpn.py:198-256)
+        if cfg.aux_num_classes is not None:
+            # AuxHead on the second-to-last stage (tpn.py:198-256);
+            # params exist regardless of whether labels are passed
             a = stages[-2]
             a = nn.Conv(a.shape[-1] * 2, (1, 3, 3), strides=(1, 2, 2),
                         padding=((0, 0), (1, 1), (1, 1)), use_bias=False,
@@ -108,18 +121,20 @@ class TPN(nn.Module):
             a = nn.Dropout(0.5, deterministic=not train,
                            name="aux_drop")(a)
             scores = nn.Dense(cfg.aux_num_classes, name="aux_fc")(a)
-            aux["loss_aux"] = cfg.aux_loss_weight * \
-                optax.softmax_cross_entropy_with_integer_labels(
-                    scores, target).mean()
+            if target is not None:
+                aux["loss_aux"] = cfg.aux_loss_weight * \
+                    optax.softmax_cross_entropy_with_integer_labels(
+                        scores, target).mean()
 
-        # spatial modulation: strided 3x3 convs bring every stage to the
-        # last stage's spatial size and channel count (tpn.py:146-196)
+        # spatial modulation: a channel-doubling ladder of strided 3x3
+        # convs brings every stage to the top stage's spatial size
+        # (tpn.py:165-183: channel*2^f -> channel*2^(f+1) per step)
         tgt_hw = stages[-1].shape[2:4]
         sm = []
         for i, f in enumerate(stages):
             j = 0
             while f.shape[2] > tgt_hw[0]:
-                f = nn.Conv(cfg.in_channels[-1], (1, 3, 3),
+                f = nn.Conv(f.shape[-1] * 2, (1, 3, 3),
                             strides=(1, 2, 2),
                             padding=((0, 0), (1, 1), (1, 1)), use_bias=False,
                             name=f"sm{i}_conv{j}")(f)
@@ -133,35 +148,40 @@ class TPN(nn.Module):
                                 cfg.groups, name=f"tm{i}")(sm[i])
             for i in range(n)]
 
-        def match_t(x, t):
+        def resample_t(x, t):
+            """nn.Upsample(nearest) / ceil-mode maxpool equivalents."""
             if x.shape[1] == t:
                 return x
-            if x.shape[1] < t:     # temporal nearest upsample
+            if x.shape[1] < t:
                 return jax.image.resize(
                     x, (x.shape[0], t) + x.shape[2:], "nearest")
-            s = x.shape[1] // t    # temporal maxpool downsample
+            s = x.shape[1] // t
             return nn.max_pool(x, (s, 1, 1), strides=(s, 1, 1))
 
-        # top-down pyramid
+        # top-down pyramid (upsample hops are parameterless)
         outs = list(tm)
         for i in range(n - 1, 0, -1):
-            outs[i - 1] = outs[i - 1] + match_t(outs[i],
-                                                outs[i - 1].shape[1])
-        top_down = _LevelFusion(cfg.mid_channels, cfg.out_channels,
+            outs[i - 1] = outs[i - 1] + resample_t(outs[i],
+                                                   outs[i - 1].shape[1])
+        top_down = _LevelFusion(cfg.mid_channels, cfg.lf_out_channels,
                                 cfg.groups, name="fuse_td")(
-            [match_t(o, tm[-1].shape[1]) for o in outs], train=train)
+            [resample_t(o, tm[-1].shape[1]) for o in outs], train=train)
 
-        # bottom-up pyramid
+        # bottom-up pyramid: each hop is a DownSample with a REAL
+        # (3,1,1) conv (no BN/act) + pool (tpn.py:17-84, 375-378)
         outs = list(tm) if cfg.flow_type == "parallel" else outs
         for i in range(n - 1):
-            outs[i + 1] = outs[i + 1] + match_t(outs[i],
-                                                outs[i + 1].shape[1])
-        bottom_up = _LevelFusion(cfg.mid_channels, cfg.out_channels,
+            hop = nn.Conv(cfg.out_channels, (3, 1, 1),
+                          padding=((1, 1), (0, 0), (0, 0)),
+                          use_bias=False, name=f"down{i}")(outs[i])
+            outs[i + 1] = outs[i + 1] + resample_t(hop,
+                                                   outs[i + 1].shape[1])
+        bottom_up = _LevelFusion(cfg.mid_channels, cfg.lf_out_channels,
                                  cfg.groups, name="fuse_bu")(
-            [match_t(o, tm[-1].shape[1]) for o in outs], train=train)
+            [resample_t(o, tm[-1].shape[1]) for o in outs], train=train)
 
         x = jnp.concatenate([top_down, bottom_up], axis=-1)
         x = nn.Conv(cfg.fusion_channels, (1, 1, 1), use_bias=False,
                     name="pyramid_fusion")(x)
-        x = _bn(train, "pyramid_bn")(x)
+        x = nn.relu(_bn(train, "pyramid_bn")(x))
         return x, aux

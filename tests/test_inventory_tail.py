@@ -34,7 +34,8 @@ def test_csn_shapes_and_modes():
 
 def test_tpn_neck_shapes_and_aux_loss():
     cfg = TPNConfig(in_channels=(16, 32), out_channels=16, mid_channels=16,
-                    fusion_channels=32, downsample_scales=(2, 2), groups=4,
+                    lf_out_channels=32, fusion_channels=32,
+                    downsample_scales=(2, 2), groups=4,
                     aux_num_classes=5)
     tpn = TPN(cfg)
     stages = [
@@ -53,7 +54,8 @@ def test_tpn_neck_shapes_and_aux_loss():
     assert aux2 == {} and feat2.shape == feat.shape
     # parallel flow runs too
     cfgp = TPNConfig(in_channels=(16, 32), out_channels=16, mid_channels=16,
-                     fusion_channels=32, downsample_scales=(2, 2), groups=4,
+                     lf_out_channels=32, fusion_channels=32,
+                     downsample_scales=(2, 2), groups=4,
                      flow_type="parallel")
     tp = TPN(cfgp)
     v2 = tp.init(jax.random.key(0), stages)
