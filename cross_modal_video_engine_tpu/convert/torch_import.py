@@ -13,15 +13,21 @@ variable trees so published weights run on TPU:
   and the RNN caption head — every converter parity-tested against a
   torch replica (tests/test_*_conversion.py).
 
-Intentionally without an importer: MViT only — the reference's own MViT
-backbone is a wrapper over the UN-VENDORED facebook `slowfast` package
-(mvit.py:22-33 imports slowfast.models.attention.MultiScaleBlock etc.,
-which is not in the tree), so checkpoint parity would target code
-outside the reference; our models/mvit.py is the TPU-first counterpart.
+Intentionally without an importer: only backbones whose reference
+implementation wraps an UN-VENDORED external package, so checkpoint
+parity would target code outside the tree — MViT (mvit.py:22-33
+imports facebook `slowfast`'s MultiScaleBlock etc.) and VideoCLIP
+(videoclip.py:11 imports fairseq `mmpt.models.MMPTModel`); our
+models/mvit.py and models/videoclip.py are the TPU-first counterparts.
 TIN imports via `convert_tin` into the exact TINResNetExact rebuild.
-Round 3 adds `convert_c3d`, `convert_r2plus1d` (factorized
-Conv2plus1d grammar incl. downsamples) and `convert_mobilenetv2_tsm`
-(TemporalShift-wrapped ConvModules) — 19 importer families total.
+Round 3 adds `convert_c3d`, `convert_r2plus1d` (factorized Conv2plus1d
+grammar incl. downsamples), `convert_mobilenetv2_tsm`
+(TemporalShift-wrapped ConvModules), `convert_stgcn` / `convert_agcn`
+(graph buffers into cfg.adjacency), `convert_tanet` (exact TAM) and
+`convert_tpn` (the neck), and the audio family imports through
+`convert_tsm` (the shipped audio recipes use a plain 2D ResNet,
+tsn_r50_audio.py) — 23 importer families total, every one
+parity-tested.
 
 All converters are pure dict->dict transforms over numpy arrays; torch is
 only needed to unpickle .pth files (`load_torch_checkpoint`).
