@@ -50,6 +50,9 @@ class TimeSformerConfig:
     # joint attention over long token streams (1 + P*T >= ~1024) can route
     # through the Pallas flash kernel
     use_flash_attention: bool = False
+    # rematerialize blocks in the backward pass (jax.checkpoint):
+    # bigger train batches at ~1/3 extra FLOPs
+    remat: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -89,8 +92,10 @@ class DividedSTBlock(nn.Module):
     drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
-        """x: (B, 1 + P*T, D), patch-major (p t) token order."""
+    def __call__(self, x, train: bool = False):
+        """x: (B, 1 + P*T, D), patch-major (p t) token order.
+        (`train` is positional-or-keyword so cfg.remat can mark it a
+        static argument for nn.remat.)"""
         cfg = self.cfg
         B = x.shape[0]
         P, T, D = cfg.num_patches, cfg.time_tokens, cfg.embed_dims
@@ -136,7 +141,7 @@ class JointBlock(nn.Module):
     drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, train: bool = False):
         cfg = self.cfg
         dp = DropPath(self.drop_path, name="drop_path")
         h = LN(name="norm1")(x)
@@ -180,6 +185,12 @@ class TimeSformer(nn.Module):
         dpr = np.linspace(0, cfg.drop_path_max, cfg.num_layers)
         block_cls = (DividedSTBlock if cfg.attention_type ==
                      "divided_space_time" else JointBlock)
+        if cfg.remat:
+            # rematerialize each block's activations on the backward
+            # pass — trades ~33% more FLOPs for O(layers) less HBM, so
+            # training batches grow past the activation wall; `train`
+            # (arg index 2 incl. self) stays a static python bool
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         self.blocks = [block_cls(cfg, float(dpr[i]), name=f"block_{i}")
                        for i in range(cfg.num_layers)]
         self.final_norm = LN(name="norm")
@@ -231,7 +242,7 @@ class TimeSformer(nn.Module):
         x = self.embed_tokens(videos, train=train)
         captured = {}
         for i, block in enumerate(self.blocks):
-            x = block(x, train=train)
+            x = block(x, train)   # positional: remat static_argnums
             if i in capture_layers:
                 captured[i] = x.astype(jnp.float32)
         x, cls_feat = self._pool(x)
@@ -253,6 +264,6 @@ class TimeSformer(nn.Module):
         for i, block in enumerate(self.blocks):
             if i <= layer:
                 continue
-            x = block(x, train=train)
+            x = block(x, train)   # positional: remat static_argnums
         _, cls_feat = self._pool(x)
         return cls_feat

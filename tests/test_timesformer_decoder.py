@@ -135,3 +135,37 @@ def test_recognizer_relseq_train_loss_and_decode():
     assert np.isfinite(float(loss))
     probs = model.apply(variables, v, num_segs=1, method="forward_test")
     assert probs.shape == (2, 3, 6)
+
+
+def test_remat_flag_preserves_params_and_outputs():
+    """cfg.remat rematerializes blocks (jax.checkpoint) without
+    changing the parameter tree or the forward/backward math."""
+    import jax
+    import optax
+    kw = dict(num_frames=2, img_size=16, patch_size=8, embed_dims=16,
+              num_heads=2, num_layers=2, drop_path_max=0.0,
+              dropout_ratio=0.0)
+    m0 = Recognizer3D(TimeSformerConfig(**kw), num_classes=3)
+    m1 = Recognizer3D(TimeSformerConfig(**kw, remat=True), num_classes=3)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 2, 16, 16, 3)), jnp.float32)
+    v = m0.init(jax.random.key(0), x)
+    # same param tree -> remat checkpoints load into either variant
+    assert (jax.tree.structure(v) ==
+            jax.tree.structure(m1.init(jax.random.key(0), x)))
+    np.testing.assert_allclose(np.asarray(m0.apply(v, x)),
+                               np.asarray(m1.apply(v, x)), atol=1e-5)
+    y = jnp.asarray([0, 1])
+
+    def loss(mod):
+        def f(p):
+            s = mod.apply({"params": p}, x)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                s, y).mean()
+        return f
+
+    g0 = jax.grad(loss(m0))(v["params"])
+    g1 = jax.grad(loss(m1))(v["params"])
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
