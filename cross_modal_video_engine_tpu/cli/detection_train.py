@@ -90,17 +90,25 @@ def _load_proposals(path: Optional[str]) -> Optional[Dict[str, np.ndarray]]:
             for k, v in raw.items()}
 
 
-def _decode_clip(pipeline, item: Dict, fps: float, ts_start: float
-                 ) -> np.ndarray:
+def _decode_clip(pipeline, item: Dict, fps: float, ts_start: float,
+                 proposals: Optional[np.ndarray] = None):
+    """Run the decode pipeline for one keyframe.  GT boxes and
+    proposals ride through the pipeline under the mmaction keys
+    (gt_bboxes / proposals) so geometric ops like Flip mirror them in
+    sync with the frames."""
     results = dict(item)
     results.setdefault("fps", fps)
     results.setdefault("timestamp_start", ts_start)
     results.setdefault("start_index", 0)
+    results["gt_bboxes"] = np.asarray(item["boxes"], np.float32)
+    if proposals is not None:
+        results["proposals"] = np.asarray(proposals, np.float32)
     out = pipeline(results)
     clip = np.asarray(out["imgs"], np.float32)
     if clip.ndim == 5:          # (num_clips, T, H, W, C) -> clip 0
         clip = clip[0]
-    return clip
+    return (clip, np.asarray(out["gt_bboxes"], np.float32),
+            out.get("proposals"))
 
 
 def det_batches(ds: AVADataset, pipeline, batch_size: int,
@@ -120,17 +128,18 @@ def det_batches(ds: AVADataset, pipeline, batch_size: int,
         metas = []
         for j in sel:
             kf = ds[j]
-            clip = _decode_clip(pipeline, kf, fps, ts_start)
             props = None
             if proposals is not None:
                 props = proposals.get(
                     make_image_key(kf["video_id"], kf["timestamp"]),
                     np.zeros((0, 4), np.float32))
+            clip, gt_boxes, props = _decode_clip(pipeline, kf, fps,
+                                                 ts_start, props)
             boxes, labels = assign_proposals(
                 props if props is not None else np.zeros((0, 4), np.float32),
-                kf["boxes"], kf["labels"], num_classes, pos_iou_thr)
+                gt_boxes, kf["labels"], num_classes, pos_iou_thr)
             items.append(dict(clip=clip, boxes=boxes, labels=labels))
-            metas.append(kf)
+            metas.append(dict(kf, boxes=gt_boxes))
         clips, rois, labels, valid = pack_detection_batch(
             items, max_boxes, num_classes)
         valid[n * max_boxes:] = 0.0

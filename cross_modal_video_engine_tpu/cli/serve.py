@@ -126,7 +126,7 @@ def build_composed_handler(args):
     from ..train.checkpoint import load_checkpoint
     from ..utils.bpe import BPETokenizer
     from .composed_inference import (extract_video_features,
-                                     build_combiner_inputs, rank_index)
+                                     build_combiner_inputs)
 
     clip_vars, clip_cfg_d, _ = load_checkpoint(args.clip_checkpoint)
     if "patch_size" in clip_cfg_d:

@@ -176,3 +176,36 @@ def test_config_delete_replaces_base_dict(tmp_path):
     cfg = Config.fromfile(str(child))
     bb = cfg["model.backbone"]
     assert bb == {"type": "B", "width": 8}       # base keys dropped
+
+
+def test_flip_mirrors_detection_boxes(tmp_path):
+    """A Flip op in the detection pipeline mirrors gt boxes (and any
+    proposals) in sync with the frames."""
+    from cross_modal_video_engine_tpu.cli.detection_train import det_batches
+    from cross_modal_video_engine_tpu.data.datasets_extra import AVADataset
+    from cross_modal_video_engine_tpu.data.pipelines import build_pipeline
+
+    vdir = tmp_path / "videos"
+    vdir.mkdir()
+    frames = np.full((8, 16, 16, 3), 100, np.uint8)
+    write_test_video(str(vdir / "v.mp4"), frames, fps=10)
+    ann = tmp_path / "ann.csv"
+    ann.write_text("v.mp4,0.4,0.1,0.2,0.5,0.6,1,0\n")
+    ds = AVADataset(str(ann), num_classes=3, data_prefix=str(vdir))
+
+    pipe = build_pipeline([
+        dict(type="DecordInit"),
+        dict(type="SampleAVAFrames", clip_len=2, frame_interval=2,
+             test_mode=True),
+        dict(type="DecordDecode"),
+        dict(type="Flip", flip_ratio=1.0),
+        dict(type="Normalize", mean=[127.5] * 3, std=[127.5] * 3),
+        dict(type="FormatShape", input_format="NTHWC"),
+    ])
+    batch = next(det_batches(ds, pipe, 1, 3, 2, fps=10, ts_start=0,
+                             include_meta=True))
+    # original (0.1, 0.2, 0.5, 0.6) -> mirrored x: (0.5, 0.2, 0.9, 0.6)
+    np.testing.assert_allclose(batch["rois"][0, 1:],
+                               [0.5, 0.2, 0.9, 0.6], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(batch["gt_boxes"][0])[0],
+                               [0.5, 0.2, 0.9, 0.6], atol=1e-6)
