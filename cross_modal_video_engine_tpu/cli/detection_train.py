@@ -101,6 +101,7 @@ def _decode_clip(pipeline, item: Dict, fps: float, ts_start: float,
     results.setdefault("timestamp_start", ts_start)
     results.setdefault("start_index", 0)
     results["gt_bboxes"] = np.asarray(item["boxes"], np.float32)
+    results["bbox_coords"] = "normalized"    # AVA [0,1] convention
     if proposals is not None:
         results["proposals"] = np.asarray(proposals, np.float32)
     out = pipeline(results)

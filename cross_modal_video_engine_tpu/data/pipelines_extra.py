@@ -757,6 +757,17 @@ class RandomCrop:
         out[..., 1::2] = np.clip(box[..., 1::2] - y1, 0, y2 - y1 - 1)
         return out
 
+    @staticmethod
+    def _box_crop_normalized(box, x0, y0, size, img_w, img_h):
+        """Detection boxes in [0,1] coordinates (our AVA convention;
+        mmaction carries pixels and denormalizes at decode instead)."""
+        out = np.asarray(box, np.float32).copy()
+        out[..., 0::2] = np.clip(
+            (out[..., 0::2] - x0 / img_w) * img_w / size, 0.0, 1.0)
+        out[..., 1::2] = np.clip(
+            (out[..., 1::2] - y0 / img_h) * img_h / size, 0.0, 1.0)
+        return out
+
     def __call__(self, results: Dict) -> Dict:
         img_h, img_w = results["img_shape"]
         assert self.size <= img_h and self.size <= img_w
@@ -770,11 +781,15 @@ class RandomCrop:
                                for im in results["imgs"]]
         if "keypoint" in results:
             results["keypoint"] = results["keypoint"] - bbox[:2]
-        if "gt_bboxes" in results:
-            results["gt_bboxes"] = self._box_crop(results["gt_bboxes"], bbox)
-            if results.get("proposals") is not None:
-                results["proposals"] = self._box_crop(
-                    results["proposals"], bbox)
+        normalized = results.get("bbox_coords") == "normalized"
+        for key in ("gt_bboxes", "proposals"):
+            if results.get(key) is None or not len(results[key]):
+                continue
+            if normalized:
+                results[key] = self._box_crop_normalized(
+                    results[key], x0, y0, self.size, img_w, img_h)
+            else:
+                results[key] = self._box_crop(results[key], bbox)
         quad = results.get("crop_quadruple", (0.0, 0.0, 1.0, 1.0))
         results["crop_quadruple"] = _combine_quadruple(
             quad, (x0 / img_w, y0 / img_h, self.size / img_w,

@@ -209,3 +209,26 @@ def test_flip_mirrors_detection_boxes(tmp_path):
                                [0.5, 0.2, 0.9, 0.6], atol=1e-6)
     np.testing.assert_allclose(np.asarray(batch["gt_boxes"][0])[0],
                                [0.5, 0.2, 0.9, 0.6], atol=1e-6)
+
+
+def test_random_crop_adjusts_normalized_boxes(tmp_path):
+    """RandomCrop in a detection pipeline transforms the normalized
+    boxes into the crop's coordinate frame."""
+    from cross_modal_video_engine_tpu.data.pipelines_extra import RandomCrop
+
+    imgs = [np.zeros((16, 16, 3), np.uint8)] * 2
+    op = RandomCrop(size=8, seed=3)
+    # pin the crop origin by monkeypatching the rng
+    op.rng = np.random.default_rng(0)
+    results = {"imgs": list(imgs), "img_shape": (16, 16),
+               "gt_bboxes": np.array([[0.25, 0.25, 0.75, 0.75]],
+                                     np.float32),
+               "bbox_coords": "normalized"}
+    out = op(results)
+    x0, y0 = out["crop_bbox"][0], out["crop_bbox"][1]
+    b = out["gt_bboxes"][0]
+    # expected: (norm - x0/16) * 16/8, clipped
+    exp = np.clip((np.array([0.25, 0.25, 0.75, 0.75])
+                   - np.array([x0, y0, x0, y0]) / 16.0) * 2.0, 0, 1)
+    np.testing.assert_allclose(b, exp, atol=1e-6)
+    assert out["imgs"][0].shape == (8, 8, 3)
