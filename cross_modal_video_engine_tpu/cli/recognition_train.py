@@ -74,11 +74,22 @@ def build_backbone(btype: str, kw: dict):
 
 def build_recognition_model(cfg: Config):
     """model.backbone.type selects the family (TimeSformer default; the
-    conv backbones pair with BackboneClassifier and multigrid)."""
+    conv backbones pair with BackboneClassifier and multigrid).  A
+    model.neck=dict(type='TPN', ...) block routes stages through the
+    TPN neck (the configs/recognition/tpn family)."""
     bcfg = dict(cfg["model.backbone"])
     btype = bcfg.pop("type", "TimeSformer")
     num_classes = cfg["model.num_classes"]
     kw = {k: tuple(v) if isinstance(v, list) else v for k, v in bcfg.items()}
+    ncfg = cfg.get("model.neck")
+    if ncfg and ncfg.get("type") == "TPN":
+        from ..models.recognizer import TPNRecognizer
+        from ..models.tpn import TPNConfig
+        nkw = {k: tuple(v) if isinstance(v, list) else v
+               for k, v in ncfg.items() if k != "type"}
+        nkw.setdefault("aux_num_classes", num_classes)
+        return TPNRecognizer(build_backbone(btype, kw),
+                             TPNConfig(**nkw), num_classes)
     if btype == "TimeSformer":
         return Recognizer3D(TimeSformerConfig(**kw),
                             num_classes=num_classes)
@@ -124,7 +135,12 @@ def train_from_config(cfg: Config, work_dir: str,
         blending = make_blending(
             bcfg["type"], cfg["model.num_classes"],
             bcfg.get("alpha", 0.2))
-    if stats is not None:
+    from ..models.recognizer import TPNRecognizer
+    is_tpn = isinstance(model, TPNRecognizer)
+    if is_tpn:
+        from ..train.recognition_trainer import make_tpn_train_step_stats
+        step_bn = make_tpn_train_step_stats(model, tx, bf16=tcfg.bf16)
+    elif stats is not None:
         from ..train.recognition_trainer import make_cls_train_step_stats
         step_bn = make_cls_train_step_stats(model, tx, blending=blending,
                                             bf16=tcfg.bf16)

@@ -359,3 +359,43 @@ class X3DClassifier(nn.Module):
     def forward_test(self, videos: jnp.ndarray, num_segs: int = 1,
                      average_clips: str = "prob"):
         return average_clip(self(videos), num_segs, average_clips)
+
+
+@RECOGNIZERS.register("TPNRecognizer")
+class TPNRecognizer(nn.Module):
+    """Recognizer3D with the TPN neck between backbone stages and the
+    classifier (the configs/recognition/tpn family: ResNet3dSlowOnly
+    out_indices=(2, 3) -> TPN -> TPNHead; tpn_slowonly_r50.py).
+
+    The backbone must expose stage maps via ``return_stages=True``
+    (ResNet3D family); the neck consumes the last
+    len(tpn_cfg.in_channels) stages and the head global-pools the fused
+    pyramid (TPNHead = TSNHead-over-3D-pool, heads/tpn_head.py).
+    Training returns (scores, aux) so the TPN auxiliary CE joins the
+    loss like the reference's loss_aux."""
+
+    backbone: nn.Module
+    tpn_cfg: "object"
+    num_classes: int
+    dropout_ratio: float = 0.5
+
+    @nn.compact
+    def __call__(self, videos: jnp.ndarray, *, train: bool = False,
+                 target: Optional[jnp.ndarray] = None):
+        from .tpn import TPN
+        stages = self.backbone(videos, train=train, return_stages=True)
+        n = len(self.tpn_cfg.in_channels)
+        feat, aux = TPN(self.tpn_cfg, name="neck")(
+            stages[-n:], train=train, target=target)
+        x = feat.mean(axis=(1, 2, 3))                 # 3D global pool
+        x = nn.Dropout(self.dropout_ratio, deterministic=not train)(x)
+        scores = nn.Dense(self.num_classes,
+                          kernel_init=nn.initializers.normal(0.01),
+                          name="cls_head")(x)
+        if train:
+            return scores, aux
+        return scores
+
+    def forward_test(self, videos: jnp.ndarray, num_segs: int = 1,
+                     average_clips: str = "prob"):
+        return average_clip(self(videos), num_segs, average_clips)

@@ -444,3 +444,37 @@ def evaluate_classification(model, params, batches, stats=None) -> dict:
     top1, top5 = top_k_accuracy(scores, labels, (1, min(5, scores[0].shape[0])))
     return {"top1_acc": top1, "top5_acc": top5,
             "mean_class_accuracy": mean_class_accuracy(scores, labels)}
+
+
+def make_tpn_train_step_stats(model, tx, bf16: bool = False):
+    """Train step for TPNRecognizer: the neck's auxiliary CE
+    (loss_aux, weight cfg.aux_loss_weight) joins the classifier CE like
+    the reference's losses dict (necks/tpn.py AuxHead)."""
+
+    def loss_fn(params, stats, videos, labels, rng):
+        if bf16:
+            params = _cast_tree(params, jnp.bfloat16)
+            videos = videos.astype(jnp.bfloat16)
+        (scores, aux), new = model.apply(
+            {"params": params, "batch_stats": stats}, videos, train=True,
+            target=labels, rngs={"dropout": rng}, mutable=["batch_stats"])
+        scores = scores.astype(jnp.float32)
+        loss_cls = optax.softmax_cross_entropy_with_integer_labels(
+            scores, labels).mean()
+        loss = loss_cls + aux.get("loss_aux", 0.0)
+        acc = (scores.argmax(-1) == labels).mean()
+        new_stats = (_cast_tree(new["batch_stats"], jnp.float32)
+                     if bf16 else new["batch_stats"])
+        return loss, (acc, loss_cls, new_stats)
+
+    def step(state: RecTrainState, stats, videos, labels, rng):
+        (loss, (acc, loss_cls, stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, stats, videos, labels, rng)
+        if bf16:
+            grads = _cast_tree(grads, jnp.float32)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (RecTrainState(params, opt_state, state.step + 1), stats,
+                {"loss": loss, "loss_cls": loss_cls, "top1_acc": acc})
+
+    return jax.jit(step)

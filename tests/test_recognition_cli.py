@@ -118,3 +118,32 @@ def test_recognition_train_conv_backbone(tmp_path):
     from cross_modal_video_engine_tpu.train.checkpoint import load_checkpoint
     variables, _cfg, _meta = load_checkpoint(_os.path.join(work, best[0]))
     assert "batch_stats" in variables
+
+
+def test_tpn_recipe_trains(tmp_path):
+    """model.neck=dict(type='TPN') routes backbone stages through the
+    TPN neck; the auxiliary CE joins the loss and training converges on
+    the brightness fixture (the configs/recognition/tpn family)."""
+    cfg_path = _fixture(tmp_path)
+    cfg = tmp_path / "config_tpn.py"
+    cfg.write_text(f"""
+_base_ = ['{os.path.basename(cfg_path)}']
+model = dict(
+    backbone=dict(_delete_=True, type='ResNet3D',
+                  stage_blocks=[1, 1, 1, 1], base_channels=8,
+                  conv1_kernel_t=1,
+                  stage_temporal_kernels=[1, 1, 3, 3]),
+    neck=dict(type='TPN', in_channels=[32, 64], out_channels=16,
+              mid_channels=16, lf_out_channels=16, fusion_channels=16,
+              downsample_scales=[1, 1], groups=4))
+optimizer = dict(optimizer='adamw', learning_rate=3e-3, grad_clip=1.0)
+total_epochs = 6
+eval_interval = 6
+""")
+    history = recognition_train.main([str(cfg), "--work_dir",
+                                      str(tmp_path / "wtpn")])
+    assert len(history) == 6
+    losses = [h["loss"] for h in history]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert "top1_acc" in history[-1]
