@@ -44,9 +44,15 @@ from ..train.resume import (latest_checkpoint, load_train_state,
                             save_train_state)
 
 
+# backbones emitting PER-FRAME (B, T, C) features: they pair with
+# Recognizer2D + TSNHead segment consensus, not the pooled classifier
+PER_FRAME_BACKBONES = ("TANet", "TSM", "TIN", "TINExact",
+                       "MobileNetV2TSM")
+
+
 def build_backbone(btype: str, kw: dict):
-    """Pooled-feature backbone factory shared by the recognition and
-    caption trainers (model.backbone.type registry keys)."""
+    """Backbone factory shared by the recognition and caption trainers
+    (model.backbone.type registry keys)."""
     from ..models.resnet3d import (CSN, CSNConfig, ResNet3D, ResNet3DConfig,
                                    SlowFast, SlowFastConfig, X3D, X3DConfig)
     if btype in ("ResNet3D", "SlowOnly"):
@@ -69,6 +75,27 @@ def build_backbone(btype: str, kw: dict):
     if btype == "VideoMAEViT":
         from ..models.videomae_vit import VideoMAEConfig, VideoMAEViT
         return VideoMAEViT(VideoMAEConfig(**kw))
+    if btype == "TSM":
+        from ..models.backbones2d import TSMConfig, TSMResNet
+        return TSMResNet(TSMConfig(**kw))
+    if btype == "TIN":
+        from ..models.tin_mobilenet import TINConfig, TINResNet
+        return TINResNet(TINConfig(**kw))
+    if btype == "TINExact":
+        from ..models.tin_mobilenet import TINExactConfig, TINResNetExact
+        return TINResNetExact(TINExactConfig(**kw))
+    if btype == "MobileNetV2TSM":
+        from ..models.tin_mobilenet import (MobileNetV2TSM,
+                                            MobileNetV2TSMConfig)
+        if "stages" in kw:
+            kw["stages"] = tuple(tuple(s) for s in kw["stages"])
+        return MobileNetV2TSM(MobileNetV2TSMConfig(**kw))
+    if btype == "C3D":
+        from ..models.backbones2d import C3D
+        return C3D(**kw)
+    if btype == "R2Plus1D":
+        from ..models.backbones2d import R2Plus1D, R2Plus1DConfig
+        return R2Plus1D(R2Plus1DConfig(**kw))
     raise ValueError(f"unknown backbone type {btype}")
 
 
@@ -93,6 +120,13 @@ def build_recognition_model(cfg: Config):
     if btype == "TimeSformer":
         return Recognizer3D(TimeSformerConfig(**kw),
                             num_classes=num_classes)
+    if btype in PER_FRAME_BACKBONES:
+        # (B, T, C) per-frame features -> TSNHead segment consensus
+        # (Recognizer2D), NOT the pooled classifier
+        from ..models.heads import TSNHead
+        from ..models.recognizer import Recognizer2D
+        return Recognizer2D(build_backbone(btype, kw),
+                            TSNHead(num_classes))
     return BackboneClassifier(build_backbone(btype, kw),
                               num_classes=num_classes)
 

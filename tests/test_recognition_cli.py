@@ -147,3 +147,27 @@ eval_interval = 6
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
     assert "top1_acc" in history[-1]
+
+
+def test_per_frame_backbone_trains_via_tsn_consensus(tmp_path):
+    """Per-frame backbones (TSM family) pair with Recognizer2D +
+    TSNHead consensus through the config path — scores come out
+    (B, num_classes), and training converges on the brightness rule."""
+    cfg_path = _fixture(tmp_path)
+    cfg = tmp_path / "config_tsm.py"
+    cfg.write_text(f"""
+_base_ = ['{os.path.basename(cfg_path)}']
+model = dict(
+    backbone=dict(_delete_=True, type='TSM',
+                  stage_blocks=[1, 1, 1, 1], base_channels=8,
+                  shift_div=4))
+optimizer = dict(optimizer='adamw', learning_rate=3e-3, grad_clip=1.0)
+total_epochs = 6
+eval_interval = 6
+""")
+    history = recognition_train.main([str(cfg), "--work_dir",
+                                      str(tmp_path / "wtsm")])
+    losses = [h["loss"] for h in history]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert 0.0 <= history[-1]["top1_acc"] <= 1.0
