@@ -1,0 +1,247 @@
+"""Config-driven YOLOv5 detector training CLI.
+
+TPU rebuild of the reference detector's train entry
+(MCT/yolov5/train.py): yolov5-format datasets (an image directory plus
+a label directory of per-image ``cls cx cy w h`` text rows, normalized
+xywh), letterbox + horizontal-flip augmentation, the 3-group SGD with
+warmup/one-cycle schedule and EMA (train/yolo_trainer.py), the
+ComputeLoss criterion (losses/yolo.py), and per-epoch validation of
+the EMA weights with COCO-protocol mAP (metrics/detection.py — the
+val.py stack).  Mosaic/HSV augmentation is intentionally not ported:
+it changes sample statistics, not framework capability, and the
+reference's own low-augmentation hyp file trains without HSV at
+mosaic-free settings for small datasets.
+
+Config shape:
+
+    model = dict(num_classes=80, depth_multiple=0.33,
+                 width_multiple=0.50, img_size=640)
+    data = dict(train=dict(img_dir='train/images',
+                           label_dir='train/labels'),
+                val=dict(img_dir='val/images', label_dir='val/labels'),
+                batch_size=16, max_targets=64, fliplr=0.5)
+    optimizer = dict(lr0=0.01, lrf=0.01, momentum=0.937,
+                     weight_decay=0.0005, warmup_epochs=3.0,
+                     warmup_momentum=0.8, warmup_bias_lr=0.1,
+                     cos_lr=False)
+    loss = dict(box=0.05, cls=0.5, obj=1.0, anchor_t=4.0)
+    total_epochs = 300
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.datasets import ShardedSampler
+from ..losses.yolo import YoloHyp
+from ..metrics.detection import detection_map
+from ..models.yolo import YoloConfig, YoloV5, decode_predictions, postprocess
+from ..train.resume import (latest_checkpoint, load_train_state,
+                            save_train_state)
+from ..train.yolo_trainer import (
+    YoloOptHyp, YoloTrainState, init_yolo_train_state, letterbox,
+    letterbox_boxes, lr_momentum_at, make_yolo_train_step,
+    scaled_weight_decay)
+
+
+class YoloDetectionDataset:
+    """yolov5 directory layout: image files (jpg/png/npy) + same-stem
+    label txts of normalized ``cls cx cy w h`` rows (the format
+    MCT/yolov5/utils/dataloaders.py LoadImagesAndLabels reads)."""
+
+    def __init__(self, img_dir: str, label_dir: str):
+        exts = ("*.jpg", "*.jpeg", "*.png", "*.bmp", "*.npy")
+        self.images = sorted(p for e in exts
+                             for p in glob.glob(os.path.join(img_dir, e)))
+        if not self.images:
+            raise FileNotFoundError(f"no images under {img_dir}")
+        self.label_dir = label_dir
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        path = self.images[i]
+        if path.endswith(".npy"):
+            img = np.load(path)
+        else:
+            import cv2
+            img = cv2.imread(path)[:, :, ::-1]          # BGR -> RGB
+        stem = os.path.splitext(os.path.basename(path))[0]
+        lpath = os.path.join(self.label_dir, stem + ".txt")
+        boxes = np.zeros((0, 5), np.float32)
+        if os.path.exists(lpath):
+            rows = [ln.split() for ln in open(lpath) if ln.strip()]
+            if rows:
+                boxes = np.asarray(rows, np.float32)
+        return np.ascontiguousarray(img, np.uint8), boxes
+
+
+def yolo_batches(ds: YoloDetectionDataset, batch_size: int, img_size: int,
+                 max_targets: int, fliplr: float = 0.0,
+                 rng: Optional[np.random.RandomState] = None,
+                 order=None) -> Iterator:
+    """(images f32 0-1, targets (B,T,5), valid (B,T), n_real)."""
+    order = list(order if order is not None else range(len(ds)))
+    for i in range(0, len(order), batch_size):
+        sel = order[i:i + batch_size]
+        n = len(sel)
+        while len(sel) < batch_size:
+            sel.append(sel[0])
+        imgs, tgts, valids = [], [], []
+        for j in sel:
+            img, boxes = ds[j]
+            hw = img.shape[:2]
+            img, r, pad = letterbox(img, img_size)
+            boxes = letterbox_boxes(boxes, r, pad, hw, img_size)
+            if rng is not None and fliplr > 0 and rng.rand() < fliplr:
+                img = img[:, ::-1]
+                if len(boxes):
+                    boxes[:, 1] = 1.0 - boxes[:, 1]
+            t = np.zeros((max_targets, 5), np.float32)
+            v = np.zeros((max_targets,), bool)
+            k = min(len(boxes), max_targets)
+            t[:k] = boxes[:k]
+            v[:k] = True
+            imgs.append(img)
+            tgts.append(t)
+            valids.append(v)
+        yield (jnp.asarray(np.stack(imgs), jnp.float32) / 255.0,
+               jnp.asarray(np.stack(tgts)), jnp.asarray(np.stack(valids)), n)
+
+
+def build_yolo_model(cfg: Config) -> YoloV5:
+    mcfg = dict(cfg.get("model", {}))
+    mcfg.pop("type", None)
+    anchors = mcfg.pop("anchors", None)
+    kw = dict(num_classes=mcfg.get("num_classes", 80),
+              depth_multiple=mcfg.get("depth_multiple", 0.33),
+              width_multiple=mcfg.get("width_multiple", 0.50),
+              img_size=mcfg.get("img_size", 640))
+    if anchors is not None:
+        kw["anchors"] = tuple(tuple(tuple(a) for a in layer)
+                              for layer in anchors)
+    return YoloV5(YoloConfig(**kw))
+
+
+def evaluate_detector(model: YoloV5, params, stats,
+                      batches: Iterator, conf_thres: float = 0.001,
+                      iou_thres: float = 0.6) -> Dict:
+    """val.py-equivalent: decode + NMS the (EMA) detector, COCO mAP."""
+    infer = jax.jit(lambda p, s, x: decode_predictions(
+        model.apply({"params": p, "batch_stats": s}, x, train=False),
+        model.cfg))
+    preds_all: List[Dict] = []
+    gts_all: List[Dict] = []
+    size = float(model.cfg.img_size)
+    for images, targets, valid, n in batches:
+        preds = np.asarray(infer(params, stats, images))
+        dets = postprocess(preds, conf_thres, iou_thres)
+        tn = np.asarray(targets)
+        vn = np.asarray(valid)
+        for b in range(n):
+            d = dets[b]
+            preds_all.append(dict(boxes=d[:, :4], scores=d[:, 4],
+                                  classes=d[:, 5].astype(int)))
+            rows = tn[b][vn[b]]
+            xy, wh = rows[:, 1:3] * size, rows[:, 3:5] * size
+            gts_all.append(dict(
+                boxes=np.concatenate([xy - wh / 2, xy + wh / 2], 1),
+                classes=rows[:, 0].astype(int)))
+    return detection_map(preds_all, gts_all)
+
+
+def train_from_config(cfg: Config, work_dir: str,
+                      resume: Optional[str] = None,
+                      num_epochs: Optional[int] = None):
+    model = build_yolo_model(cfg)
+    img_size = model.cfg.img_size
+    bs = cfg.get("data.batch_size", 16)
+    max_t = cfg.get("data.max_targets", 64)
+    fliplr = cfg.get("data.fliplr", 0.5)
+
+    train_ds = YoloDetectionDataset(cfg["data.train.img_dir"],
+                                    cfg["data.train.label_dir"])
+    val_ds = None
+    if cfg.get("data.val"):
+        val_ds = YoloDetectionDataset(cfg["data.val.img_dir"],
+                                      cfg["data.val.label_dir"])
+
+    hyp = YoloHyp(**cfg.get("loss", {}))
+    opt = YoloOptHyp(**cfg.get("optimizer", {}))
+    wd = scaled_weight_decay(opt, bs)
+    step = make_yolo_train_step(model, hyp, opt, wd)
+    state = init_yolo_train_state(model, jax.random.key(0), img_size, bs)
+
+    start_epoch = 0
+    if resume:
+        payload, loop = load_train_state(resume, {"state": tuple(state)})
+        state = YoloTrainState(*payload["state"])
+        start_epoch = int(loop.get("epoch", -1)) + 1
+
+    epochs = num_epochs or cfg.get("total_epochs", 300)
+    eval_interval = cfg.get("eval_interval", 1)
+    nb = max(1, (len(train_ds) + bs - 1) // bs)
+    sampler = ShardedSampler(len(train_ds), shuffle=True)
+    aug_rng = np.random.RandomState(0)
+    history: List[Dict] = []
+    best = -1.0
+    for epoch in range(start_epoch, epochs):
+        losses = []
+        for bi, (images, targets, valid, _n) in enumerate(
+                yolo_batches(train_ds, bs, img_size, max_t, fliplr,
+                             aug_rng, sampler.indices(epoch))):
+            ni = bi + nb * epoch
+            lr_b, lr_r, mom = lr_momentum_at(ni, epoch, nb, epochs, opt)
+            state, logs = step(state, images, targets, valid,
+                               lr_b, lr_r, mom)
+            losses.append(float(logs["loss"]))
+        rec = {"epoch": epoch, "loss": float(np.mean(losses))}
+        if val_ds is not None and (epoch + 1) % eval_interval == 0:
+            report = evaluate_detector(
+                model, state.ema_params, state.ema_stats,
+                yolo_batches(val_ds, bs, img_size, max_t))
+            rec["map50"] = report["map50"]
+            rec["map"] = report["map"]
+            if report["map50"] > best:
+                best = report["map50"]
+                save_train_state(os.path.join(work_dir, "best"),
+                                 {"params": state.ema_params,
+                                  "batch_stats": state.ema_stats},
+                                 {"epoch": epoch, "map50": best,
+                                  "model": dict(cfg.get("model", {}))})
+        save_train_state(os.path.join(work_dir, f"epoch_{epoch}"),
+                         {"state": tuple(state)}, {"epoch": epoch})
+        history.append(rec)
+        print(json.dumps(rec))
+    return state, history
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("config")
+    parser.add_argument("--work_dir", default="work_dirs/yolo")
+    parser.add_argument("--resume", nargs="?", const="latest", default=None)
+    parser.add_argument("--total_epochs", type=int, default=None)
+    parser.add_argument("--cfg-options", nargs="*", default=[])
+    args = parser.parse_args(argv)
+    cfg = Config.fromfile(args.config)
+    cfg.merge_from_options(args.cfg_options)
+    os.makedirs(args.work_dir, exist_ok=True)
+    resume = args.resume
+    if resume == "latest":
+        resume = latest_checkpoint(args.work_dir)
+    train_from_config(cfg, args.work_dir, resume, args.total_epochs)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,11 +1,11 @@
 """YOLOv5-style object detector (concept-mask generator).
 
-TPU rebuild of the MCT yolov5 fork's inference path (MCT/yolov5/
-models/yolo.py + models/common.py): CSP backbone (Conv/C3/SPPF), PANet
-neck, 3-scale anchor-based Detect head, followed by host-side NMS.  Only
-what the explainability pipeline needs (detect.py) is built — training a
-detector is out of scope for parity (the reference uses stock pretrained
-weights).
+TPU rebuild of the MCT yolov5 fork's model (MCT/yolov5/models/yolo.py +
+models/common.py): CSP backbone (Conv/C3/SPPF), PANet neck, 3-scale
+anchor-based Detect head, followed by host-side NMS.  The raw per-scale
+maps returned by `YoloV5.__call__` feed both the inference decode below
+and the training criterion (losses/yolo.py + train/yolo_trainer.py +
+cli/yolo_train.py — the reference train.py path).
 
 Width/depth multiples select n/s/m/l variants like yolov5 yamls.
 Activation is SiLU; detection decode follows yolov5's

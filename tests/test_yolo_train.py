@@ -1,0 +1,170 @@
+"""End-to-end YOLOv5 training: schedule/EMA/optimizer-group units plus
+a tiny config-driven run whose loss decreases and whose val mAP is
+computed (the MCT/yolov5/train.py + val.py surface)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cross_modal_video_engine_tpu.config import Config
+from cross_modal_video_engine_tpu.cli.yolo_train import (
+    YoloDetectionDataset, build_yolo_model, train_from_config, yolo_batches)
+from cross_modal_video_engine_tpu.losses.yolo import YoloHyp
+from cross_modal_video_engine_tpu.models.yolo import YoloConfig, YoloV5
+from cross_modal_video_engine_tpu.train.yolo_trainer import (
+    YoloOptHyp, _group_of, init_yolo_train_state, letterbox,
+    letterbox_boxes, lr_momentum_at, make_yolo_train_step,
+    scaled_weight_decay)
+
+TINY = dict(num_classes=2, depth_multiple=0.33, width_multiple=0.125,
+            img_size=64)
+
+
+def _synthetic_dataset(root, n=6, nc=2, img=64, seed=0):
+    """White boxes on dark noise — learnable objectness signal."""
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(root, "images")
+    lbl_dir = os.path.join(root, "labels")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(lbl_dir, exist_ok=True)
+    for i in range(n):
+        arr = rng.randint(0, 40, (img, img, 3)).astype(np.uint8)
+        cx, cy = rng.uniform(0.3, 0.7, 2)
+        w = h = rng.uniform(0.25, 0.45)
+        cls = i % nc
+        x1, y1 = int((cx - w / 2) * img), int((cy - h / 2) * img)
+        x2, y2 = int((cx + w / 2) * img), int((cy + h / 2) * img)
+        val = 220 if cls == 0 else 120
+        arr[y1:y2, x1:x2] = val
+        np.save(os.path.join(img_dir, f"im{i}.npy"), arr)
+        with open(os.path.join(lbl_dir, f"im{i}.txt"), "w") as f:
+            f.write(f"{cls} {cx:.4f} {cy:.4f} {w:.4f} {h:.4f}\n")
+    return img_dir, lbl_dir
+
+
+def test_param_groups():
+    assert _group_of(("stem", "conv", "kernel")) == 0
+    assert _group_of(("stem", "bn", "scale")) == 1
+    assert _group_of(("stem", "bn", "bias")) == 2
+    assert _group_of(("detect_0", "bias")) == 2
+
+
+def test_schedule_matches_reference_interp():
+    opt = YoloOptHyp(lr0=0.01, lrf=0.01, warmup_epochs=3.0)
+    nb, epochs = 100, 10
+    nw = max(round(3.0 * nb), 100)  # = 300
+    # start of warmup: bias lr at warmup_bias_lr, rest at 0, mom at 0.8
+    lr_b, lr_r, mom = lr_momentum_at(0, 0, nb, epochs, opt)
+    assert lr_b == pytest.approx(0.1)
+    assert lr_r == pytest.approx(0.0)
+    assert mom == pytest.approx(0.8)
+    # end of warmup: all at lr0*lf(epoch), momentum at nominal
+    epoch_at_nw = nw // nb
+    lf = (1 - epoch_at_nw / epochs) * (1 - opt.lrf) + opt.lrf
+    lr_b, lr_r, mom = lr_momentum_at(nw, epoch_at_nw, nb, epochs, opt)
+    assert lr_b == pytest.approx(0.01 * lf)
+    assert lr_r == pytest.approx(0.01 * lf)
+    assert mom == pytest.approx(0.937)
+    # past warmup, linear decay to lr0*lrf at the final epoch
+    lr_b, _, _ = lr_momentum_at(nb * epochs, epochs - 1, nb, epochs, opt)
+    assert lr_b == pytest.approx(
+        0.01 * ((1 - (epochs - 1) / epochs) * (1 - 0.01) + 0.01))
+
+
+def test_weight_decay_scaling():
+    opt = YoloOptHyp(weight_decay=0.0005)
+    # batch 64 -> nominal; batch 16 -> accumulate 4 -> unchanged
+    assert scaled_weight_decay(opt, 64) == pytest.approx(0.0005)
+    assert scaled_weight_decay(opt, 16) == pytest.approx(0.0005)
+    # batch 128 -> accumulate 1 -> doubles
+    assert scaled_weight_decay(opt, 128) == pytest.approx(0.001)
+
+
+def test_letterbox_box_geometry():
+    img = np.zeros((32, 64, 3), np.uint8)
+    out, r, pad = letterbox(img, 64)
+    assert out.shape == (64, 64, 3)
+    assert r == pytest.approx(1.0)
+    boxes = np.array([[0, 0.5, 0.5, 0.5, 0.5]], np.float32)
+    mapped = letterbox_boxes(boxes, r, pad, (32, 64), 64)
+    # x centered stays 0.5; y center moves to the padded middle
+    assert mapped[0, 1] == pytest.approx(0.5)
+    assert mapped[0, 2] == pytest.approx(0.5)
+    assert mapped[0, 3] == pytest.approx(0.5)       # w: 32px / 64
+    assert mapped[0, 4] == pytest.approx(0.25)      # h: 16px / 64
+
+
+def test_train_step_decreases_loss_and_updates_ema():
+    model = YoloV5(YoloConfig(**TINY))
+    state = init_yolo_train_state(model, jax.random.key(0), 64, 2)
+    hyp = YoloHyp()
+    opt = YoloOptHyp(lr0=0.01, warmup_epochs=0.0)
+    step = make_yolo_train_step(model, hyp, opt,
+                                scaled_weight_decay(opt, 2))
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    targets = np.zeros((2, 4, 5), np.float32)
+    targets[0, 0] = [0, 0.4, 0.4, 0.3, 0.3]
+    targets[1, 0] = [1, 0.6, 0.6, 0.35, 0.3]
+    valid = np.zeros((2, 4), bool)
+    valid[:, 0] = True
+    targets, valid = jnp.asarray(targets), jnp.asarray(valid)
+
+    losses = []
+    for i in range(12):
+        state, logs = step(state, images, targets, valid, 0.01, 0.01, 0.9)
+        losses.append(float(logs["loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0] * 0.9, losses
+    assert int(state.updates) == 12
+    # EMA trails the live params but has moved off init
+    d0 = jax.tree_util.tree_reduce(
+        lambda acc, x: acc + float(jnp.sum(jnp.abs(x))),
+        jax.tree_util.tree_map(lambda a, b: a - b,
+                               state.ema_params, state.params), 0.0)
+    assert d0 > 0.0
+
+
+def test_cli_e2e_loss_decreases_and_eval_runs(tmp_path):
+    img_dir, lbl_dir = _synthetic_dataset(str(tmp_path))
+    cfg = Config({
+        "model": TINY,
+        "data": {"train": {"img_dir": img_dir, "label_dir": lbl_dir},
+                 "val": {"img_dir": img_dir, "label_dir": lbl_dir},
+                 "batch_size": 3, "max_targets": 4, "fliplr": 0.5},
+        "optimizer": {"lr0": 0.02, "warmup_epochs": 0.0, "cos_lr": True},
+        "loss": {},
+        "eval_interval": 4,
+    })
+    work = str(tmp_path / "work")
+    os.makedirs(work)
+    state, history = train_from_config(cfg, work, num_epochs=4)
+    assert history[-1]["loss"] < history[0]["loss"]
+    assert "map50" in history[-1]
+    assert 0.0 <= history[-1]["map50"] <= 1.0
+    # per-epoch resume checkpoints + best (EMA) checkpoint exist
+    assert os.path.isdir(os.path.join(work, "epoch_3"))
+    # resume restores and continues from the checkpoint
+    state2, h2 = train_from_config(
+        cfg, work, resume=os.path.join(work, "epoch_3"), num_epochs=5)
+    assert h2[0]["epoch"] == 4
+    assert np.isfinite(h2[0]["loss"])
+
+
+def test_dataset_reads_yolov5_layout(tmp_path):
+    img_dir, lbl_dir = _synthetic_dataset(str(tmp_path), n=3)
+    ds = YoloDetectionDataset(img_dir, lbl_dir)
+    assert len(ds) == 3
+    img, boxes = ds[0]
+    assert img.dtype == np.uint8 and img.shape == (64, 64, 3)
+    assert boxes.shape == (1, 5)
+    batch = next(yolo_batches(ds, 2, 64, 4,
+                              rng=np.random.RandomState(0)))
+    images, targets, valid, n = batch
+    assert images.shape == (2, 64, 64, 3)
+    assert float(images.max()) <= 1.0
+    assert targets.shape == (2, 4, 5) and valid.shape == (2, 4)
