@@ -10,7 +10,10 @@ data = dict(
                label_dir='data/coco/labels/train2017'),
     val=dict(img_dir='data/coco/images/val2017',
              label_dir='data/coco/labels/val2017'),
-    batch_size=16, max_targets=128, fliplr=0.5)
+    batch_size=16, max_targets=128)
+aug = dict(hsv_h=0.015, hsv_s=0.7, hsv_v=0.4, degrees=0.0, translate=0.1,
+           scale=0.5, shear=0.0, perspective=0.0, flipud=0.0, fliplr=0.5,
+           mosaic=1.0, mixup=0.0)
 optimizer = dict(lr0=0.01, lrf=0.01, momentum=0.937, weight_decay=0.0005,
                  warmup_epochs=3.0, warmup_momentum=0.8,
                  warmup_bias_lr=0.1, cos_lr=False)

@@ -5,12 +5,11 @@ TPU rebuild of the reference detector's train entry
 a label directory of per-image ``cls cx cy w h`` text rows, normalized
 xywh), letterbox + horizontal-flip augmentation, the 3-group SGD with
 warmup/one-cycle schedule and EMA (train/yolo_trainer.py), the
-ComputeLoss criterion (losses/yolo.py), and per-epoch validation of
-the EMA weights with COCO-protocol mAP (metrics/detection.py — the
-val.py stack).  Mosaic/HSV augmentation is intentionally not ported:
-it changes sample statistics, not framework capability, and the
-reference's own low-augmentation hyp file trains without HSV at
-mosaic-free settings for small datasets.
+ComputeLoss criterion (losses/yolo.py), the full mosaic / mixup /
+random-perspective / HSV / flip sample pipeline (data/yolo_aug.py),
+and per-epoch validation of the EMA weights with COCO-protocol mAP
+(metrics/detection.py — the val.py stack).  `load_from` starts from
+imported yolov5 weights (train.py `--weights` semantics).
 
 Config shape:
 
@@ -19,12 +18,16 @@ Config shape:
     data = dict(train=dict(img_dir='train/images',
                            label_dir='train/labels'),
                 val=dict(img_dir='val/images', label_dir='val/labels'),
-                batch_size=16, max_targets=64, fliplr=0.5)
+                batch_size=16, max_targets=64)
+    aug = dict(mosaic=1.0, mixup=0.0, fliplr=0.5, hsv_h=0.015,
+               hsv_s=0.7, hsv_v=0.4, degrees=0.0, translate=0.1,
+               scale=0.5, shear=0.0)          # hyp.scratch-low.yaml
     optimizer = dict(lr0=0.01, lrf=0.01, momentum=0.937,
                      weight_decay=0.0005, warmup_epochs=3.0,
                      warmup_momentum=0.8, warmup_bias_lr=0.1,
                      cos_lr=False)
     loss = dict(box=0.05, cls=0.5, obj=1.0, anchor_t=4.0)
+    load_from = None                          # converted yolov5 ckpt dir
     total_epochs = 300
 """
 
@@ -42,6 +45,7 @@ import numpy as np
 
 from ..config import Config
 from ..data.datasets import ShardedSampler
+from ..data.yolo_aug import YoloAugHyp, augment_sample
 from ..losses.yolo import YoloHyp
 from ..metrics.detection import detection_map
 from ..models.yolo import YoloConfig, YoloV5, decode_predictions, postprocess
@@ -87,10 +91,15 @@ class YoloDetectionDataset:
 
 
 def yolo_batches(ds: YoloDetectionDataset, batch_size: int, img_size: int,
-                 max_targets: int, fliplr: float = 0.0,
+                 max_targets: int, aug: Optional[YoloAugHyp] = None,
                  rng: Optional[np.random.RandomState] = None,
                  order=None) -> Iterator:
-    """(images f32 0-1, targets (B,T,5), valid (B,T), n_real)."""
+    """(images f32 0-1, targets (B,T,5), valid (B,T), n_real).
+
+    With `aug` set, each sample runs the full reference train pipeline
+    (mosaic / mixup / random_perspective / HSV / flips —
+    data/yolo_aug.py augment_sample); without it, the val-style
+    letterbox-only path."""
     order = list(order if order is not None else range(len(ds)))
     for i in range(0, len(order), batch_size):
         sel = order[i:i + batch_size]
@@ -99,14 +108,14 @@ def yolo_batches(ds: YoloDetectionDataset, batch_size: int, img_size: int,
             sel.append(sel[0])
         imgs, tgts, valids = [], [], []
         for j in sel:
-            img, boxes = ds[j]
-            hw = img.shape[:2]
-            img, r, pad = letterbox(img, img_size)
-            boxes = letterbox_boxes(boxes, r, pad, hw, img_size)
-            if rng is not None and fliplr > 0 and rng.rand() < fliplr:
-                img = img[:, ::-1]
-                if len(boxes):
-                    boxes[:, 1] = 1.0 - boxes[:, 1]
+            if aug is not None:
+                img, boxes = augment_sample(ds.__getitem__, j, len(ds),
+                                            img_size, aug, rng)
+            else:
+                img, boxes = ds[j]
+                hw = img.shape[:2]
+                img, r, pad = letterbox(img, img_size)
+                boxes = letterbox_boxes(boxes, r, pad, hw, img_size)
             t = np.zeros((max_targets, 5), np.float32)
             v = np.zeros((max_targets,), bool)
             k = min(len(boxes), max_targets)
@@ -167,7 +176,7 @@ def train_from_config(cfg: Config, work_dir: str,
     img_size = model.cfg.img_size
     bs = cfg.get("data.batch_size", 16)
     max_t = cfg.get("data.max_targets", 64)
-    fliplr = cfg.get("data.fliplr", 0.5)
+    aug = YoloAugHyp(**cfg.get("aug", {}))
 
     train_ds = YoloDetectionDataset(cfg["data.train.img_dir"],
                                     cfg["data.train.label_dir"])
@@ -181,6 +190,19 @@ def train_from_config(cfg: Config, work_dir: str,
     wd = scaled_weight_decay(opt, bs)
     step = make_yolo_train_step(model, hyp, opt, wd)
     state = init_yolo_train_state(model, jax.random.key(0), img_size, bs)
+
+    load_from = cfg.get("load_from")
+    if load_from and not resume:
+        # start from imported yolov5 weights (train.py `--weights`
+        # semantics; cli/convert_checkpoint --type yolov5 output)
+        from ..train.checkpoint import load_checkpoint
+        variables, _, _ = load_checkpoint(
+            load_from, {"params": state.params,
+                        "batch_stats": state.batch_stats})
+        state = state._replace(params=variables["params"],
+                               batch_stats=variables["batch_stats"],
+                               ema_params=variables["params"],
+                               ema_stats=variables["batch_stats"])
 
     start_epoch = 0
     if resume:
@@ -198,7 +220,7 @@ def train_from_config(cfg: Config, work_dir: str,
     for epoch in range(start_epoch, epochs):
         losses = []
         for bi, (images, targets, valid, _n) in enumerate(
-                yolo_batches(train_ds, bs, img_size, max_t, fliplr,
+                yolo_batches(train_ds, bs, img_size, max_t, aug,
                              aug_rng, sampler.indices(epoch))):
             ni = bi + nb * epoch
             lr_b, lr_r, mom = lr_momentum_at(ni, epoch, nb, epochs, opt)

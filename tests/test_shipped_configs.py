@@ -26,7 +26,10 @@ def test_recognition_config_builds(path):
     cfg = Config.fromfile(path)
     # _base_ inheritance delivered runtime + data defaults
     assert cfg.get("eval_interval") == 1
-    assert cfg["model.num_classes"] == 400
+    # k400 recipes carry 400 classes; sthv1/v2 recipes 174 (the
+    # reference's dataset-matched head sizes)
+    expect = 174 if "sth" in os.path.basename(path) else 400
+    assert cfg["model.num_classes"] == expect
     pipe = build_pipeline(cfg["data.pipeline"])
     assert pipe.ops
     model = build_recognition_model(cfg)     # constructs the flax module
