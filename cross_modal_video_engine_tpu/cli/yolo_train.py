@@ -73,6 +73,16 @@ class YoloDetectionDataset:
     def __len__(self) -> int:
         return len(self.images)
 
+    def labels(self, i: int) -> np.ndarray:
+        stem = os.path.splitext(os.path.basename(self.images[i]))[0]
+        lpath = os.path.join(self.label_dir, stem + ".txt")
+        boxes = np.zeros((0, 5), np.float32)
+        if os.path.exists(lpath):
+            rows = [ln.split() for ln in open(lpath) if ln.strip()]
+            if rows:
+                boxes = np.asarray(rows, np.float32)
+        return boxes
+
     def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
         path = self.images[i]
         if path.endswith(".npy"):
@@ -80,14 +90,20 @@ class YoloDetectionDataset:
         else:
             import cv2
             img = cv2.imread(path)[:, :, ::-1]          # BGR -> RGB
-        stem = os.path.splitext(os.path.basename(path))[0]
-        lpath = os.path.join(self.label_dir, stem + ".txt")
-        boxes = np.zeros((0, 5), np.float32)
-        if os.path.exists(lpath):
-            rows = [ln.split() for ln in open(lpath) if ln.strip()]
-            if rows:
-                boxes = np.asarray(rows, np.float32)
-        return np.ascontiguousarray(img, np.uint8), boxes
+        return np.ascontiguousarray(img, np.uint8), self.labels(i)
+
+    def shapes_and_labels(self) -> Tuple[np.ndarray, List[np.ndarray]]:
+        """Per-image (h, w) + label rows without decoding pixels
+        (the reference caches these at dataset init for AutoAnchor)."""
+        shapes, labels = [], []
+        for i, path in enumerate(self.images):
+            if path.endswith(".npy"):
+                shapes.append(np.load(path, mmap_mode="r").shape[:2])
+            else:
+                import cv2
+                shapes.append(cv2.imread(path).shape[:2])
+            labels.append(self.labels(i))
+        return np.asarray(shapes, np.float64), labels
 
 
 def yolo_batches(ds: YoloDetectionDataset, batch_size: int, img_size: int,
@@ -187,6 +203,22 @@ def train_from_config(cfg: Config, work_dir: str,
 
     hyp = YoloHyp(**cfg.get("loss", {}))
     opt = YoloOptHyp(**cfg.get("optimizer", {}))
+
+    if cfg.get("autoanchor", True) and not resume:
+        # train.py:223-225 AutoAnchor pass (reference default-on)
+        import dataclasses
+        from ..utils.autoanchor import check_anchors
+        shapes, labs = train_ds.shapes_and_labels()
+        new_anchors, bpr, changed = check_anchors(
+            shapes, labs, model.cfg.anchors, thr=hyp.anchor_t,
+            img_size=img_size, gen=cfg.get("autoanchor_gen", 1000))
+        if changed:
+            print(json.dumps({"autoanchor": [list(map(list, l))
+                                             for l in new_anchors],
+                              "bpr": bpr}))
+            model = YoloV5(dataclasses.replace(model.cfg,
+                                               anchors=new_anchors))
+
     wd = scaled_weight_decay(opt, bs)
     step = make_yolo_train_step(model, hyp, opt, wd)
     state = init_yolo_train_state(model, jax.random.key(0), img_size, bs)
@@ -209,6 +241,16 @@ def train_from_config(cfg: Config, work_dir: str,
         payload, loop = load_train_state(resume, {"state": tuple(state)})
         state = YoloTrainState(*payload["state"])
         start_epoch = int(loop.get("epoch", -1)) + 1
+        if loop.get("anchors"):
+            # AutoAnchor result persists across resume (the reference
+            # keeps evolved anchors inside the model checkpoint)
+            import dataclasses
+            anchors = tuple(tuple(tuple(a) for a in layer)
+                            for layer in loop["anchors"])
+            if anchors != model.cfg.anchors:
+                model = YoloV5(dataclasses.replace(model.cfg,
+                                                   anchors=anchors))
+                step = make_yolo_train_step(model, hyp, opt, wd)
 
     epochs = num_epochs or cfg.get("total_epochs", 300)
     eval_interval = cfg.get("eval_interval", 1)
@@ -240,9 +282,14 @@ def train_from_config(cfg: Config, work_dir: str,
                                  {"params": state.ema_params,
                                   "batch_stats": state.ema_stats},
                                  {"epoch": epoch, "map50": best,
-                                  "model": dict(cfg.get("model", {}))})
+                                  "model": dict(cfg.get("model", {})),
+                                  "anchors": [list(map(list, l))
+                                              for l in model.cfg.anchors]})
         save_train_state(os.path.join(work_dir, f"epoch_{epoch}"),
-                         {"state": tuple(state)}, {"epoch": epoch})
+                         {"state": tuple(state)},
+                         {"epoch": epoch,
+                          "anchors": [list(map(list, l))
+                                      for l in model.cfg.anchors]})
         history.append(rec)
         print(json.dumps(rec))
     return state, history
