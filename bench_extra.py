@@ -293,6 +293,64 @@ def bench_train_step_slowfast(batch=32, frames=32, steps=8):
     return vps
 
 
+def bench_train_step_yolov5(batch=16, img=640, max_targets=32, steps=8,
+                            bf16=True, variant=(0.33, 0.50)):
+    """Detection TRAIN throughput: YOLOv5s 640 (the reference's
+    detector, MCT/yolov5/train.py), full fwd+bwd+SGD(groups)+EMA step on
+    one chip via make_yolo_train_step.  bf16 mixed precision is the
+    production setting (A/B vs f32 in docs/PERF.md); vs_baseline is the
+    ~205 img/s implied by the upstream '2 days on 1xV100 for 300 COCO
+    epochs' claim (MCT/yolov5/README.md)."""
+    import jax
+    import jax.numpy as jnp
+    from cross_modal_video_engine_tpu.losses.yolo import YoloHyp
+    from cross_modal_video_engine_tpu.models.yolo import YoloConfig, YoloV5
+    from cross_modal_video_engine_tpu.train.yolo_trainer import (
+        YoloOptHyp, init_yolo_train_state, make_yolo_train_step,
+        scaled_weight_decay)
+    from cross_modal_video_engine_tpu.utils.profiling import device_time
+
+    d, w = variant
+    model = YoloV5(YoloConfig(depth_multiple=d, width_multiple=w,
+                              img_size=img))
+    opt = YoloOptHyp()
+    state = init_yolo_train_state(model, jax.random.key(0), img,
+                                  batch_size=2)
+    step = make_yolo_train_step(model, YoloHyp(), opt,
+                                scaled_weight_decay(opt, batch), bf16=bf16)
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(rng.random((batch, img, img, 3), np.float32))
+    cxy = rng.random((batch, max_targets, 2)) * 0.8 + 0.1
+    wh = rng.random((batch, max_targets, 2)) * 0.2 + 0.02
+    cls = rng.integers(0, 80, (batch, max_targets, 1))
+    targets = jnp.asarray(np.concatenate(
+        [cls, cxy, wh], -1).astype(np.float32))
+    valid = jnp.asarray(np.ones((batch, max_targets), bool))
+    lr = jnp.float32(0.01)
+    mom = jnp.float32(0.937)
+
+    def bench_fn(state, images, targets, valid):
+        # return the WHOLE new state so the optimizer/EMA update is not
+        # dead-code-eliminated (device_time folds every output leaf)
+        new, metrics = step(state, images, targets, valid, lr, lr, mom)
+        return new, metrics["loss"]
+
+    flops = _flops_per_step(
+        jax.jit(lambda s, i, t, v: step(s, i, t, v, lr, lr, mom)),
+        state, images, targets, valid)
+    dt = device_time(bench_fn, state, images, targets, valid, steps=steps,
+                     perturb_argnums=(1,))
+    ips = batch / dt
+    row = {"metric": "train_step_yolov5s_640_%s_b%d"
+                     % ("bf16" if bf16 else "f32", batch),
+           "value": round(ips, 2), "unit": "imgs/sec/chip",
+           "vs_baseline": round(ips / 205.0, 3)}
+    if flops:
+        row["tflops_per_sec"] = round(flops / dt / 1e12, 1)
+    print(json.dumps(row))
+    return ips
+
+
 def main():
     bench_retrieval_p50()
     bench_flash_sweep()
@@ -300,6 +358,7 @@ def main():
     bench_u8_ingest()
     bench_train_step_timesformer()
     bench_train_step_slowfast()
+    bench_train_step_yolov5()
 
 
 if __name__ == "__main__":

@@ -19,5 +19,6 @@ optimizer = dict(lr0=0.01, lrf=0.01, momentum=0.937, weight_decay=0.0005,
                  warmup_bias_lr=0.1, cos_lr=False)
 loss = dict(box=0.05, cls=0.5, obj=1.0, cls_pw=1.0, obj_pw=1.0,
             anchor_t=4.0, label_smoothing=0.0)
+bf16 = True       # mixed-precision step (the reference's amp autocast)
 total_epochs = 300
 eval_interval = 1

@@ -28,6 +28,7 @@ Config shape:
                      cos_lr=False)
     loss = dict(box=0.05, cls=0.5, obj=1.0, anchor_t=4.0)
     load_from = None                          # converted yolov5 ckpt dir
+    bf16 = False                              # amp-style mixed precision
     total_epochs = 300
 """
 
@@ -220,7 +221,8 @@ def train_from_config(cfg: Config, work_dir: str,
                                                anchors=new_anchors))
 
     wd = scaled_weight_decay(opt, bs)
-    step = make_yolo_train_step(model, hyp, opt, wd)
+    bf16 = cfg.get("bf16", False)   # mixed-precision step (amp autocast)
+    step = make_yolo_train_step(model, hyp, opt, wd, bf16=bf16)
     state = init_yolo_train_state(model, jax.random.key(0), img_size, bs)
 
     load_from = cfg.get("load_from")
@@ -250,7 +252,8 @@ def train_from_config(cfg: Config, work_dir: str,
             if anchors != model.cfg.anchors:
                 model = YoloV5(dataclasses.replace(model.cfg,
                                                    anchors=anchors))
-                step = make_yolo_train_step(model, hyp, opt, wd)
+                step = make_yolo_train_step(model, hyp, opt, wd,
+                                            bf16=bf16)
 
     epochs = num_epochs or cfg.get("total_epochs", 300)
     eval_interval = cfg.get("eval_interval", 1)

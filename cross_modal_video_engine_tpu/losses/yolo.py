@@ -210,20 +210,67 @@ def yolo_loss(raw_maps: Sequence[jnp.ndarray], targets: jnp.ndarray,
     (lbox + lobj + lcls) * B and the items are the unscaled-by-B gains,
     matching the reference's return pair.
     """
+    return _yolo_loss_impl(raw_maps, targets, valid, anchors, strides,
+                           hyp, num_classes)
+
+
+def yolo_seg_loss(raw_maps: Sequence[jnp.ndarray], proto: jnp.ndarray,
+                  targets: jnp.ndarray, valid: jnp.ndarray,
+                  gt_masks: jnp.ndarray,
+                  anchors: Sequence[Sequence[Tuple[float, float]]],
+                  strides: Sequence[int] = (8, 16, 32),
+                  hyp: YoloHyp = YoloHyp(), num_classes: int = 80,
+                  nm: int = 32, mask_cap: int = 128
+                  ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Segmentation criterion (utils/segment/loss.py ComputeLoss
+    :45-110, non-overlap mode): the detection losses over maps with
+    5+nc+nm channels per anchor, plus the per-image prototype-mask BCE
+    `single_mask_loss` (:112-116) — pred_mask = coefs @ protos, BCE vs
+    the per-target GT mask, cropped to the (normalized-xywh-scaled)
+    target box, pixel-mean / box-area, averaged over the image's
+    positives and summed over images and layers with gain
+    hyp.box / B (:104-108).
+
+    proto:    (B, Hm, Wm, nm) prototype maps (stride 4).
+    gt_masks: (B, T, Hm, Wm) per-target binary masks at proto
+              resolution (the reference trains with mask_ratio=4,
+              segment/train.py --mask-ratio, and nearest-downsamples
+              inside the loss :88-89 — here the dataset rasterizes at
+              proto resolution directly).
+    mask_cap: static cap on mask-loss candidates per image per layer
+              (XLA shapes must be static where the reference gathers a
+              filtered subset).  Positives beyond the cap fall out of
+              the mask term only; `items['seg_dropped']` counts them —
+              each target contributes at most 3 cells x na anchors, so
+              cap >= 3*na*(real targets per image) loses nothing.
+    """
+    return _yolo_loss_impl(raw_maps, targets, valid, anchors, strides,
+                           hyp, num_classes, proto=proto,
+                           gt_masks=gt_masks, nm=nm, mask_cap=mask_cap)
+
+
+def _yolo_loss_impl(raw_maps, targets, valid, anchors, strides, hyp,
+                    num_classes, proto=None, gt_masks=None, nm=0,
+                    mask_cap=0):
     nc = num_classes
     cp, cn = smooth_bce(hyp.label_smoothing)
-    B = raw_maps[0].shape[0]
+    B, T, _ = targets.shape
     grid_shapes = [(m.shape[1], m.shape[2]) for m in raw_maps]
     tl = build_targets(targets, valid, anchors, strides, grid_shapes,
                        hyp.anchor_t)
+    seg = proto is not None
+    no = 5 + nc + (nm if seg else 0)
 
     lbox = jnp.zeros(())
     lobj = jnp.zeros(())
     lcls = jnp.zeros(())
+    lseg = jnp.zeros(())
+    dropped = jnp.zeros((), jnp.int32)
     for i, (pi, t) in enumerate(zip(raw_maps, tl)):
         Bi, H, W, _ = pi.shape
-        pi = pi.reshape(Bi, H, W, -1, 5 + nc)                 # (B,H,W,na,no)
-        pred = pi[t.b, t.gj, t.gi, t.a]                       # (K, 5+nc)
+        pi = pi.reshape(Bi, H, W, -1, no)                     # (B,H,W,na,no)
+        na = pi.shape[3]
+        pred = pi[t.b, t.gj, t.gi, t.a]                       # (K, no)
         m = t.mask.astype(pred.dtype)
         n = jnp.maximum(jnp.sum(m), 1.0)
 
@@ -246,11 +293,71 @@ def yolo_loss(raw_maps: Sequence[jnp.ndarray], targets: jnp.ndarray,
         if nc > 1:
             tc = jnp.full((t.tcls.shape[0], nc), cn, pred.dtype)
             tc = tc.at[jnp.arange(t.tcls.shape[0]), t.tcls].set(cp)
-            cls_bce = _bce_logits(pred[:, 5:], tc, hyp.cls_pw)
+            cls_bce = _bce_logits(pred[:, 5:5 + nc], tc, hyp.cls_pw)
             lcls = lcls + jnp.sum(cls_bce * m[:, None]) / (n * nc)
+
+        if seg:
+            li, di = _layer_mask_loss(pred[:, 5 + nc:], t.mask, targets,
+                                      proto, gt_masks, na, B, T, mask_cap)
+            lseg = lseg + li
+            dropped = dropped + di
 
     lbox = lbox * hyp.box
     lobj = lobj * hyp.obj
     lcls = lcls * hyp.cls
-    total = (lbox + lobj + lcls) * B
-    return total, {"box": lbox, "obj": lobj, "cls": lcls}
+    items = {"box": lbox, "obj": lobj, "cls": lcls}
+    if seg:
+        items["seg"] = lseg * hyp.box / B      # :104-108 lseg gain
+        items["seg_dropped"] = dropped
+    total = (lbox + lobj + lcls + items.get("seg", 0.0)) * B
+    return total, items
+
+
+def _layer_mask_loss(coefs, cand_mask, targets, proto, gt_masks, na, B, T,
+                     mask_cap):
+    """single_mask_loss over one layer's dense candidate set.
+
+    The dense candidates are laid out (5 offsets, na, B*T) flattened;
+    per-image selection reshapes to (B, C=5*na*T), picks up to mask_cap
+    valid candidates (valid-first stable sort — deterministic), and
+    vmaps the prototype matmul + cropped BCE over the batch.
+    """
+    Hm, Wm = proto.shape[1], proto.shape[2]
+    C = 5 * na * T
+
+    def per_img(x):                           # (K=5*na*B*T, ...) -> (B, C, ...)
+        x = x.reshape((5, na, B, T) + x.shape[1:])
+        return jnp.moveaxis(x, 2, 0).reshape((B, C) + x.shape[4:])
+
+    vm = per_img(cand_mask)                                    # (B, C)
+    order = jnp.argsort(~vm, axis=1, stable=True)[:, :mask_cap]  # (B, Km)
+    vsel = jnp.take_along_axis(vm, order, axis=1)              # (B, Km)
+    csel = jnp.take_along_axis(per_img(coefs), order[..., None], axis=1)
+    ti = order % T                                             # target slot
+    barng = jnp.arange(B)[:, None]
+    xywhn = targets[barng, ti, 1:5]                            # (B, Km, 4)
+    gt = gt_masks[barng, ti]                                   # (B, Km, Hm, Wm)
+
+    # pred_mask = coefs @ protos  (:113)
+    pm = jnp.einsum("bkm,bhwm->bkhw", csel, proto)
+    bce = _bce_logits(pm, gt.astype(pm.dtype), 1.0)
+
+    # crop to the target box in mask pixels (general.py crop_mask :7-22)
+    scale = jnp.asarray([Wm, Hm, Wm, Hm], jnp.float32)
+    mx = xywhn * scale
+    x1, y1 = mx[..., 0] - mx[..., 2] / 2, mx[..., 1] - mx[..., 3] / 2
+    x2, y2 = mx[..., 0] + mx[..., 2] / 2, mx[..., 1] + mx[..., 3] / 2
+    r = jnp.arange(Wm, dtype=jnp.float32)[None, None, None, :]
+    c = jnp.arange(Hm, dtype=jnp.float32)[None, None, :, None]
+    inbox = ((r >= x1[..., None, None]) & (r < x2[..., None, None])
+             & (c >= y1[..., None, None]) & (c < y2[..., None, None]))
+    area = jnp.maximum(xywhn[..., 2] * xywhn[..., 3], 1e-9)    # marea :91
+    per_cand = jnp.mean(bce * inbox, axis=(2, 3)) / area       # (B, Km)
+
+    vselF = vsel.astype(per_cand.dtype)
+    n_b = jnp.sum(vselF, axis=1)                               # (B,)
+    per_image = jnp.sum(per_cand * vselF, axis=1) / jnp.maximum(n_b, 1.0)
+    li = jnp.sum(per_image)
+    dropped = jnp.sum(jnp.maximum(
+        jnp.sum(vm, axis=1) - jnp.asarray(mask_cap), 0)).astype(jnp.int32)
+    return li, dropped

@@ -37,6 +37,8 @@ class YoloConfig:
     width_multiple: float = 0.25     # yolov5n
     img_size: int = 640
     anchors: Tuple = DEFAULT_ANCHORS
+    masks: int = 0                   # nm > 0 = Segment head (yolov5-seg)
+    protos: int = 256                # npr (width-scaled, models/yolo.py:94)
 
     def depth(self, n: int) -> int:
         return max(1, round(n * self.depth_multiple))
@@ -107,13 +109,32 @@ class SPPF(nn.Module):
             jnp.concatenate([x, y1, y2, y3], -1), train=train)
 
 
+class Proto(nn.Module):
+    """Mask prototype head (models/common.py Proto :834-845): two 3x3
+    convs around a 2x nearest upsample, then 1x1 to nm channels — maps
+    the P3 neck feature (stride 8) to stride-4 prototype maps."""
+    npr: int
+    nm: int
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = ConvBnSiLU(self.npr, 3, name="cv1")(x, train=train)
+        x = jax.image.resize(x, (x.shape[0], x.shape[1] * 2,
+                                 x.shape[2] * 2, x.shape[3]), "nearest")
+        x = ConvBnSiLU(self.npr, 3, name="cv2")(x, train=train)
+        return ConvBnSiLU(self.nm, 1, name="cv3")(x, train=train)
+
+
 class YoloV5(nn.Module):
     cfg: YoloConfig
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, *, train: bool = False):
         """images: (B, H, W, 3) float in [0,1].  Returns raw per-scale maps
-        [(B, Hi, Wi, 3*(5+nc))] at strides 8/16/32."""
+        [(B, Hi, Wi, 3*(5+nc))] at strides 8/16/32; with cfg.masks > 0
+        (the Segment head, models/yolo.py:92-107) the per-anchor channel
+        count becomes 5+nc+nm and a second output — stride-4 prototype
+        maps (B, H/4, W/4, nm) — is appended."""
         cfg = self.cfg
         w, d = cfg.width, cfg.depth
         x = ConvBnSiLU(w(64), 6, 2, p=2, name="stem")(images, train=train)
@@ -147,10 +168,14 @@ class YoloV5(nn.Module):
         n5b = C3(w(1024), d(3), False, name="n5b")(
             jnp.concatenate([dpath, u5], -1), train=train)
 
-        no = 3 * (5 + cfg.num_classes)
+        no = 3 * (5 + cfg.num_classes + cfg.masks)
         outs = []
         for i, feat in enumerate((n3, n4b, n5b)):
             outs.append(nn.Conv(no, (1, 1), name=f"detect_{i}")(feat))
+        if cfg.masks > 0:
+            proto = Proto(w(cfg.protos), cfg.masks,
+                          name="proto")(n3, train=train)
+            return outs, proto
         return outs
 
 

@@ -117,20 +117,32 @@ def init_yolo_train_state(model: YoloV5, rng, img_size: int,
 
 
 def make_yolo_train_step(model: YoloV5, hyp: YoloHyp, opt: YoloOptHyp,
-                         weight_decay: float):
+                         weight_decay: float, bf16: bool = False):
     """Returns jitted step(state, images, targets, valid,
     lr_bias, lr_rest, momentum) -> (state, metrics).
 
     images: (B, H, W, 3) float in [0, 1] (train.py:286 divides u8 by
     255 before the forward; callers feeding uint8 should cast first).
+
+    bf16=True runs the backbone fwd+bwd in bfloat16 (params cast at the
+    loss boundary, master weights / velocity / EMA stay f32, the loss
+    itself computed on f32-cast detector maps) — the same mixed-precision
+    recipe as make_cls_train_step_stats(bf16=True), replacing the
+    reference's torch.cuda.amp autocast (train.py:352).
     """
     cfg = model.cfg
     loss_hyp = scale_hyp(hyp, nl=3, nc=cfg.num_classes, imgsz=cfg.img_size)
 
     def loss_fn(params, stats, images, targets, valid):
+        if bf16:
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, params)
+            images = images.astype(jnp.bfloat16)
         raw, mut = model.apply(
             {"params": params, "batch_stats": stats}, images, train=True,
             mutable=["batch_stats"])
+        raw = [m.astype(jnp.float32) for m in raw]
         total, items = yolo_loss(raw, targets, valid, cfg.anchors,
                                  hyp=loss_hyp, num_classes=cfg.num_classes)
         return total, (items, mut["batch_stats"])
@@ -141,6 +153,9 @@ def make_yolo_train_step(model: YoloV5, hyp: YoloHyp, opt: YoloOptHyp,
         (total, (items, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats,
                                    images, targets, valid)
+        if bf16:
+            grads = jax.tree_util.tree_map(
+                lambda g: g.astype(jnp.float32), grads)
         gtree = _path_tree(state.params)
 
         def upd(p, g, v, grp):

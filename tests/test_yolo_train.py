@@ -129,6 +129,35 @@ def test_train_step_decreases_loss_and_updates_ema():
     assert d0 > 0.0
 
 
+def test_train_step_bf16_mixed_precision():
+    """bf16=True: fwd+bwd in bfloat16, master weights stay f32, loss
+    still decreases (the production setting benched in bench_extra)."""
+    model = YoloV5(YoloConfig(**TINY))
+    state = init_yolo_train_state(model, jax.random.key(0), 64, 2)
+    opt = YoloOptHyp(lr0=0.01, warmup_epochs=0.0)
+    step = make_yolo_train_step(model, YoloHyp(), opt,
+                                scaled_weight_decay(opt, 2), bf16=True)
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    targets = np.zeros((2, 4, 5), np.float32)
+    targets[0, 0] = [0, 0.4, 0.4, 0.3, 0.3]
+    targets[1, 0] = [1, 0.6, 0.6, 0.35, 0.3]
+    valid = np.zeros((2, 4), bool)
+    valid[:, 0] = True
+    targets, valid = jnp.asarray(targets), jnp.asarray(valid)
+
+    losses = []
+    for _ in range(12):
+        state, logs = step(state, images, targets, valid, 0.01, 0.01, 0.9)
+        losses.append(float(logs["loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0] * 0.95, losses
+    # master weights, velocity and EMA remain full precision
+    for leaf in jax.tree_util.tree_leaves(
+            (state.params, state.vel, state.ema_params)):
+        assert leaf.dtype == jnp.float32
+
+
 def test_cli_e2e_loss_decreases_and_eval_runs(tmp_path):
     img_dir, lbl_dir = _synthetic_dataset(str(tmp_path))
     cfg = Config({
