@@ -181,25 +181,60 @@ class YoloV5(nn.Module):
 
 def decode_predictions(raw_maps: Sequence[jnp.ndarray], cfg: YoloConfig
                        ) -> jnp.ndarray:
-    """yolov5 head decode -> (B, N, 5+nc) with xywh in input pixels."""
+    """yolov5 head decode -> (B, N, 5+nc[+nm]) with xywh in input pixels.
+
+    With cfg.masks > 0 the decode follows the Segment branch
+    (models/yolo.py:67-71): sigmoid on xy/wh/conf only, mask
+    coefficients pass through raw."""
     strides = (8, 16, 32)
     outs = []
-    nc = cfg.num_classes
+    nc, nm = cfg.num_classes, cfg.masks
     for raw, stride, anchors in zip(raw_maps, strides, cfg.anchors):
         B, H, W, _ = raw.shape
-        x = raw.reshape(B, H, W, 3, 5 + nc)
-        x = jax.nn.sigmoid(x)
+        x = raw.reshape(B, H, W, 3, 5 + nc + nm)
+        sig = jax.nn.sigmoid(x[..., :5 + nc])
         gy = jnp.arange(H, dtype=jnp.float32)[:, None]
         gx = jnp.arange(W, dtype=jnp.float32)[None, :]
         grid = jnp.stack([jnp.broadcast_to(gx, (H, W)),
                           jnp.broadcast_to(gy, (H, W))], -1)  # (H, W, 2) xy
         anch = jnp.asarray(anchors, jnp.float32)               # (3, 2)
-        xy = (x[..., :2] * 2.0 - 0.5 + grid[:, :, None, :]) * stride
-        wh = (x[..., 2:4] * 2.0) ** 2 * anch[None, None, :, :]
-        rest = x[..., 4:]
-        out = jnp.concatenate([xy, wh, rest], -1)
-        outs.append(out.reshape(B, H * W * 3, 5 + nc))
+        xy = (sig[..., :2] * 2.0 - 0.5 + grid[:, :, None, :]) * stride
+        wh = (sig[..., 2:4] * 2.0) ** 2 * anch[None, None, :, :]
+        parts = [xy, wh, sig[..., 4:]]
+        if nm:
+            parts.append(x[..., 5 + nc:])
+        out = jnp.concatenate(parts, -1)
+        outs.append(out.reshape(B, H * W * 3, 5 + nc + nm))
     return jnp.concatenate(outs, axis=1)
+
+
+def process_mask(proto: np.ndarray, coefs: np.ndarray, boxes_xyxy: np.ndarray,
+                 img_hw: Tuple[int, int], upsample: bool = True) -> np.ndarray:
+    """Instance masks from prototype maps
+    (utils/segment/general.py process_mask :44-67): per-instance
+    mask = sigmoid(coefs @ proto), cropped to the box at prototype
+    resolution, optionally bilinear-upsampled (align_corners=False ==
+    half-pixel centers, jax.image.resize's convention) to the input
+    image and thresholded at 0.5.
+
+    proto: (Hm, Wm, nm) one image's prototypes; coefs: (n, nm);
+    boxes_xyxy: (n, 4) in input pixels.  Returns (n, H, W) bool.
+    """
+    Hm, Wm, nm = proto.shape
+    ih, iw = img_hw
+    p = jnp.asarray(proto, jnp.float32).reshape(Hm * Wm, nm)
+    masks = jax.nn.sigmoid(
+        jnp.asarray(coefs, jnp.float32) @ p.T).reshape(-1, Hm, Wm)
+    down = np.asarray(boxes_xyxy, np.float64) \
+        * np.array([Wm / iw, Hm / ih, Wm / iw, Hm / ih])
+    r = jnp.arange(Wm, dtype=jnp.float32)[None, None, :]
+    c = jnp.arange(Hm, dtype=jnp.float32)[None, :, None]
+    x1, y1, x2, y2 = (jnp.asarray(down[:, i], jnp.float32)[:, None, None]
+                      for i in range(4))
+    masks = masks * ((r >= x1) & (r < x2) & (c >= y1) & (c < y2))
+    if upsample and (Hm, Wm) != (ih, iw):
+        masks = jax.image.resize(masks, (masks.shape[0], ih, iw), "bilinear")
+    return np.asarray(masks > 0.5)
 
 
 def nms(boxes_xywh: np.ndarray, scores: np.ndarray, classes: np.ndarray,
@@ -248,4 +283,38 @@ def postprocess(preds: np.ndarray, conf_thres: float = 0.25,
                          b[:, 0] + b[:, 2] / 2, b[:, 1] + b[:, 3] / 2], 1)
         out.append(np.concatenate(
             [xyxy, score[keep, None], cls[keep, None].astype(np.float64)], 1))
+    return out
+
+
+def postprocess_seg(preds: np.ndarray, protos: np.ndarray,
+                    img_hw: Tuple[int, int], conf_thres: float = 0.25,
+                    iou_thres: float = 0.45, max_det: int = 300
+                    ) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Segmentation NMS + mask assembly (segment/predict.py:100-118:
+    non_max_suppression(nm=32) then process_mask).
+
+    preds: (B, N, 5+nc+nm) from `decode_predictions` on a masks>0
+    model; protos: (B, Hm, Wm, nm).  Returns per image
+    (det (n, 6) [x1,y1,x2,y2,conf,cls], masks (n, H, W) bool).
+    """
+    nm = protos.shape[-1]
+    out = []
+    for p, proto in zip(np.asarray(preds), protos):
+        box, obj, clsp, coefs = np.split(p, [4, 5, p.shape[1] - nm], axis=1)
+        conf = obj * clsp
+        cls = conf.argmax(1)
+        score = conf[np.arange(len(conf)), cls]
+        m = score > conf_thres
+        box, cls, score, coefs = box[m], cls[m], score[m], coefs[m]
+        keep = nms(box, score, cls, iou_thres, max_det)
+        b = box[keep]
+        xyxy = np.stack([b[:, 0] - b[:, 2] / 2, b[:, 1] - b[:, 3] / 2,
+                         b[:, 0] + b[:, 2] / 2, b[:, 1] + b[:, 3] / 2], 1)
+        det = np.concatenate(
+            [xyxy, score[keep, None], cls[keep, None].astype(np.float64)], 1)
+        if len(keep):
+            masks = process_mask(proto, coefs[keep], xyxy, img_hw)
+        else:
+            masks = np.zeros((0,) + tuple(img_hw), bool)
+        out.append((det, masks))
     return out

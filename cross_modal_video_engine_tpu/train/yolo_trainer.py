@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..losses.yolo import YoloHyp, scale_hyp, yolo_loss
+from ..losses.yolo import YoloHyp, scale_hyp, yolo_loss, yolo_seg_loss
 from ..models.yolo import YoloConfig, YoloV5
 
 
@@ -117,7 +117,8 @@ def init_yolo_train_state(model: YoloV5, rng, img_size: int,
 
 
 def make_yolo_train_step(model: YoloV5, hyp: YoloHyp, opt: YoloOptHyp,
-                         weight_decay: float, bf16: bool = False):
+                         weight_decay: float, bf16: bool = False,
+                         mask_cap: int = 128):
     """Returns jitted step(state, images, targets, valid,
     lr_bias, lr_rest, momentum) -> (state, metrics).
 
@@ -129,30 +130,46 @@ def make_yolo_train_step(model: YoloV5, hyp: YoloHyp, opt: YoloOptHyp,
     itself computed on f32-cast detector maps) — the same mixed-precision
     recipe as make_cls_train_step_stats(bf16=True), replacing the
     reference's torch.cuda.amp autocast (train.py:352).
+
+    With model.cfg.masks > 0 (the Segment variant, segment/train.py)
+    the step gains a gt_masks argument — (B, T, Hm, Wm) per-target
+    binary masks at prototype (stride-4) resolution — placed after
+    `valid`, and the criterion becomes `yolo_seg_loss` with the given
+    `mask_cap`.
     """
     cfg = model.cfg
+    seg = cfg.masks > 0
     loss_hyp = scale_hyp(hyp, nl=3, nc=cfg.num_classes, imgsz=cfg.img_size)
 
-    def loss_fn(params, stats, images, targets, valid):
+    def loss_fn(params, stats, images, targets, valid, gt_masks):
         if bf16:
             params = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16)
                 if x.dtype == jnp.float32 else x, params)
             images = images.astype(jnp.bfloat16)
-        raw, mut = model.apply(
+        out, mut = model.apply(
             {"params": params, "batch_stats": stats}, images, train=True,
             mutable=["batch_stats"])
-        raw = [m.astype(jnp.float32) for m in raw]
-        total, items = yolo_loss(raw, targets, valid, cfg.anchors,
-                                 hyp=loss_hyp, num_classes=cfg.num_classes)
+        if seg:
+            raw, proto = out
+            raw = [m.astype(jnp.float32) for m in raw]
+            total, items = yolo_seg_loss(
+                raw, proto.astype(jnp.float32), targets, valid, gt_masks,
+                cfg.anchors, hyp=loss_hyp, num_classes=cfg.num_classes,
+                nm=cfg.masks, mask_cap=mask_cap)
+        else:
+            raw = [m.astype(jnp.float32) for m in out]
+            total, items = yolo_loss(raw, targets, valid, cfg.anchors,
+                                     hyp=loss_hyp,
+                                     num_classes=cfg.num_classes)
         return total, (items, mut["batch_stats"])
 
     @jax.jit
     def step(state: YoloTrainState, images, targets, valid,
-             lr_bias, lr_rest, momentum):
+             lr_bias, lr_rest, momentum, gt_masks=None):
         (total, (items, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats,
-                                   images, targets, valid)
+                                   images, targets, valid, gt_masks)
         if bf16:
             grads = jax.tree_util.tree_map(
                 lambda g: g.astype(jnp.float32), grads)

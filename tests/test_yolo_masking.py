@@ -119,3 +119,58 @@ def test_full_explain_pipeline():
     assert "dog" in out["video_ctvs"]
     assert out["video_ctvs"]["dog"].shape == (D,)
     assert out["video_ctv_top"][0][0] == "dog"
+
+
+def test_process_mask_matches_torch_replica():
+    """process_mask vs a torch replica of segment/general.py
+    process_mask(upsample=True) :44-67."""
+    import torch
+    import torch.nn.functional as F
+    from cross_modal_video_engine_tpu.models.yolo import process_mask
+
+    rng = np.random.RandomState(0)
+    Hm = Wm = 8
+    nm, n, ih, iw = 6, 3, 32, 32
+    proto = rng.randn(Hm, Wm, nm).astype(np.float32)
+    coefs = rng.randn(n, nm).astype(np.float32)
+    boxes = np.array([[2.0, 4.0, 20.0, 28.0],
+                      [8.0, 8.0, 30.0, 24.0],
+                      [0.0, 0.0, 32.0, 32.0]], np.float32)
+
+    got = process_mask(proto, coefs, boxes, (ih, iw), upsample=True)
+
+    pt = torch.tensor(proto).permute(2, 0, 1)          # (nm, Hm, Wm)
+    masks = (torch.tensor(coefs) @ pt.reshape(nm, -1)).sigmoid() \
+        .view(-1, Hm, Wm)
+    down = torch.tensor(boxes.copy())
+    down[:, [0, 2]] *= Wm / iw
+    down[:, [1, 3]] *= Hm / ih
+    x1, y1, x2, y2 = torch.chunk(down[:, :, None], 4, 1)
+    r = torch.arange(Wm, dtype=x1.dtype)[None, None, :]
+    c = torch.arange(Hm, dtype=x1.dtype)[None, :, None]
+    masks = masks * ((r >= x1) * (r < x2) * (c >= y1) * (c < y2))
+    masks = F.interpolate(masks[None], (ih, iw), mode="bilinear",
+                          align_corners=False)[0]
+    want = (masks > 0.5).numpy()
+    assert got.shape == want.shape == (n, ih, iw)
+    # bilinear kernels differ only at exact-0.5 ties; demand near-exact
+    assert (got == want).mean() > 0.999
+
+
+def test_postprocess_seg_shapes():
+    """Segment decode + NMS + mask assembly end-to-end on random maps."""
+    from cross_modal_video_engine_tpu.models.yolo import (
+        YoloConfig, YoloV5, decode_predictions, postprocess_seg)
+    cfg = YoloConfig(num_classes=3, depth_multiple=0.33,
+                     width_multiple=0.125, img_size=64, masks=4, protos=32)
+    model = YoloV5(cfg)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    (maps, proto) = model.apply(variables, x)
+    preds = decode_predictions(maps, cfg)
+    assert preds.shape[-1] == 5 + 3 + 4
+    outs = postprocess_seg(np.asarray(preds), np.asarray(proto), (64, 64),
+                           conf_thres=0.0, max_det=10)
+    det, masks = outs[0]
+    assert det.shape[1] == 6 and masks.shape == (len(det), 64, 64)
+    assert masks.dtype == bool

@@ -202,3 +202,36 @@ def test_dataset_reads_yolov5_layout(tmp_path):
     assert images.shape == (2, 64, 64, 3)
     assert float(images.max()) <= 1.0
     assert targets.shape == (2, 4, 5) and valid.shape == (2, 4)
+
+
+def test_seg_train_step_decreases_loss():
+    """Segment variant (cfg.masks>0): step takes gt_masks, the seg item
+    is live, loss decreases (segment/train.py surface)."""
+    model = YoloV5(YoloConfig(masks=4, protos=32, **TINY))
+    state = init_yolo_train_state(model, jax.random.key(0), 64, 2)
+    opt = YoloOptHyp(lr0=0.01, warmup_epochs=0.0)
+    step = make_yolo_train_step(model, YoloHyp(), opt,
+                                scaled_weight_decay(opt, 2), mask_cap=32)
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+    targets = np.zeros((2, 4, 5), np.float32)
+    targets[0, 0] = [0, 0.4, 0.4, 0.3, 0.3]
+    targets[1, 0] = [1, 0.6, 0.6, 0.35, 0.3]
+    valid = np.zeros((2, 4), bool)
+    valid[:, 0] = True
+    gt_masks = np.zeros((2, 4, 16, 16), np.float32)
+    gt_masks[0, 0, 4:10, 4:10] = 1.0
+    gt_masks[1, 0, 8:14, 8:14] = 1.0
+    targets, valid = jnp.asarray(targets), jnp.asarray(valid)
+    gt_masks = jnp.asarray(gt_masks)
+
+    losses, segs = [], []
+    for _ in range(12):
+        state, logs = step(state, images, targets, valid, 0.01, 0.01, 0.9,
+                           gt_masks=gt_masks)
+        losses.append(float(logs["loss"]))
+        segs.append(float(logs["seg"]))
+        assert np.isfinite(losses[-1])
+    assert segs[0] > 0.0
+    assert losses[-1] < losses[0] * 0.95, losses
+    assert int(logs["seg_dropped"]) == 0
