@@ -37,21 +37,38 @@ def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return inter / np.maximum(union, 1e-7)
 
 
+def mask_iou(a: np.ndarray, b: np.ndarray, eps: float = 1e-7) -> np.ndarray:
+    """Pairwise IoU of flattened binary masks: (N, HW) x (M, HW) -> (N, M)
+    (utils/segment/general.py mask_iou :121-131)."""
+    a = np.asarray(a, np.float64).reshape(len(a), -1)
+    b = np.asarray(b, np.float64).reshape(len(b), -1)
+    inter = a @ b.T
+    union = a.sum(1)[:, None] + b.sum(1)[None] - inter
+    return inter / (union + eps)
+
+
 def match_predictions(pred_boxes: np.ndarray, pred_classes: np.ndarray,
                       gt_boxes: np.ndarray, gt_classes: np.ndarray,
-                      iou_thresholds: np.ndarray = DEFAULT_IOUS
-                      ) -> np.ndarray:
+                      iou_thresholds: np.ndarray = DEFAULT_IOUS,
+                      pred_masks: np.ndarray = None,
+                      gt_masks: np.ndarray = None) -> np.ndarray:
     """(N_pred, T) bool: prediction i is a true positive at threshold t.
 
     Greedy one-to-one assignment per threshold, highest IoU first, class
     must match (val.py:72-100).  Predictions should already be NMS'd and
     confidence-sorted by the caller (ap_per_class re-sorts anyway).
+    With pred_masks/gt_masks given ((N|M, H, W) binary), the match runs
+    on mask IoU instead of box IoU (segment/val.py process_batch
+    :91-111, masks=True).
     """
     n, t = len(pred_boxes), len(iou_thresholds)
     correct = np.zeros((n, t), bool)
     if n == 0 or len(gt_boxes) == 0:
         return correct
-    iou = box_iou(np.asarray(gt_boxes), np.asarray(pred_boxes))
+    if pred_masks is not None:
+        iou = mask_iou(np.asarray(gt_masks), np.asarray(pred_masks))
+    else:
+        iou = box_iou(np.asarray(gt_boxes), np.asarray(pred_boxes))
     same = (np.asarray(gt_classes)[:, None]
             == np.asarray(pred_classes)[None, :])
     iou = np.where(same, iou, 0.0)
@@ -159,3 +176,56 @@ def detection_map(predictions: Sequence[Dict], ground_truths: Sequence[Dict],
         precision=float(prec.mean()) if prec.size else 0.0,
         recall=float(rec.mean()) if rec.size else 0.0,
     )
+
+
+def segmentation_map(predictions: Sequence[Dict],
+                     ground_truths: Sequence[Dict],
+                     iou_thresholds: np.ndarray = DEFAULT_IOUS) -> Dict:
+    """Instance-segmentation eval: box AND mask mAP from one sweep
+    (segment/val.py :288-310 + segment/metrics.py
+    ap_per_class_box_and_mask :17-63).
+
+    Per image, `predictions[i]` adds 'masks' (N, H, W) binary to the
+    detection_map schema; `ground_truths[i]` adds 'masks' (M, H, W).
+    Returns {'boxes': {...}, 'masks': {...}} with the detection_map
+    summary dict in each branch.
+    """
+    tp_b: List[np.ndarray] = []
+    tp_m: List[np.ndarray] = []
+    all_conf: List[np.ndarray] = []
+    all_pred_cls: List[np.ndarray] = []
+    all_gt_cls: List[np.ndarray] = []
+    for pred, gt in zip(predictions, ground_truths):
+        boxes = np.asarray(pred.get("boxes", np.zeros((0, 4))))
+        pc = np.asarray(pred.get("classes", []))
+        gb = np.asarray(gt.get("boxes", np.zeros((0, 4))))
+        gc = np.asarray(gt.get("classes", []))
+        tp_b.append(match_predictions(boxes, pc, gb, gc, iou_thresholds))
+        tp_m.append(match_predictions(
+            boxes, pc, gb, gc, iou_thresholds,
+            pred_masks=pred.get("masks", np.zeros((0, 1, 1))),
+            gt_masks=gt.get("masks", np.zeros((0, 1, 1)))))
+        all_conf.append(np.asarray(pred.get("scores", np.ones(len(boxes)))))
+        all_pred_cls.append(pc)
+        all_gt_cls.append(gc)
+
+    def _summary(tps):
+        tp = np.concatenate(tps) if tps else np.zeros((0, len(iou_thresholds)))
+        conf = np.concatenate(all_conf) if all_conf else np.zeros(0)
+        pred_cls = (np.concatenate(all_pred_cls) if all_pred_cls
+                    else np.zeros(0))
+        gt_cls = np.concatenate(all_gt_cls) if all_gt_cls else np.zeros(0)
+        if gt_cls.size == 0:
+            return dict(map50=0.0, map=0.0, ap_per_class={},
+                        precision=0.0, recall=0.0)
+        classes, ap, prec, rec = ap_per_class(tp, conf, pred_cls, gt_cls)
+        return dict(
+            map50=float(ap[:, 0].mean()) if ap.size else 0.0,
+            map=float(ap.mean()) if ap.size else 0.0,
+            ap_per_class={int(c): float(ap[i, 0])
+                          for i, c in enumerate(classes)},
+            precision=float(prec.mean()) if prec.size else 0.0,
+            recall=float(rec.mean()) if rec.size else 0.0,
+        )
+
+    return {"boxes": _summary(tp_b), "masks": _summary(tp_m)}

@@ -179,6 +179,35 @@ class YoloV5(nn.Module):
         return outs
 
 
+class YoloClassifier(nn.Module):
+    """yolov5-cls (models/yolo.py ClassificationModel :273-292): the
+    detection backbone with the SPPF slot (cutoff=10's model[-1])
+    replaced by the Classify head (common.py :847-860) — 1x1 conv to a
+    fixed 1280 channels (not width-scaled), global average pool,
+    dropout(p=0), linear to nc.  Backbone submodule names match
+    YoloV5's so detection checkpoints initialize the trunk 1:1 (the
+    reference builds ClassificationModel *from* a detection model).
+    """
+    cfg: YoloConfig
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, *, train: bool = False):
+        cfg = self.cfg
+        w, d = cfg.width, cfg.depth
+        x = ConvBnSiLU(w(64), 6, 2, p=2, name="stem")(images, train=train)
+        x = ConvBnSiLU(w(128), 3, 2, name="down1")(x, train=train)
+        x = C3(w(128), d(3), name="c3_1")(x, train=train)
+        x = ConvBnSiLU(w(256), 3, 2, name="down2")(x, train=train)
+        x = C3(w(256), d(6), name="c3_2")(x, train=train)
+        x = ConvBnSiLU(w(512), 3, 2, name="down3")(x, train=train)
+        x = C3(w(512), d(9), name="c3_3")(x, train=train)
+        x = ConvBnSiLU(w(1024), 3, 2, name="down4")(x, train=train)
+        x = C3(w(1024), d(3), name="c3_4")(x, train=train)
+        x = ConvBnSiLU(1280, 1, name="classify_conv")(x, train=train)
+        x = jnp.mean(x, axis=(1, 2))
+        return nn.Dense(cfg.num_classes, name="classify_linear")(x)
+
+
 def decode_predictions(raw_maps: Sequence[jnp.ndarray], cfg: YoloConfig
                        ) -> jnp.ndarray:
     """yolov5 head decode -> (B, N, 5+nc[+nm]) with xywh in input pixels.

@@ -203,6 +203,75 @@ def make_yolo_train_step(model: YoloV5, hyp: YoloHyp, opt: YoloOptHyp,
     return step
 
 
+def make_yolo_cls_train_step(model, opt: YoloOptHyp, weight_decay: float,
+                             label_smoothing: float = 0.1,
+                             bf16: bool = False):
+    """Classification training step for `YoloClassifier`
+    (MCT/yolov5/classify/train.py): label-smoothed cross-entropy
+    (smartCrossEntropyLoss :162, eps default 0.1 :289), the
+    smart_optimizer param groups + nesterov SGD and ramped EMA — the
+    same numerics as the detection step (the reference's default
+    optimizer is Adam :286; this implements its SGD choice, consistent
+    with the detection trainer).
+
+    Returns jitted step(state, images, labels, lr_bias, lr_rest,
+    momentum) -> (state, {'loss', 'acc'}).
+    """
+    def loss_fn(params, stats, images, labels):
+        if bf16:
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, params)
+            images = images.astype(jnp.bfloat16)
+        logits, mut = model.apply(
+            {"params": params, "batch_stats": stats}, images, train=True,
+            mutable=["batch_stats"])
+        logits = logits.astype(jnp.float32)
+        nc = logits.shape[-1]
+        onehot = jax.nn.one_hot(labels, nc)
+        smoothed = onehot * (1.0 - label_smoothing) + label_smoothing / nc
+        logp = jax.nn.log_softmax(logits)
+        loss = -jnp.mean(jnp.sum(smoothed * logp, axis=-1))
+        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        return loss, (acc, mut["batch_stats"])
+
+    @jax.jit
+    def step(state: YoloTrainState, images, labels,
+             lr_bias, lr_rest, momentum):
+        (loss, (acc, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                   images, labels)
+        if bf16:
+            grads = jax.tree_util.tree_map(
+                lambda g: g.astype(jnp.float32), grads)
+        gtree = _path_tree(state.params)
+
+        def upd(p, g, v, grp):
+            g = g + (weight_decay * p if grp == 0 else 0.0)
+            v = momentum * v + g
+            lr = lr_bias if grp == 2 else lr_rest
+            return p - lr * (g + momentum * v), v
+
+        pairs = jax.tree_util.tree_map(upd, state.params, grads,
+                                       state.vel, gtree)
+        is_pair = lambda t: isinstance(t, tuple)
+        new_params = jax.tree_util.tree_map(lambda t: t[0], pairs,
+                                            is_leaf=is_pair)
+        new_vel = jax.tree_util.tree_map(lambda t: t[1], pairs,
+                                         is_leaf=is_pair)
+        updates = state.updates + 1
+        d = opt.ema_decay * (1.0 - jnp.exp(-updates / opt.ema_tau))
+        ema = lambda e, p: d * e + (1.0 - d) * p
+        new_ema = jax.tree_util.tree_map(ema, state.ema_params, new_params)
+        new_ema_stats = jax.tree_util.tree_map(ema, state.ema_stats,
+                                               new_stats)
+        return (YoloTrainState(new_params, new_stats, new_vel, new_ema,
+                               new_ema_stats, updates),
+                {"loss": loss, "acc": acc})
+
+    return step
+
+
 def letterbox(img: np.ndarray, new: int = 640,
               color: int = 114) -> Tuple[np.ndarray, float, Tuple[float, float]]:
     """Aspect-preserving resize + pad to (new, new) (the reference

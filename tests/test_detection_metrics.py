@@ -133,3 +133,47 @@ def test_ap_per_class_against_torch_replica():
             x = np.linspace(0, 1, 101)
             ref_ap[ci, j] = np.trapz(np.interp(x, mrec, mpre), x)
     np.testing.assert_allclose(ap, ref_ap, atol=1e-9)
+
+
+def test_mask_iou_pairwise():
+    from cross_modal_video_engine_tpu.metrics.detection import mask_iou
+    a = np.zeros((2, 4, 4), bool)
+    a[0, :2, :2] = True          # area 4
+    a[1] = True                  # area 16
+    b = np.zeros((1, 4, 4), bool)
+    b[0, :2, :] = True           # area 8; inter(a0)=4, inter(a1)=8
+    iou = mask_iou(a, b)
+    assert iou.shape == (2, 1)
+    assert np.isclose(iou[0, 0], 4 / 8, atol=1e-6)
+    assert np.isclose(iou[1, 0], 8 / 16, atol=1e-6)
+
+
+def test_segmentation_map_perfect_and_mismatched_masks():
+    """Box branch perfect either way; mask branch drops when the
+    predicted mask misses the GT pixels (segment/val.py process_batch
+    with masks=True)."""
+    from cross_modal_video_engine_tpu.metrics.detection import (
+        segmentation_map)
+    H = W = 16
+    gt_mask = np.zeros((1, H, W), bool)
+    gt_mask[0, 2:10, 2:10] = True
+    gt = [dict(boxes=np.array([[2.0, 2.0, 10.0, 10.0]]),
+               classes=np.array([0]), masks=gt_mask)]
+
+    pred_good = [dict(boxes=np.array([[2.0, 2.0, 10.0, 10.0]]),
+                      scores=np.array([0.9]), classes=np.array([0]),
+                      masks=gt_mask.copy())]
+    res = segmentation_map(pred_good, gt)
+    # 0.995 = the 101-point envelope's value for one perfect detection
+    # (yolov5 compute_ap gives the same)
+    assert res["boxes"]["map50"] == pytest.approx(0.995, abs=1e-3)
+    assert res["masks"]["map50"] == pytest.approx(0.995, abs=1e-3)
+
+    off_mask = np.zeros((1, H, W), bool)
+    off_mask[0, 11:15, 11:15] = True        # IoU 0 vs gt
+    pred_off = [dict(boxes=np.array([[2.0, 2.0, 10.0, 10.0]]),
+                     scores=np.array([0.9]), classes=np.array([0]),
+                     masks=off_mask)]
+    res = segmentation_map(pred_off, gt)
+    assert res["boxes"]["map50"] == pytest.approx(0.995, abs=1e-3)
+    assert res["masks"]["map50"] == pytest.approx(0.0, abs=1e-6)

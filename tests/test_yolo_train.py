@@ -235,3 +235,28 @@ def test_seg_train_step_decreases_loss():
     assert segs[0] > 0.0
     assert losses[-1] < losses[0] * 0.95, losses
     assert int(logs["seg_dropped"]) == 0
+
+
+def test_cls_train_step_decreases_loss():
+    """yolov5-cls: YoloClassifier + label-smoothed CE step learns a
+    trivial brightness rule (classify/train.py surface)."""
+    from cross_modal_video_engine_tpu.models.yolo import YoloClassifier
+    from cross_modal_video_engine_tpu.train.yolo_trainer import (
+        make_yolo_cls_train_step)
+    model = YoloClassifier(YoloConfig(**TINY))
+    state = init_yolo_train_state(model, jax.random.key(0), 64, 4)
+    opt = YoloOptHyp(lr0=0.001, warmup_epochs=0.0)
+    step = make_yolo_cls_train_step(model, opt, scaled_weight_decay(opt, 4))
+    rng = np.random.RandomState(0)
+    images = rng.rand(4, 64, 64, 3).astype(np.float32)
+    images[:2] *= 0.2                       # dark = class 0
+    labels = jnp.asarray([0, 0, 1, 1])
+    images = jnp.asarray(images)
+
+    losses = []
+    for _ in range(15):
+        state, logs = step(state, images, labels, 0.01, 0.01, 0.9)
+        losses.append(float(logs["loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0], losses
+    assert float(logs["acc"]) >= 0.5
