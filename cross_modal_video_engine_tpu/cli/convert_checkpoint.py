@@ -15,7 +15,9 @@ Types:
   combiner    — MultiFusion combiner_arithmetic.pt (inference.py:218-223);
                 config derived from the state dict
   timesformer — mmaction TimeSformer (needs --config)
-  yolov5      — ultralytics yolov5 .pt (detect weights; config derived)
+  yolov5      — ultralytics yolov5 .pt (detect or -seg weights; config
+                incl. nm/npr derived)
+  yolov5_cls  — ultralytics yolov5-cls .pt (ClassificationModel)
   resnet3d    — mmaction ResNet3d/SlowOnly (ConvModule key grammar)
   slowfast    — mmaction SlowFast (both pathways + lateral fusion convs)
   videomae    — VideoMAE finetuned ViT (config derived from shapes)
@@ -74,7 +76,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--type", required=True,
                         choices=["linas", "clip", "clip_resnet", "combiner",
-                                 "timesformer", "yolov5", "resnet3d",
+                                 "timesformer", "yolov5", "yolov5_cls",
+                                 "resnet3d",
                                  "slowfast", "videomae", "x3d", "csn",
                                  "tsm", "tin", "c3d", "r2plus1d",
                                  "mobilenetv2_tsm", "stgcn", "agcn",
@@ -315,6 +318,13 @@ def main(argv=None):
         model = ckpt.get("model", ckpt)
         cfg, sd = yolo_config_from_torch(model)
         variables = convert_yolov5(sd, cfg)
+        meta = {"source": args.src}
+    elif args.type == "yolov5_cls":
+        from ..convert.torch_import import (
+            convert_yolov5_cls, yolo_cls_config_from_torch)
+        model = ckpt.get("model", ckpt)
+        cfg, sd = yolo_cls_config_from_torch(model)
+        variables = convert_yolov5_cls(sd, cfg)
         meta = {"source": args.src}
     else:
         sd = ckpt.get("state_dict", ckpt)

@@ -542,7 +542,13 @@ def yolo_config_from_torch(model_or_sd):
     det = max(int(k.split(".")[1]) for k in sd
               if k.startswith("model.") and k.endswith(".anchors"))
     no = int(_np(sd[f"model.{det}.m.0.weight"]).shape[0])
-    nc = yaml.get("nc", no // 3 - 5)
+    # Segment checkpoints (yolov5*-seg.pt) carry a proto submodule on
+    # the head; nm/npr come from its conv shapes (models/yolo.py:92-99)
+    nm = npr = 0
+    if f"model.{det}.proto.cv3.conv.weight" in sd:
+        nm = int(_np(sd[f"model.{det}.proto.cv3.conv.weight"]).shape[0])
+        npr = int(_np(sd[f"model.{det}.proto.cv1.conv.weight"]).shape[0])
+    nc = yaml.get("nc", no // 3 - 5 - nm)
     wm = float(yaml.get("width_multiple",
                         _np(sd["model.0.conv.weight"]).shape[0] / 64.0))
     n2 = 0
@@ -554,7 +560,8 @@ def yolo_config_from_torch(model_or_sd):
         tuple(tuple(float(v) for v in a) for a in anch[i] * s)
         for i, s in enumerate((8, 16, 32)))
     cfg = YoloConfig(num_classes=int(nc), depth_multiple=dm,
-                     width_multiple=wm, anchors=anchors)
+                     width_multiple=wm, anchors=anchors,
+                     masks=nm, protos=npr)
     return cfg, sd
 
 
@@ -583,6 +590,59 @@ def convert_yolov5(sd: Dict, cfg) -> Dict:
             "kernel": w.transpose(2, 3, 1, 0),
             "bias": _np(sd[f"model.{det}.m.{i}.bias"]),
         }
+    if f"model.{det}.proto.cv1.conv.weight" in sd:   # Segment variant
+        p: Dict[str, Any] = {}
+        s: Dict[str, Any] = {}
+        for cv in ("cv1", "cv2", "cv3"):
+            p[cv], s[cv] = _yolo_cbs(sd, f"model.{det}.proto.{cv}")
+        params["proto"], stats["proto"] = p, s
+    return {"params": params, "batch_stats": stats}
+
+
+# index -> flax name for the ClassificationModel trunk (cutoff=10 keeps
+# model.0..9 and replaces the SPPF slot, index 9, with Classify —
+# MCT/yolov5/models/yolo.py:279-292)
+_YOLO_CLS_IDX2NAME = {
+    0: "stem", 1: "down1", 2: "c3_1", 3: "down2", 4: "c3_2", 5: "down3",
+    6: "c3_3", 7: "down4", 8: "c3_4",
+}
+
+
+def yolo_cls_config_from_torch(model_or_sd):
+    """(ClassificationModel | state dict) -> (YoloConfig, state dict)
+    for models.yolo.YoloClassifier."""
+    from ..models.yolo import YoloConfig
+    if hasattr(model_or_sd, "state_dict"):
+        sd = dict(model_or_sd.float().state_dict())
+    else:
+        sd = dict(model_or_sd)
+    nc = int(_np(sd["model.9.linear.weight"]).shape[0])
+    wm = float(_np(sd["model.0.conv.weight"]).shape[0] / 64.0)
+    n2 = 0
+    while f"model.2.m.{n2}.cv1.conv.weight" in sd:
+        n2 += 1
+    return YoloConfig(num_classes=nc, depth_multiple=n2 / 3.0,
+                      width_multiple=wm), sd
+
+
+def convert_yolov5_cls(sd: Dict, cfg) -> Dict:
+    """yolov5-cls ClassificationModel state dict -> flax variables for
+    models.yolo.YoloClassifier (Classify head at model.9:
+    conv(+bn) -> pool -> linear, common.py :847-860)."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for idx, name in _YOLO_CLS_IDX2NAME.items():
+        prefix = f"model.{idx}"
+        if f"{prefix}.conv.weight" in sd:
+            params[name], stats[name] = _yolo_cbs(sd, prefix)
+        else:
+            params[name], stats[name] = _yolo_c3(sd, prefix)
+    params["classify_conv"], stats["classify_conv"] = _yolo_cbs(
+        sd, "model.9.conv")
+    params["classify_linear"] = {
+        "kernel": _np(sd["model.9.linear.weight"]).T,
+        "bias": _np(sd["model.9.linear.bias"]),
+    }
     return {"params": params, "batch_stats": stats}
 
 

@@ -38,7 +38,8 @@ class YoloConfig:
     img_size: int = 640
     anchors: Tuple = DEFAULT_ANCHORS
     masks: int = 0                   # nm > 0 = Segment head (yolov5-seg)
-    protos: int = 256                # npr (width-scaled, models/yolo.py:94)
+    protos: int = 0                  # npr channels; 0 = width-scaled 256
+                                     # (the yaml default, models/yolo.py:94)
 
     def depth(self, n: int) -> int:
         return max(1, round(n * self.depth_multiple))
@@ -173,7 +174,7 @@ class YoloV5(nn.Module):
         for i, feat in enumerate((n3, n4b, n5b)):
             outs.append(nn.Conv(no, (1, 1), name=f"detect_{i}")(feat))
         if cfg.masks > 0:
-            proto = Proto(w(cfg.protos), cfg.masks,
+            proto = Proto(cfg.protos or w(256), cfg.masks,
                           name="proto")(n3, train=train)
             return outs, proto
         return outs
