@@ -46,10 +46,12 @@ import numpy as np
 
 from ..config import Config
 from ..data.datasets import ShardedSampler
-from ..data.yolo_aug import YoloAugHyp, augment_sample
+from ..data.yolo_aug import (YoloAugHyp, augment_sample,
+                             augment_seg_sample, segments2boxes)
 from ..losses.yolo import YoloHyp
-from ..metrics.detection import detection_map
-from ..models.yolo import YoloConfig, YoloV5, decode_predictions, postprocess
+from ..metrics.detection import detection_map, segmentation_map
+from ..models.yolo import (YoloConfig, YoloV5, decode_predictions,
+                           postprocess, postprocess_seg)
 from ..train.resume import (latest_checkpoint, load_train_state,
                             save_train_state)
 from ..train.yolo_trainer import (
@@ -107,6 +109,102 @@ class YoloDetectionDataset:
         return np.asarray(shapes, np.float64), labels
 
 
+class YoloSegDataset(YoloDetectionDataset):
+    """yolov5-seg label format: per-image txt rows
+    ``cls x1 y1 x2 y2 ...`` — a normalized polygon per instance
+    (utils/dataloaders.py verify_image_label segment branch).  Boxes
+    derive from the polygon extents (segments2boxes), so AutoAnchor and
+    the detection criterion reuse the base-class surface."""
+
+    def segments(self, i: int) -> List[Tuple[float, np.ndarray]]:
+        stem = os.path.splitext(os.path.basename(self.images[i]))[0]
+        lpath = os.path.join(self.label_dir, stem + ".txt")
+        out: List[Tuple[float, np.ndarray]] = []
+        if os.path.exists(lpath):
+            for ln in open(lpath):
+                v = ln.split()
+                if len(v) > 5:
+                    out.append((float(v[0]),
+                                np.asarray(v[1:], np.float32).reshape(-1, 2)))
+        return out
+
+    def labels(self, i: int) -> np.ndarray:
+        return segments2boxes(self.segments(i))
+
+
+def rasterize_segments(segments: List[np.ndarray], img_size: int,
+                       ratio: int = 1) -> np.ndarray:
+    """(n, H/ratio, W/ratio) float binary masks from pixel-space
+    polygons.  Fills at full image resolution, then nearest-downsamples
+    by `ratio` — the reference's polygon2mask order
+    (utils/segment/general.py: fillPoly at img_size, cv2 INTER_NEAREST
+    resize to size//ratio), which keeps boundary inflation at the fill
+    resolution instead of the mask resolution."""
+    import cv2
+    out = np.zeros((len(segments), img_size, img_size), np.float32)
+    for k, pts in enumerate(segments):
+        cv2.fillPoly(out[k], [np.round(pts).astype(np.int32)], 1.0)
+    return out[:, ::ratio, ::ratio]
+
+
+def yolo_seg_batches(ds: YoloSegDataset, batch_size: int, img_size: int,
+                     max_targets: int, mask_ratio: int = 4,
+                     aug: Optional[YoloAugHyp] = None,
+                     rng: Optional[np.random.RandomState] = None,
+                     order=None) -> Iterator:
+    """(images, targets (B,T,5), valid, gt_masks (B,T,Hm,Wm), n_real).
+
+    With `aug` the full segment pipeline runs (data/yolo_aug.py
+    augment_seg_sample: polygon-aware mosaic/mixup/perspective + HSV +
+    flips — utils/segment/dataloaders.py __getitem__); without it,
+    plain letterbox (the val path).  Polygons ride the geometry and
+    rasterize at img_size/mask_ratio (the reference trains with
+    --mask-ratio 4, matching the stride-4 prototype maps).
+    """
+    order = list(order if order is not None else range(len(ds)))
+    mh = mw = img_size // mask_ratio
+
+    def load(j):
+        return ds[j][0], ds.segments(j)
+
+    for i in range(0, len(order), batch_size):
+        sel = order[i:i + batch_size]
+        n = len(sel)
+        while len(sel) < batch_size:
+            sel.append(sel[0])
+        imgs, tgts, valids, masks = [], [], [], []
+        for j in sel:
+            if aug is not None and rng is not None:
+                img, boxes, polys = augment_seg_sample(
+                    load, j, len(ds), img_size, aug, rng)
+            else:
+                img, _ = ds[j]
+                segs = ds.segments(j)
+                hw = img.shape[:2]
+                img, r, pad = letterbox(img, img_size)
+                # polygons in letterboxed pixels
+                polys = [p * np.asarray([hw[1], hw[0]]) * r
+                         + np.asarray(pad) for _, p in segs]
+                boxes = segments2boxes(
+                    [(c, q / img_size)
+                     for (c, _), q in zip(segs, polys)])
+            gm = rasterize_segments(polys, img_size, mask_ratio)
+            t = np.zeros((max_targets, 5), np.float32)
+            v = np.zeros((max_targets,), bool)
+            m = np.zeros((max_targets, mh, mw), np.float32)
+            k = min(len(boxes), max_targets)
+            t[:k] = boxes[:k]
+            v[:k] = True
+            m[:k] = gm[:k]
+            imgs.append(np.ascontiguousarray(img))
+            tgts.append(t)
+            valids.append(v)
+            masks.append(m)
+        yield (jnp.asarray(np.stack(imgs), jnp.float32) / 255.0,
+               jnp.asarray(np.stack(tgts)), jnp.asarray(np.stack(valids)),
+               jnp.asarray(np.stack(masks)), n)
+
+
 def yolo_batches(ds: YoloDetectionDataset, batch_size: int, img_size: int,
                  max_targets: int, aug: Optional[YoloAugHyp] = None,
                  rng: Optional[np.random.RandomState] = None,
@@ -152,7 +250,9 @@ def build_yolo_model(cfg: Config) -> YoloV5:
     kw = dict(num_classes=mcfg.get("num_classes", 80),
               depth_multiple=mcfg.get("depth_multiple", 0.33),
               width_multiple=mcfg.get("width_multiple", 0.50),
-              img_size=mcfg.get("img_size", 640))
+              img_size=mcfg.get("img_size", 640),
+              masks=mcfg.get("masks", 0),
+              protos=mcfg.get("protos", 0))
     if anchors is not None:
         kw["anchors"] = tuple(tuple(tuple(a) for a in layer)
                               for layer in anchors)
@@ -186,21 +286,60 @@ def evaluate_detector(model: YoloV5, params, stats,
     return detection_map(preds_all, gts_all)
 
 
+def evaluate_segmenter(model: YoloV5, params, stats, batches: Iterator,
+                       conf_thres: float = 0.001, iou_thres: float = 0.6,
+                       mask_ratio: int = 4) -> Dict:
+    """segment/val.py-equivalent: decode + seg NMS + process_mask, then
+    box AND mask mAP (metrics.detection.segmentation_map).  GT masks
+    arrive at prototype resolution and are nearest-upsampled to image
+    size for the mask IoU (the reference's --mask-ratio round trip)."""
+    def fwd(p, s, x):
+        maps, proto = model.apply({"params": p, "batch_stats": s}, x,
+                                  train=False)
+        return decode_predictions(maps, model.cfg), proto
+    infer = jax.jit(fwd)
+    preds_all: List[Dict] = []
+    gts_all: List[Dict] = []
+    size = model.cfg.img_size
+    for images, targets, valid, gt_masks, n in batches:
+        preds, proto = infer(params, stats, images)
+        outs = postprocess_seg(np.asarray(preds), np.asarray(proto),
+                               (size, size), conf_thres, iou_thres)
+        tn, vn = np.asarray(targets), np.asarray(valid)
+        gmn = np.asarray(gt_masks)
+        for b in range(n):
+            det, masks = outs[b]
+            preds_all.append(dict(boxes=det[:, :4], scores=det[:, 4],
+                                  classes=det[:, 5].astype(int),
+                                  masks=masks))
+            rows = tn[b][vn[b]]
+            xy, wh = rows[:, 1:3] * size, rows[:, 3:5] * size
+            gm = gmn[b][vn[b]]
+            gm_up = np.repeat(np.repeat(gm, mask_ratio, 1), mask_ratio, 2)
+            gts_all.append(dict(
+                boxes=np.concatenate([xy - wh / 2, xy + wh / 2], 1),
+                classes=rows[:, 0].astype(int), masks=gm_up > 0.5))
+    return segmentation_map(preds_all, gts_all)
+
+
 def train_from_config(cfg: Config, work_dir: str,
                       resume: Optional[str] = None,
                       num_epochs: Optional[int] = None):
     model = build_yolo_model(cfg)
+    seg = model.cfg.masks > 0
     img_size = model.cfg.img_size
     bs = cfg.get("data.batch_size", 16)
     max_t = cfg.get("data.max_targets", 64)
+    mask_ratio = cfg.get("data.mask_ratio", 4)
     aug = YoloAugHyp(**cfg.get("aug", {}))
 
-    train_ds = YoloDetectionDataset(cfg["data.train.img_dir"],
-                                    cfg["data.train.label_dir"])
+    ds_cls = YoloSegDataset if seg else YoloDetectionDataset
+    train_ds = ds_cls(cfg["data.train.img_dir"],
+                      cfg["data.train.label_dir"])
     val_ds = None
     if cfg.get("data.val"):
-        val_ds = YoloDetectionDataset(cfg["data.val.img_dir"],
-                                      cfg["data.val.label_dir"])
+        val_ds = ds_cls(cfg["data.val.img_dir"],
+                        cfg["data.val.label_dir"])
 
     hyp = YoloHyp(**cfg.get("loss", {}))
     opt = YoloOptHyp(**cfg.get("optimizer", {}))
@@ -222,7 +361,8 @@ def train_from_config(cfg: Config, work_dir: str,
 
     wd = scaled_weight_decay(opt, bs)
     bf16 = cfg.get("bf16", False)   # mixed-precision step (amp autocast)
-    step = make_yolo_train_step(model, hyp, opt, wd, bf16=bf16)
+    step = make_yolo_train_step(model, hyp, opt, wd, bf16=bf16,
+                                mask_cap=cfg.get("loss_mask_cap", 128))
     state = init_yolo_train_state(model, jax.random.key(0), img_size, bs)
 
     load_from = cfg.get("load_from")
@@ -252,8 +392,9 @@ def train_from_config(cfg: Config, work_dir: str,
             if anchors != model.cfg.anchors:
                 model = YoloV5(dataclasses.replace(model.cfg,
                                                    anchors=anchors))
-                step = make_yolo_train_step(model, hyp, opt, wd,
-                                            bf16=bf16)
+                step = make_yolo_train_step(
+                    model, hyp, opt, wd, bf16=bf16,
+                    mask_cap=cfg.get("loss_mask_cap", 128))
 
     epochs = num_epochs or cfg.get("total_epochs", 300)
     eval_interval = cfg.get("eval_interval", 1)
@@ -264,27 +405,50 @@ def train_from_config(cfg: Config, work_dir: str,
     best = -1.0
     for epoch in range(start_epoch, epochs):
         losses = []
-        for bi, (images, targets, valid, _n) in enumerate(
-                yolo_batches(train_ds, bs, img_size, max_t, aug,
-                             aug_rng, sampler.indices(epoch))):
+        if seg:
+            batches = yolo_seg_batches(train_ds, bs, img_size, max_t,
+                                       mask_ratio, aug, aug_rng,
+                                       sampler.indices(epoch))
+        else:
+            batches = yolo_batches(train_ds, bs, img_size, max_t, aug,
+                                   aug_rng, sampler.indices(epoch))
+        for bi, (images, targets, valid, *rest) in enumerate(batches):
+            gt_masks = rest[0] if seg else None
             ni = bi + nb * epoch
             lr_b, lr_r, mom = lr_momentum_at(ni, epoch, nb, epochs, opt)
             state, logs = step(state, images, targets, valid,
-                               lr_b, lr_r, mom)
+                               lr_b, lr_r, mom, gt_masks=gt_masks)
             losses.append(float(logs["loss"]))
         rec = {"epoch": epoch, "loss": float(np.mean(losses))}
         if val_ds is not None and (epoch + 1) % eval_interval == 0:
-            report = evaluate_detector(
-                model, state.ema_params, state.ema_stats,
-                yolo_batches(val_ds, bs, img_size, max_t))
-            rec["map50"] = report["map50"]
-            rec["map"] = report["map"]
-            if report["map50"] > best:
-                best = report["map50"]
+            if seg:
+                report = evaluate_segmenter(
+                    model, state.ema_params, state.ema_stats,
+                    yolo_seg_batches(val_ds, bs, img_size, max_t,
+                                     mask_ratio),
+                    mask_ratio=mask_ratio)
+                rec["map50"] = report["boxes"]["map50"]
+                rec["map"] = report["boxes"]["map"]
+                rec["mask_map50"] = report["masks"]["map50"]
+                rec["mask_map"] = report["masks"]["map"]
+                # segment/train.py fitness: 0.1*mAP50 + 0.9*mAP,
+                # averaged over the box and mask branches
+                score = float(np.mean(
+                    [0.1 * report[k]["map50"] + 0.9 * report[k]["map"]
+                     for k in ("boxes", "masks")]))
+            else:
+                report = evaluate_detector(
+                    model, state.ema_params, state.ema_stats,
+                    yolo_batches(val_ds, bs, img_size, max_t))
+                rec["map50"] = report["map50"]
+                rec["map"] = report["map"]
+                score = report["map50"]
+            if score > best:
+                best = score
                 save_train_state(os.path.join(work_dir, "best"),
                                  {"params": state.ema_params,
                                   "batch_stats": state.ema_stats},
-                                 {"epoch": epoch, "map50": best,
+                                 {"epoch": epoch, "fitness": best,
                                   "model": dict(cfg.get("model", {})),
                                   "anchors": [list(map(list, l))
                                               for l in model.cfg.anchors]})

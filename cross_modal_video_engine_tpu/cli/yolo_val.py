@@ -23,8 +23,10 @@ import jax
 import numpy as np
 
 from ..config import Config
-from .yolo_train import (YoloDetectionDataset, build_yolo_model,
-                         evaluate_detector, yolo_batches)
+from .yolo_train import (YoloDetectionDataset, YoloSegDataset,
+                         build_yolo_model, evaluate_detector,
+                         evaluate_segmenter, yolo_batches,
+                         yolo_seg_batches)
 
 
 def main(argv=None):
@@ -65,14 +67,24 @@ def main(argv=None):
             args.checkpoint, {"params": variables["params"],
                               "batch_stats": variables["batch_stats"]})
 
-    ds = YoloDetectionDataset(cfg["data.val.img_dir"],
-                              cfg["data.val.label_dir"])
     bs = cfg.get("data.batch_size", 16)
     max_t = cfg.get("data.max_targets", 64)
-    report = evaluate_detector(model, payload["params"],
-                               payload["batch_stats"],
-                               yolo_batches(ds, bs, img_size, max_t),
-                               conf_thres=args.conf, iou_thres=args.iou)
+    if model.cfg.masks > 0:   # segment/val.py route: box + mask mAP
+        mask_ratio = cfg.get("data.mask_ratio", 4)
+        seg_ds = YoloSegDataset(cfg["data.val.img_dir"],
+                                cfg["data.val.label_dir"])
+        report = evaluate_segmenter(
+            model, payload["params"], payload["batch_stats"],
+            yolo_seg_batches(seg_ds, bs, img_size, max_t, mask_ratio),
+            conf_thres=args.conf, iou_thres=args.iou,
+            mask_ratio=mask_ratio)
+    else:
+        ds = YoloDetectionDataset(cfg["data.val.img_dir"],
+                                  cfg["data.val.label_dir"])
+        report = evaluate_detector(
+            model, payload["params"], payload["batch_stats"],
+            yolo_batches(ds, bs, img_size, max_t),
+            conf_thres=args.conf, iou_thres=args.iou)
     print(json.dumps(report))
     return report
 

@@ -124,3 +124,88 @@ def test_augment_sample_end_to_end(mosaic):
     if len(labels):
         assert (labels[:, 1:] >= 0).all() and (labels[:, 1:] <= 1).all()
         assert set(np.unique(labels[:, 0])) <= {0.0, 1.0}
+
+
+def _diamond(cx, cy, r):
+    return np.array([[cx, cy - r], [cx + r, cy], [cx, cy + r],
+                     [cx - r, cy]], np.float32)
+
+
+def test_resample_segments_preserves_extent():
+    from cross_modal_video_engine_tpu.data.yolo_aug import (
+        resample_segments, segment2box)
+    poly = _diamond(0.5, 0.5, 0.3)
+    (res,) = resample_segments([poly], n=400)
+    assert res.shape == (400, 2)
+    box = segment2box(res, 1.0, 1.0)
+    np.testing.assert_allclose(box, [0.2, 0.2, 0.8, 0.8], atol=5e-3)
+
+
+def test_random_perspective_seg_box_follows_polygon():
+    """Under a pure-scale warp the re-derived box comes from the
+    polygon (diamond), not its corner bbox — the segment branch of
+    random_perspective (utils/segment/augmentations.py)."""
+    from cross_modal_video_engine_tpu.data.yolo_aug import (
+        random_perspective_seg)
+    rng = np.random.RandomState(3)
+    img = np.zeros((64, 64, 3), np.uint8)
+    poly = _diamond(32, 32, 16)
+    targets = np.array([[0, 16, 16, 48, 48]], np.float64)
+    out, new_t, new_s = random_perspective_seg(
+        img, targets, [poly], rng, degrees=0, translate=0.0,
+        scale=0.0, shear=0)
+    assert len(new_t) == 1 and len(new_s) == 1
+    # identity warp: box returns to the polygon extent
+    np.testing.assert_allclose(new_t[0, 1:], [16, 16, 48, 48], atol=0.5)
+
+
+@pytest.mark.parametrize("mosaic", [0.0, 1.0])
+def test_augment_seg_sample_mask_box_consistency(mosaic):
+    """Full segment pipeline: every surviving label's polygon extent
+    (clipped to the image) matches its box after normalization."""
+    from cross_modal_video_engine_tpu.data.yolo_aug import (
+        augment_seg_sample)
+    rng = np.random.RandomState(0)
+    items = []
+    for i in range(4):
+        im = np.random.RandomState(i).randint(
+            0, 255, (48, 64, 3)).astype(np.uint8)
+        items.append((im, [(float(i % 2), _diamond(0.5, 0.5, 0.2))]))
+    hyp = YoloAugHyp(mosaic=mosaic, mixup=0.5 if mosaic else 0.0)
+    img, labels, segs = augment_seg_sample(
+        lambda j: items[j], 0, 4, 64, hyp, rng)
+    assert img.shape == (64, 64, 3)
+    assert len(labels) == len(segs)
+    for lab, seg in zip(labels, segs):
+        x = seg[:, 0].clip(0, 64)
+        y = seg[:, 1].clip(0, 64)
+        cx, cy = (x.min() + x.max()) / 128, (y.min() + y.max()) / 128
+        # box center tracks the polygon extent (clip tolerance: the
+        # warped box was derived pre-flip from inside-image points)
+        assert abs(cx - lab[1]) < 0.08 and abs(cy - lab[2]) < 0.08
+
+
+def test_copy_paste_appends_mirrored_instance():
+    from cross_modal_video_engine_tpu.data.yolo_aug import copy_paste
+    rng = np.random.RandomState(0)
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[10:30, 5:25] = 200        # instance pixels on the left
+    labels = np.array([[2.0, 5, 10, 25, 30]])
+    segs = [np.array([[5, 10], [25, 10], [25, 30], [5, 30]], np.float64)]
+    out, new_labels, new_segs = copy_paste(img, labels, segs, 1.0, rng)
+    assert len(new_labels) == 2 and len(new_segs) == 2
+    # mirrored box: x -> w - x
+    np.testing.assert_allclose(new_labels[1], [2.0, 39, 10, 59, 30])
+    assert out[15, 50, 0] == 200  # pasted pixels live on the right
+    assert img[15, 50, 0] == 0    # input untouched (copy semantics)
+
+
+def test_copy_paste_skips_occluding_paste():
+    from cross_modal_video_engine_tpu.data.yolo_aug import copy_paste
+    rng = np.random.RandomState(0)
+    img = np.zeros((64, 64, 3), np.uint8)
+    # centered box mirrors onto itself -> IoA 1.0 -> rejected
+    labels = np.array([[0.0, 22, 22, 42, 42]])
+    segs = [np.array([[22, 22], [42, 22], [42, 42], [22, 42]], np.float64)]
+    _, new_labels, new_segs = copy_paste(img, labels, segs, 1.0, rng)
+    assert len(new_labels) == 1 and len(new_segs) == 1

@@ -237,6 +237,78 @@ def test_seg_train_step_decreases_loss():
     assert int(logs["seg_dropped"]) == 0
 
 
+def _synthetic_seg_dataset(root, n=6, nc=2, img=64, seed=0):
+    """Same white-box images as _synthetic_dataset, but labels are the
+    yolov5-seg polygon rows (`cls x1 y1 x2 y2 ...`, normalized)."""
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(root, "images")
+    lbl_dir = os.path.join(root, "labels")
+    os.makedirs(img_dir, exist_ok=True)
+    os.makedirs(lbl_dir, exist_ok=True)
+    for i in range(n):
+        arr = rng.randint(0, 40, (img, img, 3)).astype(np.uint8)
+        cx, cy = rng.uniform(0.3, 0.7, 2)
+        w = h = rng.uniform(0.25, 0.45)
+        cls = i % nc
+        x1, y1 = cx - w / 2, cy - h / 2
+        x2, y2 = cx + w / 2, cy + h / 2
+        arr[int(y1 * img):int(y2 * img),
+            int(x1 * img):int(x2 * img)] = 220 if cls == 0 else 120
+        np.save(os.path.join(img_dir, f"im{i}.npy"), arr)
+        with open(os.path.join(lbl_dir, f"im{i}.txt"), "w") as f:
+            f.write(f"{cls} {x1:.4f} {y1:.4f} {x2:.4f} {y1:.4f} "
+                    f"{x2:.4f} {y2:.4f} {x1:.4f} {y2:.4f}\n")
+    return img_dir, lbl_dir
+
+
+def test_seg_dataset_and_batches(tmp_path):
+    from cross_modal_video_engine_tpu.cli.yolo_train import (
+        YoloSegDataset, yolo_seg_batches)
+    img_dir, lbl_dir = _synthetic_seg_dataset(str(tmp_path), n=3)
+    ds = YoloSegDataset(img_dir, lbl_dir)
+    segs = ds.segments(0)
+    assert len(segs) == 1 and segs[0][1].shape == (4, 2)
+    boxes = ds.labels(0)      # polygon extents -> cls cx cy w h
+    assert boxes.shape == (1, 5)
+    images, targets, valid, gt_masks, n = next(
+        yolo_seg_batches(ds, 2, 64, 4, mask_ratio=4))
+    assert images.shape == (2, 64, 64, 3)
+    assert gt_masks.shape == (2, 4, 16, 16)
+    # rasterized mask extents match the polygon's box at /4 res
+    m = np.asarray(gt_masks)[0, 0]
+    t = np.asarray(targets)[0, 0]
+    ys, xs = np.nonzero(m)
+    cx, cy, w, h = t[1] * 16, t[2] * 16, t[3] * 16, t[4] * 16
+    assert abs((xs.min() + xs.max() + 1) / 2 - cx) < 1.5
+    assert abs((ys.min() + ys.max() + 1) / 2 - cy) < 1.5
+    assert abs((xs.max() - xs.min() + 1) - w) < 2.0
+    assert abs((ys.max() - ys.min() + 1) - h) < 2.0
+
+
+def test_seg_cli_e2e_loss_decreases_and_mask_map(tmp_path):
+    """Config-driven yolov5-seg run (segment/train.py + segment/val.py
+    surface): loss decreases, eval reports box AND mask mAP."""
+    img_dir, lbl_dir = _synthetic_seg_dataset(str(tmp_path))
+    cfg = Config({
+        "model": dict(masks=4, protos=32, **TINY),
+        "data": {"train": {"img_dir": img_dir, "label_dir": lbl_dir},
+                 "val": {"img_dir": img_dir, "label_dir": lbl_dir},
+                 "batch_size": 3, "max_targets": 4, "mask_ratio": 4},
+        "aug": {"mosaic": 0.0, "scale": 0.0, "translate": 0.0,
+                "fliplr": 0.5, "hsv_h": 0.0, "hsv_s": 0.0, "hsv_v": 0.0},
+        "optimizer": {"lr0": 0.02, "warmup_epochs": 0.0, "cos_lr": True},
+        "autoanchor": False,
+        "eval_interval": 4,
+    })
+    work = str(tmp_path / "work")
+    os.makedirs(work)
+    state, history = train_from_config(cfg, work, num_epochs=4)
+    assert history[-1]["loss"] < history[0]["loss"]
+    for key in ("map50", "map", "mask_map50", "mask_map"):
+        assert 0.0 <= history[-1][key] <= 1.0
+    assert os.path.isdir(os.path.join(work, "epoch_3"))
+
+
 def test_cls_train_step_decreases_loss():
     """yolov5-cls: YoloClassifier + label-smoothed CE step learns a
     trivial brightness rule (classify/train.py surface)."""
@@ -260,3 +332,43 @@ def test_cls_train_step_decreases_loss():
         assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0], losses
     assert float(logs["acc"]) >= 0.5
+
+
+def test_cls_cli_e2e_learns_brightness(tmp_path):
+    """Config-driven yolov5-cls run (classify/train.py surface):
+    ImageFolder layout, RandomResizedCrop/CenterCrop transforms,
+    linear lr schedule, top-1 save-best."""
+    from cross_modal_video_engine_tpu.cli.yolo_cls_train import (
+        ImageFolderDataset, train_from_config as cls_train)
+    rng = np.random.RandomState(0)
+    for split, n in (("train", 8), ("val", 4)):
+        for ci, name in enumerate(("dark", "light")):
+            d = tmp_path / split / name
+            d.mkdir(parents=True)
+            for i in range(n):
+                base = 40 if ci == 0 else 200
+                img = rng.randint(base - 30, base + 30,
+                                  (48, 48, 3)).astype(np.uint8)
+                np.save(str(d / f"im{i}.npy"), img)
+    cfg = Config({
+        "model": dict(num_classes=2, depth_multiple=0.33,
+                      width_multiple=0.125, img_size=32),
+        "data": {"train_dir": str(tmp_path / "train"),
+                 "val_dir": str(tmp_path / "val"), "batch_size": 4},
+        "optimizer": {"lr0": 0.01},
+        "eval_interval": 3,
+    })
+    ds = ImageFolderDataset(str(tmp_path / "train"))
+    assert ds.classes == ["dark", "light"] and len(ds) == 16
+    work = str(tmp_path / "work")
+    os.makedirs(work)
+    state, history = cls_train(cfg, work, num_epochs=3)
+    assert history[-1]["loss"] < history[0]["loss"]
+    assert history[-1]["top1"] == 1.0     # trivial brightness rule
+    assert 0.0 <= history[-1]["top5"] <= 1.0
+    assert os.path.isdir(os.path.join(work, "best"))
+    # resume restores and continues
+    state2, h2 = cls_train(cfg, work,
+                           resume=os.path.join(work, "epoch_2"),
+                           num_epochs=4)
+    assert h2[0]["epoch"] == 3 and np.isfinite(h2[0]["loss"])
