@@ -160,6 +160,52 @@ def export_model(args):
                       "platforms": ["cpu", "tpu"]}))
 
 
+def export_yolo(args):
+    """StableHLO export of the YOLOv5 detector forward+decode — the
+    TPU-native counterpart of MCT/yolov5/export.py (which serializes
+    TorchScript/ONNX/TF graphs of Detect-fused models).  The exported
+    artifact maps (B, S, S, 3) float images in [0,1] to decoded
+    (B, N, 5+nc[+nm]) predictions (+ (B, Hm, Wm, npr) prototype maps
+    for masks>0 models); NMS stays host-side like the reference's
+    exported graphs."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import Config
+    from ..models.yolo import decode_predictions
+    from .yolo_train import build_yolo_model
+
+    cfg = Config.fromfile(args.config)
+    model = build_yolo_model(cfg)
+    size = model.cfg.img_size
+    images = jnp.zeros((args.batch, size, size, 3), jnp.float32)
+    variables = model.init(jax.random.key(0), images[:1], train=False)
+    if args.checkpoint:
+        from ..train.checkpoint import load_checkpoint
+        variables, _, _ = load_checkpoint(
+            args.checkpoint, {"params": variables["params"],
+                              "batch_stats": variables["batch_stats"]})
+    seg = model.cfg.masks > 0
+
+    def forward(v, x):
+        out = model.apply(v, x, train=False)
+        if seg:
+            maps, proto = out
+            return decode_predictions(maps, model.cfg), proto
+        return decode_predictions(out, model.cfg)
+
+    exported = jax.export.export(
+        jax.jit(forward), platforms=("cpu", "tpu"))(
+            jax.eval_shape(lambda: variables),
+            jax.ShapeDtypeStruct(images.shape, images.dtype))
+    blob = exported.serialize()
+    with open(args.output, "wb") as f:
+        f.write(blob)
+    print(json.dumps({"output": args.output, "bytes": len(blob),
+                      "in_shape": list(images.shape), "seg": seg,
+                      "platforms": ["cpu", "tpu"]}))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -190,6 +236,13 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--frames", type=int, default=8)
     p.set_defaults(fn=export_model)
+
+    p = sub.add_parser("export_yolo")
+    p.add_argument("config")
+    p.add_argument("--output", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--batch", type=int, default=1)
+    p.set_defaults(fn=export_yolo)
 
     args = parser.parse_args(argv)
     return args.fn(args)

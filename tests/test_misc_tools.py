@@ -94,3 +94,34 @@ def test_export_model_roundtrip(tmp_path):
     y = exported.call(x)
     assert np.asarray(y).shape == (2, 2, 16)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_export_yolo_roundtrip(tmp_path):
+    """export_yolo: deserialized StableHLO artifact reproduces the
+    jitted forward+decode (weights ride as a call argument so serving
+    loads checkpoints independently of the graph)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cross_modal_video_engine_tpu.cli.yolo_train import (
+        build_yolo_model)
+    from cross_modal_video_engine_tpu.config import Config
+    from cross_modal_video_engine_tpu.models.yolo import (
+        decode_predictions)
+
+    cfg_py = tmp_path / "yolo_cfg.py"
+    cfg_py.write_text(
+        "model = dict(num_classes=3, depth_multiple=0.33,"
+        " width_multiple=0.125, img_size=64)\n")
+    out = str(tmp_path / "yolo.stablehlo")
+    mt_main(["export_yolo", str(cfg_py), "--output", out, "--batch", "2"])
+    with open(out, "rb") as f:
+        exported = jax.export.deserialize(bytearray(f.read()))
+    model = build_yolo_model(Config.fromfile(str(cfg_py)))
+    x = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    variables = model.init(jax.random.key(0), x[:1], train=False)
+    got = np.asarray(exported.call(variables, x))
+    want = np.asarray(decode_predictions(
+        model.apply(variables, x, train=False), model.cfg))
+    assert got.shape == want.shape == (2, got.shape[1], 5 + 3)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

@@ -355,20 +355,20 @@ def test_cls_cli_e2e_learns_brightness(tmp_path):
                       width_multiple=0.125, img_size=32),
         "data": {"train_dir": str(tmp_path / "train"),
                  "val_dir": str(tmp_path / "val"), "batch_size": 4},
-        "optimizer": {"lr0": 0.01},
-        "eval_interval": 3,
+        "optimizer": {"lr0": 0.003},
+        "eval_interval": 4,
     })
     ds = ImageFolderDataset(str(tmp_path / "train"))
     assert ds.classes == ["dark", "light"] and len(ds) == 16
     work = str(tmp_path / "work")
     os.makedirs(work)
-    state, history = cls_train(cfg, work, num_epochs=3)
+    state, history = cls_train(cfg, work, num_epochs=4)
     assert history[-1]["loss"] < history[0]["loss"]
     assert history[-1]["top1"] == 1.0     # trivial brightness rule
     assert 0.0 <= history[-1]["top5"] <= 1.0
     assert os.path.isdir(os.path.join(work, "best"))
     # resume restores and continues
     state2, h2 = cls_train(cfg, work,
-                           resume=os.path.join(work, "epoch_2"),
-                           num_epochs=4)
-    assert h2[0]["epoch"] == 3 and np.isfinite(h2[0]["loss"])
+                           resume=os.path.join(work, "epoch_3"),
+                           num_epochs=5)
+    assert h2[0]["epoch"] == 4 and np.isfinite(h2[0]["loss"])
