@@ -66,3 +66,54 @@ def test_recognition_audio_config_parses():
     assert cfg["model.n_mels"] == 80
     from cross_modal_video_engine_tpu.data.pipelines import build_pipeline
     assert build_pipeline(cfg["data.pipeline"]).ops
+
+
+DETECTION = sorted(glob.glob(os.path.join(
+    REPO, "configs/detection/*", "*.py")))
+SKELETON = sorted(glob.glob(os.path.join(
+    REPO, "configs/skeleton/*", "*.py")))
+
+
+def test_found_family_configs():
+    # ava(2) + lfb + acrn + yolov5(3); stgcn + 2s-agcn + posec3d
+    assert len(DETECTION) >= 7
+    assert len(SKELETON) >= 3
+
+
+@pytest.mark.parametrize("path", DETECTION,
+                         ids=[os.path.basename(p) for p in DETECTION])
+def test_detection_config_builds(path):
+    cfg = Config.fromfile(path)
+    name = os.path.basename(path)
+    if "yolov5" in path:
+        if "cls" in name:
+            from cross_modal_video_engine_tpu.cli.yolo_cls_train import (
+                build_cls_model)
+            model = build_cls_model(cfg)
+            assert model.cfg.num_classes == 1000
+        else:
+            from cross_modal_video_engine_tpu.cli.yolo_train import (
+                build_yolo_model)
+            model = build_yolo_model(cfg)
+            assert model.cfg.num_classes == 80
+            assert ("seg" not in name) == (model.cfg.masks == 0)
+        return
+    from cross_modal_video_engine_tpu.cli.detection_train import (
+        build_detection_model)
+    model = build_detection_model(cfg)
+    assert model is not None
+    if "lfb" in name:
+        assert model.shared_head is not None
+    if "acrn" in name:
+        assert model.shared_head is not None
+
+
+@pytest.mark.parametrize("path", SKELETON,
+                         ids=[os.path.basename(p) for p in SKELETON])
+def test_skeleton_config_builds(path):
+    from cross_modal_video_engine_tpu.cli.skeleton_train import (
+        build_skeleton_model)
+    cfg = Config.fromfile(path)
+    model = build_skeleton_model(cfg)
+    assert model is not None
+    assert cfg["model.num_classes"] == 60      # ntu60 recipes
