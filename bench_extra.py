@@ -43,15 +43,37 @@ def bench_retrieval_p50(n_rows=1_000_000, dim=512, n_queries=64, k=10,
     q = rng.standard_normal((n_queries, dim)).astype(np.float32)
     qn = jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True))
     search = index._search                          # compiled searcher
-    times = [device_time(lambda e, v, qq: search(e, v, qq, k),
-                         index.emb, index.valid, qn, steps=steps,
-                         perturb_argnums=(2,))     # index is loop-invariant
+    times = [device_time(lambda e, s, v, qq: search(e, s, v, qq, k),
+                         index.emb, index.scales, index.valid, qn,
+                         steps=steps,
+                         perturb_argnums=(3,))     # index is loop-invariant
              for _ in range(trials)]
     p50 = float(np.percentile(times, 50)) * 1e3
     print(json.dumps({
         "metric": f"retrieval_p50_{n_rows//1000}k_rows_q{n_queries}",
         "value": round(p50, 3), "unit": "ms/device",
         "vs_baseline": round(20.0 / p50, 3),       # target <20 ms
+    }))
+
+    # int8 index: halves HBM traffic again and scores on the MXU's
+    # native int8 path; report measured recall@k vs the bf16 index
+    # alongside the latency (quantization can reorder near-ties)
+    idx8 = RetrievalIndex(emb, capacity=n_rows, dtype=jnp.int8)
+    search8 = idx8._search
+    times8 = [device_time(lambda e, s, v, qq: search8(e, s, v, qq, k),
+                          idx8.emb, idx8.scales, idx8.valid, qn,
+                          steps=steps, perturb_argnums=(3,))
+              for _ in range(trials)]
+    p50_8 = float(np.percentile(times8, 50)) * 1e3
+    _, ids_ref = index.search(q, k=k)
+    _, ids_8 = idx8.search(q, k=k)
+    recall = float(np.mean([len(set(a) & set(b)) / k
+                            for a, b in zip(ids_ref, ids_8)]))
+    print(json.dumps({
+        "metric": f"retrieval_p50_{n_rows//1000}k_rows_q{n_queries}_int8",
+        "value": round(p50_8, 3), "unit": "ms/device",
+        "vs_baseline": round(20.0 / p50_8, 3),
+        "recall_at_k_vs_bf16": round(recall, 4),
     }))
     return p50
 
@@ -351,6 +373,67 @@ def bench_train_step_yolov5(batch=16, img=640, max_targets=32, steps=8,
     return ips
 
 
+def bench_train_step_yolov5_seg(batch=16, img=640, max_targets=32,
+                                steps=8, bf16=True):
+    """Instance-segmentation TRAIN throughput: YOLOv5s-seg 640
+    (MCT/yolov5/segment/train.py — Segment head, 32 mask coefficients,
+    256-proto stride-4 maps, per-instance mask BCE at --mask-ratio 4),
+    full fwd+bwd+SGD+EMA on one chip.  vs_baseline is the same ~205
+    img/s V100 detection rate (upstream publishes no per-GPU seg rate;
+    seg adds ~13% FLOPs over detection at these shapes)."""
+    import jax
+    import jax.numpy as jnp
+    from cross_modal_video_engine_tpu.losses.yolo import YoloHyp
+    from cross_modal_video_engine_tpu.models.yolo import YoloConfig, YoloV5
+    from cross_modal_video_engine_tpu.train.yolo_trainer import (
+        YoloOptHyp, init_yolo_train_state, make_yolo_train_step,
+        scaled_weight_decay)
+    from cross_modal_video_engine_tpu.utils.profiling import device_time
+
+    model = YoloV5(YoloConfig(depth_multiple=0.33, width_multiple=0.50,
+                              img_size=img, masks=32, protos=256))
+    opt = YoloOptHyp()
+    state = init_yolo_train_state(model, jax.random.key(0), img,
+                                  batch_size=2)
+    step = make_yolo_train_step(model, YoloHyp(), opt,
+                                scaled_weight_decay(opt, batch),
+                                bf16=bf16, mask_cap=128)
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(rng.random((batch, img, img, 3), np.float32))
+    cxy = rng.random((batch, max_targets, 2)) * 0.8 + 0.1
+    wh = rng.random((batch, max_targets, 2)) * 0.2 + 0.02
+    cls = rng.integers(0, 80, (batch, max_targets, 1))
+    targets = jnp.asarray(np.concatenate(
+        [cls, cxy, wh], -1).astype(np.float32))
+    valid = jnp.asarray(np.ones((batch, max_targets), bool))
+    gt_masks = jnp.asarray(
+        (rng.random((batch, max_targets, img // 4, img // 4))
+         > 0.9).astype(np.float32))
+    lr = jnp.float32(0.01)
+    mom = jnp.float32(0.937)
+
+    def bench_fn(state, images, targets, valid, gt_masks):
+        new, metrics = step(state, images, targets, valid, lr, lr, mom,
+                            gt_masks=gt_masks)
+        return new, metrics["loss"]
+
+    flops = _flops_per_step(
+        jax.jit(lambda s, i, t, v, m: step(s, i, t, v, lr, lr, mom,
+                                           gt_masks=m)),
+        state, images, targets, valid, gt_masks)
+    dt = device_time(bench_fn, state, images, targets, valid, gt_masks,
+                     steps=steps, perturb_argnums=(1,))
+    ips = batch / dt
+    row = {"metric": "train_step_yolov5s_seg_640_%s_b%d"
+                     % ("bf16" if bf16 else "f32", batch),
+           "value": round(ips, 2), "unit": "imgs/sec/chip",
+           "vs_baseline": round(ips / 205.0, 3)}
+    if flops:
+        row["tflops_per_sec"] = round(flops / dt / 1e12, 1)
+    print(json.dumps(row))
+    return ips
+
+
 def main():
     bench_retrieval_p50()
     bench_flash_sweep()
@@ -359,6 +442,7 @@ def main():
     bench_train_step_timesformer()
     bench_train_step_slowfast()
     bench_train_step_yolov5()
+    bench_train_step_yolov5_seg()
 
 
 if __name__ == "__main__":

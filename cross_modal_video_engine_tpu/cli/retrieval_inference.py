@@ -31,10 +31,15 @@ from .common import load_dataset, restore_dual_encoding
 
 def build_video_index(model, variables, dataset: LinasDataset,
                       batch_size: int = 64, cache: str | None = None,
-                      mesh=None) -> RetrievalIndex:
+                      mesh=None, dtype=None) -> RetrievalIndex:
+    """dtype: stored-row precision (float32 default; 'bfloat16'/'int8'
+    are the serving configurations — see RetrievalIndex)."""
+    import jax.numpy as jnp
+    dtype = jnp.dtype(dtype) if dtype else jnp.float32
     if cache and os.path.exists(cache):
         data = np.load(cache, allow_pickle=True)
-        return RetrievalIndex(data["emb"], ids=list(data["ids"]), mesh=mesh)
+        return RetrievalIndex(data["emb"], ids=list(data["ids"]),
+                              mesh=mesh, dtype=dtype)
     embed = jax.jit(lambda v: model.apply(variables, v,
                                           method="embed_vis_distill"))
     chunks, names = [], []
@@ -44,7 +49,7 @@ def build_video_index(model, variables, dataset: LinasDataset,
     emb = np.concatenate(chunks, axis=0)
     if cache:
         np.savez(cache, emb=emb, ids=np.array(names))
-    return RetrievalIndex(emb, ids=names, mesh=mesh)
+    return RetrievalIndex(emb, ids=names, mesh=mesh, dtype=dtype)
 
 
 def embed_query(model, variables, dataset: LinasDataset, query: str):

@@ -28,7 +28,8 @@ def build_retrieval_handler(args):
     dataset = load_dataset(args.rootpath, args.collection,
                            args.visual_feature)
     index = build_video_index(model, state["variables"], dataset,
-                              cache=args.index_cache)
+                              cache=args.index_cache,
+                              dtype=getattr(args, "index_dtype", None))
 
     max_batch = getattr(args, "max_batch", 32)
 
@@ -313,6 +314,12 @@ def main(argv=None):
     parser.add_argument("--collection")
     parser.add_argument("--visual_feature")
     parser.add_argument("--index_cache", default=None)
+    parser.add_argument("--index_dtype", default=None,
+                        choices=("float32", "bfloat16", "int8"),
+                        help="stored-row precision; bfloat16/int8 are "
+                             "the low-HBM serving modes (int8 trades "
+                             "exactness for ~2x bandwidth, see "
+                             "docs/PERF.md)")
     parser.add_argument("--caption_checkpoint")
     # composed retrieval
     parser.add_argument("--clip_checkpoint")

@@ -160,6 +160,13 @@ def yolo_seg_batches(ds: YoloSegDataset, batch_size: int, img_size: int,
     plain letterbox (the val path).  Polygons ride the geometry and
     rasterize at img_size/mask_ratio (the reference trains with
     --mask-ratio 4, matching the stride-4 prototype maps).
+
+    Masks are per-instance (B, T, Hm, Wm) — the reference's
+    ``--no-overlap`` mode (polygons2masks).  Its default overlap
+    encoding (one (Hm, Wm) index map, polygons2masks_overlap) is a
+    memory optimization for dynamic-shape torch batches; with the
+    static T=max_targets budget here the per-instance layout costs the
+    same and keeps the criterion's per-target gather trivial.
     """
     order = list(order if order is not None else range(len(ds)))
     mh = mw = img_size // mask_ratio
@@ -291,8 +298,11 @@ def evaluate_segmenter(model: YoloV5, params, stats, batches: Iterator,
                        mask_ratio: int = 4) -> Dict:
     """segment/val.py-equivalent: decode + seg NMS + process_mask, then
     box AND mask mAP (metrics.detection.segmentation_map).  GT masks
-    arrive at prototype resolution and are nearest-upsampled to image
-    size for the mask IoU (the reference's --mask-ratio round trip)."""
+    arrive at prototype resolution and are bilinear-upsampled + 0.5
+    thresholded to image size for the mask IoU (the reference's
+    --mask-ratio round trip, segment/val.py:161)."""
+    import cv2
+
     def fwd(p, s, x):
         maps, proto = model.apply({"params": p, "batch_stats": s}, x,
                                   train=False)
@@ -315,10 +325,15 @@ def evaluate_segmenter(model: YoloV5, params, stats, batches: Iterator,
             rows = tn[b][vn[b]]
             xy, wh = rows[:, 1:3] * size, rows[:, 3:5] * size
             gm = gmn[b][vn[b]]
-            gm_up = np.repeat(np.repeat(gm, mask_ratio, 1), mask_ratio, 2)
+            # bilinear upsample + 0.5 threshold (segment/val.py:161
+            # F.interpolate(mode="bilinear").gt_(0.5))
+            gm_up = (np.stack([cv2.resize(m, (size, size),
+                                          interpolation=cv2.INTER_LINEAR)
+                               for m in gm], 0) > 0.5
+                     if len(gm) else np.zeros((0, size, size), bool))
             gts_all.append(dict(
                 boxes=np.concatenate([xy - wh / 2, xy + wh / 2], 1),
-                classes=rows[:, 0].astype(int), masks=gm_up > 0.5))
+                classes=rows[:, 0].astype(int), masks=gm_up))
     return segmentation_map(preds_all, gts_all)
 
 

@@ -45,7 +45,18 @@ def _l2n(x: np.ndarray) -> np.ndarray:
 
 
 class RetrievalIndex:
-    """Normalized-embedding retrieval index, optionally mesh-sharded."""
+    """Normalized-embedding retrieval index, optionally mesh-sharded.
+
+    ``dtype`` sets the stored-row precision: float32, bfloat16 (the
+    serving default in bench_extra — halves HBM traffic) or **int8**
+    (halves it again and runs the scoring matmul on the MXU's native
+    int8 path).  int8 rows are symmetric-quantized with a PER-ROW
+    scale (amax/127, 4 bytes/row — unit-norm d-dim rows have max
+    components ~1/sqrt(d), so a global scale would waste most of the
+    int8 range); queries quantize per-row inside the jit and the int32
+    scores rescale by query-scale x row-scale to approximate cosine.
+    Quantization can reorder near-ties — measured recall@10 vs the
+    exact index is reported alongside the bench row (docs/PERF.md)."""
 
     def __init__(self, embeddings: np.ndarray, ids: Optional[list] = None,
                  mesh: Optional[Mesh] = None, normalize: bool = True,
@@ -58,11 +69,28 @@ class RetrievalIndex:
         self.ids = list(ids) if ids is not None else None
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_shards = self.mesh.shape["data"]
-        self.dtype = dtype
+        self.dtype = jnp.dtype(dtype)
+        self.int8 = self.dtype == jnp.dtype(jnp.int8)
         self.normalize = normalize
         self.recall_target = recall_target
-        self._place(emb.astype(dtype), capacity)
+        self._place(emb, capacity)
         self._search = self._build()
+
+    # -- row codecs (int8 symmetric quantization, per-row amax scale) -------
+    def _encode(self, emb_f32: np.ndarray
+                ) -> Tuple[np.ndarray, np.ndarray]:
+        if self.int8:
+            amax = np.maximum(np.abs(emb_f32).max(axis=1), 1e-12)
+            scales = (amax / 127.0).astype(np.float32)
+            stored = np.clip(np.round(emb_f32 / scales[:, None]),
+                             -127, 127).astype(np.int8)
+            return stored, scales
+        stored = emb_f32.astype(self.dtype)
+        return stored, np.ones(emb_f32.shape[0], np.float32)
+
+    def _decode(self, stored: np.ndarray, scales: np.ndarray) -> np.ndarray:
+        x = np.asarray(stored, np.float32)
+        return x * np.asarray(scales, np.float32)[:, None] if self.int8 else x
 
     # -- placement ----------------------------------------------------------
     def _place(self, emb: np.ndarray, capacity: Optional[int]) -> None:
@@ -72,12 +100,14 @@ class RetrievalIndex:
         pad = cap - n
         if pad:
             emb = np.pad(emb, ((0, pad), (0, 0)))
+        emb, scales = self._encode(np.asarray(emb, np.float32))
         valid = np.zeros(cap, np.float32)
         valid[:n] = 1.0
         self.n = n                                 # slots used (tail watermark)
         self.n_active = n                          # live (non-tombstoned) rows
         self.capacity = cap
         self.emb = jax.device_put(emb, data_sharding(self.mesh, 2))
+        self.scales = jax.device_put(scales, data_sharding(self.mesh, 1))
         self.valid = jax.device_put(valid, data_sharding(self.mesh, 1))
         self.rows_per_shard = cap // self.n_shards
 
@@ -86,11 +116,23 @@ class RetrievalIndex:
         mesh = self.mesh
         rows = self.rows_per_shard
         dtype = self.dtype
+        int8 = self.int8
 
         recall_target = self.recall_target
 
-        def local_topk(k, q, emb_shard, valid_shard):
-            sims = jnp.dot(q, emb_shard.T, preferred_element_type=jnp.float32)
+        def local_topk(k, q, qscale, emb_shard, scales_shard, valid_shard):
+            if int8:
+                # int8 x int8 -> int32 on the MXU's native low-precision
+                # path; positive query x row scale rescale restores
+                # ~cosine magnitudes (and per-query it cannot touch the
+                # ranking beyond the row-scale correction itself)
+                sims = jax.lax.dot_general(
+                    q, emb_shard, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32
+                ).astype(jnp.float32) * qscale * scales_shard[None, :]
+            else:
+                sims = jnp.dot(q, emb_shard.T,
+                               preferred_element_type=jnp.float32)
             shard = jax.lax.axis_index("data")
             base = shard * rows
             sims = jnp.where(valid_shard[None, :] > 0, sims, -jnp.inf)
@@ -112,16 +154,25 @@ class RetrievalIndex:
         # emb/valid are jit ARGUMENTS: closing over them would inline the
         # (possibly multi-GB) index into the HLO as a constant.
         @functools.partial(jax.jit, static_argnames=("k",))
-        def search(emb, valid, q, k):
+        def search(emb, scales, valid, q, k):
             kk = min(k, rows)
+            if int8:
+                amax = jnp.maximum(
+                    jnp.max(jnp.abs(q), axis=1, keepdims=True), 1e-12)
+                qq = jnp.clip(jnp.round(q / amax * 127.0), -127,
+                              127).astype(jnp.int8)
+                qscale = amax / 127.0
+            else:
+                qq = q.astype(dtype)
+                qscale = jnp.ones((q.shape[0], 1), jnp.float32)
             f = shard_map(
                 functools.partial(local_topk, kk),
                 mesh=mesh,
-                in_specs=(P(), P("data", None), P("data")),
+                in_specs=(P(), P(), P("data", None), P("data"), P("data")),
                 out_specs=(P(None, "data"), P(None, "data")),
                 check_vma=False,
             )
-            vals, idx = f(q.astype(dtype), emb, valid)     # (Q, kk*shards)
+            vals, idx = f(qq, qscale, emb, scales, valid)  # (Q, kk*shards)
             if vals.shape[1] > k:
                 mvals, pos = jax.lax.top_k(vals, k)
                 midx = jnp.take_along_axis(idx, pos, axis=1)
@@ -136,7 +187,7 @@ class RetrievalIndex:
         k = min(k, self.n_active)     # never return padding/tombstones
         q = jnp.asarray(np.asarray(queries, np.float32))
         qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        vals, idx = self._search(self.emb, self.valid, qn, k)
+        vals, idx = self._search(self.emb, self.scales, self.valid, qn, k)
         return np.asarray(vals), np.asarray(idx)
 
     def search_ids(self, queries: np.ndarray, k: int = 10):
@@ -157,8 +208,9 @@ class RetrievalIndex:
         if self.ids is not None:
             assert ids is not None and len(ids) == m
         if self.n + m > self.capacity:
-            current = np.asarray(jax.device_get(self.emb))[: self.n]
-            mat = np.concatenate([current, new.astype(current.dtype)], 0)
+            current = self._decode(jax.device_get(self.emb),
+                                   jax.device_get(self.scales))[: self.n]
+            mat = np.concatenate([current, new], 0)
             tomb = np.asarray(jax.device_get(self.valid))[: self.n] == 0
             old_n = self.n
             self._place(mat, max(2 * self.capacity, mat.shape[0]))
@@ -169,9 +221,10 @@ class RetrievalIndex:
             self.n_active += m
             self._search = self._build()
         else:
-            self.emb, self.valid = _insert(
-                self.emb, self.valid, jnp.asarray(new, self.dtype),
-                jnp.asarray(self.n, jnp.int32))
+            stored, scales = self._encode(new)
+            self.emb, self.scales, self.valid = _insert(
+                self.emb, self.scales, self.valid, jnp.asarray(stored),
+                jnp.asarray(scales), jnp.asarray(self.n, jnp.int32))
             self.n += m
             self.n_active += m
         if self.ids is not None:
@@ -192,7 +245,8 @@ class RetrievalIndex:
 
     def compact(self) -> None:
         """Rebuild without tombstones (host-side; use sparingly)."""
-        emb = np.asarray(jax.device_get(self.emb))[: self.n]
+        emb = self._decode(jax.device_get(self.emb),
+                           jax.device_get(self.scales))[: self.n]
         valid = np.asarray(jax.device_get(self.valid))[: self.n] > 0
         if self.ids is not None:
             self.ids = [i for i, v in zip(self.ids, valid) if v]
@@ -206,21 +260,27 @@ class RetrievalIndex:
         q = jnp.asarray(np.asarray(queries, np.float32))
         qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
 
+        int8 = self.int8
+
         @jax.jit
-        def dense(qq, emb, valid):
-            e = -jnp.dot(qq, emb.T, preferred_element_type=jnp.float32)
+        def dense(qq, emb, scales, valid):
+            rows = emb.astype(jnp.float32)
+            if int8:
+                rows = rows * scales[:, None]
+            e = -jnp.dot(qq, rows.T, preferred_element_type=jnp.float32)
             return jnp.where(valid[None, :] > 0, e, jnp.inf)
 
-        out = dense(qn, self.emb, self.valid)
+        out = dense(qn, self.emb, self.scales, self.valid)
         return np.asarray(out)[:, : self.n]
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def _insert(emb, valid, new, start):
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _insert(emb, scales, valid, new, new_scales, start):
     emb = jax.lax.dynamic_update_slice(emb, new, (start, 0))
+    scales = jax.lax.dynamic_update_slice(scales, new_scales, (start,))
     ones = jnp.ones((new.shape[0],), valid.dtype)
     valid = jax.lax.dynamic_update_slice(valid, ones, (start,))
-    return emb, valid
+    return emb, scales, valid
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))

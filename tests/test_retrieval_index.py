@@ -155,3 +155,44 @@ def test_search_exact_on_large_index_partial_reduce_path():
     np.testing.assert_array_equal(np.sort(idx, 1), np.sort(want, 1))
     np.testing.assert_allclose(
         vals, np.take_along_axis(sims, idx, 1), rtol=1e-5, atol=1e-5)
+
+
+def test_int8_index_recall_scores_and_serving_updates():
+    """dtype=int8: symmetric 127-scale rows + in-jit query quantization.
+    Top-k recall vs the exact f32 index stays high, returned scores
+    approximate cosine within quantization error, and the serving
+    add/remove/compact paths re-encode correctly."""
+    import jax.numpy as jnp
+
+    g = np.random.default_rng(7)
+    emb = g.standard_normal((2048, 256)).astype(np.float32)
+    q = g.standard_normal((16, 256)).astype(np.float32)
+    exact = RetrievalIndex(emb, capacity=2048)
+    quant = RetrievalIndex(emb, capacity=4096, dtype=jnp.int8)
+    assert np.asarray(quant.emb).dtype == np.int8
+
+    ev, ei = exact.search(q, k=10)
+    qv, qi = quant.search(q, k=10)
+    recall = np.mean([len(set(a) & set(b)) / 10.0
+                      for a, b in zip(ei, qi)])
+    assert recall >= 0.9, recall
+    # scores approximate the exact cosine of the SAME returned row
+    embn = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    true_of_returned = np.take_along_axis(qn @ embn.T, qi, 1)
+    np.testing.assert_allclose(qv, true_of_returned, atol=0.02)
+
+    # add() quantizes appended rows; a strong match is found at rank 1
+    probe = qn[:1] * 0.99 + 0.01 * g.standard_normal((1, 256))
+    quant.add(probe)
+    v2, i2 = quant.search(q[:1], k=3)
+    assert i2[0, 0] == 2048 and v2[0, 0] > 0.95
+    # remove + compact round-trips through the decode path
+    quant.remove([2048])
+    quant.compact()
+    _, i3 = quant.search(q[:1], k=3)
+    assert 2048 not in i3[0]
+    # full_errors decodes int8 rows back to ~cosine errors
+    err = quant.full_errors(q[:1])
+    np.testing.assert_allclose(err[0, : 2048], -(qn[:1] @ embn.T)[0],
+                               atol=0.02)
