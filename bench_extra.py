@@ -379,8 +379,11 @@ def bench_train_step_yolov5_seg(batch=16, img=640, max_targets=32,
     (MCT/yolov5/segment/train.py — Segment head, 32 mask coefficients,
     256-proto stride-4 maps, per-instance mask BCE at --mask-ratio 4),
     full fwd+bwd+SGD+EMA on one chip.  vs_baseline is the same ~205
-    img/s V100 detection rate (upstream publishes no per-GPU seg rate;
-    seg adds ~13% FLOPs over detection at these shapes)."""
+    img/s V100 detection rate (upstream publishes no per-GPU seg rate).
+    Measured: the static mask_cap-pair mask loss roughly triples the
+    per-image step FLOPs vs detection (XLA cost analysis; the per-pair
+    coeff x proto products and their grads dominate), so imgs/s ~halves
+    while TFLOP/s rises — see docs/PERF.md."""
     import jax
     import jax.numpy as jnp
     from cross_modal_video_engine_tpu.losses.yolo import YoloHyp
