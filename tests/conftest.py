@@ -50,3 +50,13 @@ def pytest_collection_modifyitems(config, items):
 jax.config.update("jax_platforms", "cpu")
 # tests compare against float64-ish numpy references; keep matmuls exact.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent XLA compilation cache: on this 1-core box compile time
+# dominates the suite, and most tests recompile identical programs run
+# over run.  Warm reruns skip those compiles; cold runs are unaffected.
+# Disable with CMVE_JAX_CACHE=0 (e.g. to time true cold-compile cost).
+_cache = os.environ.get(
+    "CMVE_JAX_CACHE", os.path.expanduser("~/.cache/cmve_jax_test_cache"))
+if _cache and _cache != "0":
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
