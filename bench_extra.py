@@ -380,10 +380,9 @@ def bench_train_step_yolov5_seg(batch=16, img=640, max_targets=32,
     256-proto stride-4 maps, per-instance mask BCE at --mask-ratio 4),
     full fwd+bwd+SGD+EMA on one chip.  vs_baseline is the same ~205
     img/s V100 detection rate (upstream publishes no per-GPU seg rate).
-    Measured: the static mask_cap-pair mask loss roughly triples the
-    per-image step FLOPs vs detection (XLA cost analysis; the per-pair
-    coeff x proto products and their grads dominate), so imgs/s ~halves
-    while TFLOP/s rises — see docs/PERF.md."""
+    The extra cost over detection is dominated by the Proto head's
+    3x3 convs at stride 4 (npr channels over 160x160 maps) and their
+    grads — see docs/PERF.md."""
     import jax
     import jax.numpy as jnp
     from cross_modal_video_engine_tpu.losses.yolo import YoloHyp
@@ -393,8 +392,10 @@ def bench_train_step_yolov5_seg(batch=16, img=640, max_targets=32,
         scaled_weight_decay)
     from cross_modal_video_engine_tpu.utils.profiling import device_time
 
+    # protos defaults to width-scaled 256 -> 128 for the s variant,
+    # matching ultralytics yolov5s-seg (width_multiple applies to npr)
     model = YoloV5(YoloConfig(depth_multiple=0.33, width_multiple=0.50,
-                              img_size=img, masks=32, protos=256))
+                              img_size=img, masks=32))
     opt = YoloOptHyp()
     state = init_yolo_train_state(model, jax.random.key(0), img,
                                   batch_size=2)

@@ -35,6 +35,7 @@ Config shape:
 from __future__ import annotations
 
 import argparse
+import functools
 import glob
 import json
 import os
@@ -86,14 +87,19 @@ class YoloDetectionDataset:
                 boxes = np.asarray(rows, np.float32)
         return boxes
 
-    def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+    def image(self, i: int) -> np.ndarray:
+        """Pixels only — lets callers that parse labels separately (the
+        seg pipeline reads polygons) avoid a second label-file parse."""
         path = self.images[i]
         if path.endswith(".npy"):
             img = np.load(path)
         else:
             import cv2
             img = cv2.imread(path)[:, :, ::-1]          # BGR -> RGB
-        return np.ascontiguousarray(img, np.uint8), self.labels(i)
+        return np.ascontiguousarray(img, np.uint8)
+
+    def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        return self.image(i), self.labels(i)
 
     def shapes_and_labels(self) -> Tuple[np.ndarray, List[np.ndarray]]:
         """Per-image (h, w) + label rows without decoding pixels
@@ -172,7 +178,7 @@ def yolo_seg_batches(ds: YoloSegDataset, batch_size: int, img_size: int,
     mh = mw = img_size // mask_ratio
 
     def load(j):
-        return ds[j][0], ds.segments(j)
+        return ds.image(j), ds.segments(j)
 
     for i in range(0, len(order), batch_size):
         sel = order[i:i + batch_size]
@@ -185,7 +191,7 @@ def yolo_seg_batches(ds: YoloSegDataset, batch_size: int, img_size: int,
                 img, boxes, polys = augment_seg_sample(
                     load, j, len(ds), img_size, aug, rng)
             else:
-                img, _ = ds[j]
+                img = ds.image(j)
                 segs = ds.segments(j)
                 hw = img.shape[:2]
                 img, r, pad = letterbox(img, img_size)
@@ -266,13 +272,30 @@ def build_yolo_model(cfg: Config) -> YoloV5:
     return YoloV5(YoloConfig(**kw))
 
 
+@functools.lru_cache(maxsize=8)
+def _det_infer(model: YoloV5):
+    """One compiled eval forward per model (flax modules hash by config).
+    A per-call jit(lambda) would re-trace/re-compile every eval epoch —
+    20s-9min per compile through the remote TPU service."""
+    return jax.jit(lambda p, s, x: decode_predictions(
+        model.apply({"params": p, "batch_stats": s}, x, train=False),
+        model.cfg))
+
+
+@functools.lru_cache(maxsize=8)
+def _seg_infer(model: YoloV5):
+    def fwd(p, s, x):
+        maps, proto = model.apply({"params": p, "batch_stats": s}, x,
+                                  train=False)
+        return decode_predictions(maps, model.cfg), proto
+    return jax.jit(fwd)
+
+
 def evaluate_detector(model: YoloV5, params, stats,
                       batches: Iterator, conf_thres: float = 0.001,
                       iou_thres: float = 0.6) -> Dict:
     """val.py-equivalent: decode + NMS the (EMA) detector, COCO mAP."""
-    infer = jax.jit(lambda p, s, x: decode_predictions(
-        model.apply({"params": p, "batch_stats": s}, x, train=False),
-        model.cfg))
+    infer = _det_infer(model)
     preds_all: List[Dict] = []
     gts_all: List[Dict] = []
     size = float(model.cfg.img_size)
@@ -303,11 +326,7 @@ def evaluate_segmenter(model: YoloV5, params, stats, batches: Iterator,
     --mask-ratio round trip, segment/val.py:161)."""
     import cv2
 
-    def fwd(p, s, x):
-        maps, proto = model.apply({"params": p, "batch_stats": s}, x,
-                                  train=False)
-        return decode_predictions(maps, model.cfg), proto
-    infer = jax.jit(fwd)
+    infer = _seg_infer(model)
     preds_all: List[Dict] = []
     gts_all: List[Dict] = []
     size = model.cfg.img_size
@@ -394,10 +413,14 @@ def train_from_config(cfg: Config, work_dir: str,
                                ema_stats=variables["batch_stats"])
 
     start_epoch = 0
+    best = -1.0
     if resume:
         payload, loop = load_train_state(resume, {"state": tuple(state)})
         state = YoloTrainState(*payload["state"])
         start_epoch = int(loop.get("epoch", -1)) + 1
+        # restore the best fitness so a post-resume eval can't overwrite
+        # work_dir/best with a worse score
+        best = float(loop.get("best", -1.0))
         if loop.get("anchors"):
             # AutoAnchor result persists across resume (the reference
             # keeps evolved anchors inside the model checkpoint)
@@ -417,7 +440,6 @@ def train_from_config(cfg: Config, work_dir: str,
     sampler = ShardedSampler(len(train_ds), shuffle=True)
     aug_rng = np.random.RandomState(0)
     history: List[Dict] = []
-    best = -1.0
     for epoch in range(start_epoch, epochs):
         losses = []
         if seg:
@@ -469,7 +491,7 @@ def train_from_config(cfg: Config, work_dir: str,
                                               for l in model.cfg.anchors]})
         save_train_state(os.path.join(work_dir, f"epoch_{epoch}"),
                          {"state": tuple(state)},
-                         {"epoch": epoch,
+                         {"epoch": epoch, "best": best,
                           "anchors": [list(map(list, l))
                                       for l in model.cfg.anchors]})
         history.append(rec)

@@ -105,15 +105,16 @@ def box_candidates(box1: np.ndarray, box2: np.ndarray, wh_thr: float = 2,
             & (w2 * h2 / (w1 * h1 + eps) > area_thr) & (ar < ar_thr))
 
 
-def random_perspective(img: np.ndarray, targets: np.ndarray,
-                       rng: np.random.RandomState,
-                       degrees: float = 10, translate: float = 0.1,
-                       scale: float = 0.1, shear: float = 10,
-                       perspective: float = 0.0,
-                       border: Tuple[int, int] = (0, 0)
-                       ) -> Tuple[np.ndarray, np.ndarray]:
-    """augmentations.py:144-237.  targets: (n, 5) [cls, x1, y1, x2, y2]
-    pixel boxes.  border<0 trims a mosaic canvas back to img_size."""
+def _warp_canvas(img: np.ndarray, rng: np.random.RandomState,
+                 degrees: float, translate: float, scale: float,
+                 shear: float, perspective: float,
+                 border: Tuple[int, int]
+                 ) -> Tuple[np.ndarray, np.ndarray, float, int, int]:
+    """The shared matrix composition + image warp of random_perspective
+    and its segment variant (augmentations.py:144-182): center, random
+    perspective/rotation-scale/shear/translation, composed as
+    T@S@R@P@C.  Returns (warped img, M, scale s, width, height); the
+    RNG draw order matches the reference exactly."""
     import cv2
     height = img.shape[0] + border[0] * 2
     width = img.shape[1] + border[1] * 2
@@ -143,6 +144,20 @@ def random_perspective(img: np.ndarray, targets: np.ndarray,
         else:
             img = cv2.warpAffine(img, M[:2], dsize=(width, height),
                                  borderValue=(114, 114, 114))
+    return img, M, s, width, height
+
+
+def random_perspective(img: np.ndarray, targets: np.ndarray,
+                       rng: np.random.RandomState,
+                       degrees: float = 10, translate: float = 0.1,
+                       scale: float = 0.1, shear: float = 10,
+                       perspective: float = 0.0,
+                       border: Tuple[int, int] = (0, 0)
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """augmentations.py:144-237.  targets: (n, 5) [cls, x1, y1, x2, y2]
+    pixel boxes.  border<0 trims a mosaic canvas back to img_size."""
+    img, M, s, width, height = _warp_canvas(
+        img, rng, degrees, translate, scale, shear, perspective, border)
 
     n = len(targets)
     if n:
@@ -174,35 +189,8 @@ def mosaic4(items: Sequence[Tuple[np.ndarray, np.ndarray]], img_size: int,
     caller applies `random_perspective(border=(-s//2, -s//2))` like the
     reference.
     """
-    s = img_size
-    yc, xc = (int(rng.uniform(s // 2, 2 * s - s // 2)) for _ in range(2))
-    labels4: List[np.ndarray] = []
-    img4 = np.full((s * 2, s * 2, 3), 114, dtype=np.uint8)
-    for i, (img, labels) in enumerate(items):
-        h, w = img.shape[:2]
-        if i == 0:    # top left
-            x1a, y1a, x2a, y2a = max(xc - w, 0), max(yc - h, 0), xc, yc
-            x1b, y1b, x2b, y2b = w - (x2a - x1a), h - (y2a - y1a), w, h
-        elif i == 1:  # top right
-            x1a, y1a, x2a, y2a = xc, max(yc - h, 0), min(xc + w, s * 2), yc
-            x1b, y1b, x2b, y2b = 0, h - (y2a - y1a), min(w, x2a - x1a), h
-        elif i == 2:  # bottom left
-            x1a, y1a, x2a, y2a = max(xc - w, 0), yc, xc, min(s * 2, yc + h)
-            x1b, y1b, x2b, y2b = w - (x2a - x1a), 0, w, min(y2a - y1a, h)
-        else:         # bottom right
-            x1a, y1a, x2a, y2a = xc, yc, min(xc + w, s * 2), min(s * 2, yc + h)
-            x1b, y1b, x2b, y2b = 0, 0, min(w, x2a - x1a), min(y2a - y1a, h)
-        img4[y1a:y2a, x1a:x2a] = img[y1b:y2b, x1b:x2b]
-        padw, padh = x1a - x1b, y1a - y1b
-        if len(labels):
-            lab = labels.astype(np.float64).copy()
-            lab[:, 1:5] = xywhn2xyxy(labels[:, 1:5], w, h, padw, padh)
-            labels4.append(lab)
-    if labels4:
-        out = np.concatenate(labels4, 0)
-        out[:, 1:5] = out[:, 1:5].clip(0, 2 * s)
-    else:
-        out = np.zeros((0, 5), np.float64)
+    img4, out, _ = mosaic4_seg([(img, labels, []) for img, labels in items],
+                               img_size, rng)
     return img4, out
 
 
@@ -314,35 +302,8 @@ def random_perspective_seg(img: np.ndarray, targets: np.ndarray,
     inside-image extent (segment2box); survivors filter with the
     looser area_thr=0.01.  Returns (img, (m, 5) pixel-xyxy targets,
     warped polygons)."""
-    import cv2
-    height = img.shape[0] + border[0] * 2
-    width = img.shape[1] + border[1] * 2
-
-    C = np.eye(3)
-    C[0, 2] = -img.shape[1] / 2
-    C[1, 2] = -img.shape[0] / 2
-    P = np.eye(3)
-    P[2, 0] = rng.uniform(-perspective, perspective)
-    P[2, 1] = rng.uniform(-perspective, perspective)
-    R = np.eye(3)
-    a = rng.uniform(-degrees, degrees)
-    s = rng.uniform(1 - scale, 1 + scale)
-    R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
-    S = np.eye(3)
-    S[0, 1] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
-    S[1, 0] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
-    T = np.eye(3)
-    T[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * width
-    T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * height
-    M = T @ S @ R @ P @ C
-
-    if (border[0] != 0) or (border[1] != 0) or (M != np.eye(3)).any():
-        if perspective:
-            img = cv2.warpPerspective(img, M, dsize=(width, height),
-                                      borderValue=(114, 114, 114))
-        else:
-            img = cv2.warpAffine(img, M[:2], dsize=(width, height),
-                                 borderValue=(114, 114, 114))
+    img, M, s, width, height = _warp_canvas(
+        img, rng, degrees, translate, scale, shear, perspective, border)
 
     n = len(targets)
     if n:
@@ -442,10 +403,7 @@ def augment_seg_sample(load, index: int, n_items: int, img_size: int,
         img, labels, segs = one_mosaic(index)
         if rng.rand() < hyp.mixup:
             img2, labels2, segs2 = one_mosaic(int(rng.randint(n_items)))
-            r = rng.beta(32.0, 32.0)
-            img = (img.astype(np.float32) * r
-                   + img2.astype(np.float32) * (1 - r)).astype(np.uint8)
-            labels = np.concatenate((labels, labels2), 0)
+            img, labels = mixup(img, labels, img2, labels2, rng)
             segs = segs + segs2
     else:
         from ..train.yolo_trainer import letterbox

@@ -42,6 +42,7 @@ from typing import Dict, List, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class YoloHyp(NamedTuple):
@@ -121,8 +122,12 @@ class LayerTargets(NamedTuple):
     mask: jnp.ndarray     # (K,) bool validity
 
 
-_OFFSETS = jnp.asarray(
-    [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]])  # :186-195
+# np, not jnp: a module-level jnp.asarray would initialize the JAX
+# backend (the axon TPU client) in any process that merely imports this
+# module; numpy constants convert at trace time instead.
+_OFFSETS = np.asarray(
+    [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]],
+    np.float32)  # :186-195
 
 
 def build_targets(targets: jnp.ndarray, valid: jnp.ndarray,

@@ -138,8 +138,8 @@ class LongTermFeatureBank:
         rows = jnp.where(in_range, rows, -1)
         valid = rows >= 0
         feats = self.features[jnp.clip(rows, 0, None)]
-        feats = jnp.where(valid[:, None, None], feats, 0.0)
-        # zero padded slots beyond each second's true count
+        # zero invalid seconds and padded slots beyond each second's
+        # true count in one mask
         slot_ok = (jnp.arange(self.capacity)[None, :]
                    < self.counts[jnp.clip(rows, 0, None)][:, None])
         feats = jnp.where((valid[:, None] & slot_ok)[..., None], feats, 0.0)

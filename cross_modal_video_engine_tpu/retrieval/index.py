@@ -179,6 +179,18 @@ class RetrievalIndex:
                 return mvals, midx
             return vals, idx
 
+        # dense scorer for full_errors: built once here so repeated
+        # calls reuse one compiled program (a per-call @jax.jit closure
+        # would re-trace every time)
+        @jax.jit
+        def dense(qq, emb, scales, valid):
+            rows_f = emb.astype(jnp.float32)
+            if int8:
+                rows_f = rows_f * scales[:, None]
+            e = -jnp.dot(qq, rows_f.T, preferred_element_type=jnp.float32)
+            return jnp.where(valid[None, :] > 0, e, jnp.inf)
+
+        self._dense = dense
         return search
 
     def search(self, queries: np.ndarray, k: int = 10
@@ -197,12 +209,14 @@ class RetrievalIndex:
 
     # -- incremental updates (serving path) --------------------------------
     def add(self, embeddings: np.ndarray, ids: Optional[list] = None,
-            normalize: bool = True) -> None:
+            normalize: Optional[bool] = None) -> None:
         """Append rows IN PLACE: one donated dynamic-update-slice into the
         capacity-padded device matrix — no host fetch of the index, no
-        recompile.  Growth past capacity doubles and re-places."""
+        recompile.  Growth past capacity doubles and re-places.
+        normalize defaults to the index's own normalize setting so
+        appended rows score on the same scale as built rows."""
         new = np.asarray(embeddings, np.float32)
-        if normalize:
+        if self.normalize if normalize is None else normalize:
             new = _l2n(new)
         m = new.shape[0]
         if self.ids is not None:
@@ -214,11 +228,12 @@ class RetrievalIndex:
             tomb = np.asarray(jax.device_get(self.valid))[: self.n] == 0
             old_n = self.n
             self._place(mat, max(2 * self.capacity, mat.shape[0]))
-            if tomb.any():      # re-apply tombstones after regrowth
+            # _place marked all old_n + m rows live (n_active = n);
+            # re-apply tombstones after regrowth
+            if tomb.any():
                 self.valid = _tombstone(self.valid,
                                         jnp.asarray(np.nonzero(tomb)[0]))
-                self.n_active = old_n - int(tomb.sum())
-            self.n_active += m
+                self.n_active = old_n - int(tomb.sum()) + m
             self._search = self._build()
         else:
             stored, scales = self._encode(new)
@@ -259,18 +274,7 @@ class RetrievalIndex:
         rows score +inf."""
         q = jnp.asarray(np.asarray(queries, np.float32))
         qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-
-        int8 = self.int8
-
-        @jax.jit
-        def dense(qq, emb, scales, valid):
-            rows = emb.astype(jnp.float32)
-            if int8:
-                rows = rows * scales[:, None]
-            e = -jnp.dot(qq, rows.T, preferred_element_type=jnp.float32)
-            return jnp.where(valid[None, :] > 0, e, jnp.inf)
-
-        out = dense(qn, self.emb, self.scales, self.valid)
+        out = self._dense(qn, self.emb, self.scales, self.valid)
         return np.asarray(out)[:, : self.n]
 
 

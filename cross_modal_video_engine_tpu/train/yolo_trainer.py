@@ -116,6 +116,42 @@ def init_yolo_train_state(model: YoloV5, rng, img_size: int,
                           updates=jnp.zeros((), jnp.int32))
 
 
+def _sgd_ema_update(state: YoloTrainState, grads, new_stats,
+                    opt: YoloOptHyp, weight_decay: float,
+                    lr_bias, lr_rest, momentum,
+                    bf16: bool) -> YoloTrainState:
+    """The shared optimizer numerics of every YOLO step: smart_optimizer
+    3-group nesterov SGD (coupled decay on group 0, bias lr on group 2)
+    plus the ramped EMA — one copy, used by the detection/seg and
+    classification step factories."""
+    if bf16:
+        grads = jax.tree_util.tree_map(
+            lambda g: g.astype(jnp.float32), grads)
+    gtree = _path_tree(state.params)
+
+    def upd(p, g, v, grp):
+        # torch SGD: coupled decay, then momentum, nesterov update
+        g = g + (weight_decay * p if grp == 0 else 0.0)
+        v = momentum * v + g
+        lr = lr_bias if grp == 2 else lr_rest
+        return p - lr * (g + momentum * v), v
+
+    pairs = jax.tree_util.tree_map(upd, state.params, grads,
+                                   state.vel, gtree)
+    is_pair = lambda t: isinstance(t, tuple)
+    new_params = jax.tree_util.tree_map(lambda t: t[0], pairs,
+                                        is_leaf=is_pair)
+    new_vel = jax.tree_util.tree_map(lambda t: t[1], pairs,
+                                     is_leaf=is_pair)
+    updates = state.updates + 1
+    d = opt.ema_decay * (1.0 - jnp.exp(-updates / opt.ema_tau))
+    ema = lambda e, p: d * e + (1.0 - d) * p
+    new_ema = jax.tree_util.tree_map(ema, state.ema_params, new_params)
+    new_ema_stats = jax.tree_util.tree_map(ema, state.ema_stats, new_stats)
+    return YoloTrainState(new_params, new_stats, new_vel,
+                          new_ema, new_ema_stats, updates)
+
+
 def make_yolo_train_step(model: YoloV5, hyp: YoloHyp, opt: YoloOptHyp,
                          weight_decay: float, bf16: bool = False,
                          mask_cap: int = 128):
@@ -170,35 +206,10 @@ def make_yolo_train_step(model: YoloV5, hyp: YoloHyp, opt: YoloOptHyp,
         (total, (items, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats,
                                    images, targets, valid, gt_masks)
-        if bf16:
-            grads = jax.tree_util.tree_map(
-                lambda g: g.astype(jnp.float32), grads)
-        gtree = _path_tree(state.params)
-
-        def upd(p, g, v, grp):
-            # torch SGD: coupled decay, then momentum, nesterov update
-            g = g + (weight_decay * p if grp == 0 else 0.0)
-            v = momentum * v + g
-            lr = lr_bias if grp == 2 else lr_rest
-            return p - lr * (g + momentum * v), v
-
-        pairs = jax.tree_util.tree_map(upd, state.params, grads,
-                                       state.vel, gtree)
-        is_pair = lambda t: isinstance(t, tuple)
-        new_params = jax.tree_util.tree_map(lambda t: t[0], pairs,
-                                            is_leaf=is_pair)
-        new_vel = jax.tree_util.tree_map(lambda t: t[1], pairs,
-                                         is_leaf=is_pair)
-
-        updates = state.updates + 1
-        d = opt.ema_decay * (1.0 - jnp.exp(-updates / opt.ema_tau))
-        ema = lambda e, p: d * e + (1.0 - d) * p
-        new_ema = jax.tree_util.tree_map(ema, state.ema_params, new_params)
-        new_ema_stats = jax.tree_util.tree_map(ema, state.ema_stats, new_stats)
-
-        metrics = {"loss": total, **items}
-        return YoloTrainState(new_params, new_stats, new_vel,
-                              new_ema, new_ema_stats, updates), metrics
+        new_state = _sgd_ema_update(state, grads, new_stats, opt,
+                                    weight_decay, lr_bias, lr_rest,
+                                    momentum, bf16)
+        return new_state, {"loss": total, **items}
 
     return step
 
@@ -241,33 +252,10 @@ def make_yolo_cls_train_step(model, opt: YoloOptHyp, weight_decay: float,
         (loss, (acc, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats,
                                    images, labels)
-        if bf16:
-            grads = jax.tree_util.tree_map(
-                lambda g: g.astype(jnp.float32), grads)
-        gtree = _path_tree(state.params)
-
-        def upd(p, g, v, grp):
-            g = g + (weight_decay * p if grp == 0 else 0.0)
-            v = momentum * v + g
-            lr = lr_bias if grp == 2 else lr_rest
-            return p - lr * (g + momentum * v), v
-
-        pairs = jax.tree_util.tree_map(upd, state.params, grads,
-                                       state.vel, gtree)
-        is_pair = lambda t: isinstance(t, tuple)
-        new_params = jax.tree_util.tree_map(lambda t: t[0], pairs,
-                                            is_leaf=is_pair)
-        new_vel = jax.tree_util.tree_map(lambda t: t[1], pairs,
-                                         is_leaf=is_pair)
-        updates = state.updates + 1
-        d = opt.ema_decay * (1.0 - jnp.exp(-updates / opt.ema_tau))
-        ema = lambda e, p: d * e + (1.0 - d) * p
-        new_ema = jax.tree_util.tree_map(ema, state.ema_params, new_params)
-        new_ema_stats = jax.tree_util.tree_map(ema, state.ema_stats,
-                                               new_stats)
-        return (YoloTrainState(new_params, new_stats, new_vel, new_ema,
-                               new_ema_stats, updates),
-                {"loss": loss, "acc": acc})
+        new_state = _sgd_ema_update(state, grads, new_stats, opt,
+                                    weight_decay, lr_bias, lr_rest,
+                                    momentum, bf16)
+        return new_state, {"loss": loss, "acc": acc}
 
     return step
 

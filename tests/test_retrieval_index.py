@@ -196,3 +196,37 @@ def test_int8_index_recall_scores_and_serving_updates():
     err = quant.full_errors(q[:1])
     np.testing.assert_allclose(err[0, : 2048], -(qn[:1] @ embn.T)[0],
                                atol=0.02)
+
+
+def test_growth_without_tombstones_keeps_n_active_exact():
+    """Regression: the growth path of add() double-counted the appended
+    rows in n_active when the old index had no tombstones, making
+    search(k) return -inf padding slots and search_ids crash."""
+    d = 16
+    emb = rng.standard_normal((4, d)).astype(np.float32)
+    idx = RetrievalIndex(emb, ids=[f"v{i}" for i in range(4)],
+                         capacity=8, mesh=make_mesh())
+    new = rng.standard_normal((8, d)).astype(np.float32)
+    idx.add(new, ids=[f"n{i}" for i in range(8)])   # forces regrowth
+    assert idx.n == 12 and idx.n_active == 12
+    q = rng.standard_normal((2, d)).astype(np.float32)
+    vals, ids = idx.search_ids(q, k=50)             # clamps to n_active
+    assert np.isfinite(vals).all()
+    assert all(len(row) == 12 for row in ids)
+
+
+def test_add_respects_index_normalize_flag():
+    """add() must default to the index's own normalize setting: a raw
+    (dot-product) index must not silently L2-normalize appended rows."""
+    d = 8
+    emb = 3.0 * np.eye(4, d).astype(np.float32)     # rows of norm 3
+    idx = RetrievalIndex(emb, normalize=False, capacity=16,
+                         mesh=make_mesh())
+    row = np.zeros((1, d), np.float32)
+    row[0, 5] = 3.0
+    idx.add(row)                                    # must stay norm 3
+    q = np.zeros((1, d), np.float32)
+    q[0, 5] = 1.0
+    vals, ids = idx.search(q, k=1)
+    assert ids[0, 0] == 4
+    np.testing.assert_allclose(vals[0, 0], 3.0, rtol=1e-5)
