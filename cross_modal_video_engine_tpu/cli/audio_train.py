@@ -82,7 +82,10 @@ def train_from_config(cfg: Config, work_dir: str,
     bs = cfg.get("data.videos_per_gpu", 16)
 
     tcfg = RecognitionTrainConfig(**cfg.get("optimizer", {}))
-    tx = make_rec_optimizer(tcfg)
+    epochs = num_epochs or cfg.get("total_epochs", tcfg.num_epochs)
+    # total_steps sizes the warmup-cosine schedule to the actual run
+    tx = make_rec_optimizer(
+        tcfg, total_steps=epochs * max(1, (len(train_ds) + bs - 1) // bs))
     spec0, _l0, _ = next(_audio_batches(train_ds, bs))
     variables = model.init(jax.random.key(0), spec0)
     stats = variables["batch_stats"]
@@ -101,7 +104,6 @@ def train_from_config(cfg: Config, work_dir: str,
         state, stats = payload["state"], payload["batch_stats"]
         start_epoch = int(loop.get("epoch", -1)) + 1
 
-    epochs = num_epochs or cfg.get("total_epochs", tcfg.num_epochs)
     eval_interval = cfg.get("eval_interval", tcfg.eval_interval)
     history = []
     for epoch in range(start_epoch, epochs):

@@ -37,7 +37,10 @@ def keyframe_frame(path: str, timestamp: float, fps: float,
     if n == 0:
         reader.release()
         return None
-    idx = int(np.clip(round(fps * (timestamp - timestamp_start)), 0, n - 1))
+    # +1 matches SampleAVAFrames' center (pipelines_extra.py: center =
+    # fps*(ts - ts0) + 1) so boxes pair with the exact clip-center frame
+    idx = int(np.clip(round(fps * (timestamp - timestamp_start)) + 1,
+                      0, n - 1))
     frame = reader.get_batch([idx])[0]
     reader.release()
     return frame

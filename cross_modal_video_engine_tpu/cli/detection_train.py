@@ -31,6 +31,17 @@ Proposal files (``proposal_file``) are json: {"video,ts(4-digit)":
 [[x1, y1, x2, y2], ...]} with normalized coords — the FAIR dense-
 proposal pickle's content, in a dependency-light format.  Without one,
 training runs on GT person boxes (add_gt_as_proposals semantics).
+``data.val.proposal_file`` supplies the eval candidates (the
+reference's proposal_file_val); without it eval scores GT boxes, which
+measures action classification only.  ``data.val.pipeline`` overrides
+the eval pipeline; by default the train pipeline is reused with
+SampleAVAFrames flipped to test_mode (deterministic center sampling).
+
+FBO configs take ``model.lfb = dict(window_size, capacity, path,
+checkpoint)``: ``checkpoint`` points at a trained base-detector
+checkpoint whose backbone features fill the bank (the reference's
+staged train-base -> infer-LFB -> train-FBO workflow); ``path`` caches
+the built bank on disk.
 """
 
 from __future__ import annotations
@@ -167,14 +178,30 @@ def train_from_config(cfg: Config, work_dir: str,
     bs = cfg.get("data.videos_per_gpu", 4)
 
     pipe = build_pipeline(cfg["data.pipeline"])
+    # val pipeline: data.val.pipeline if given, else the train pipeline
+    # with SampleAVAFrames flipped to test_mode (deterministic center
+    # sampling — the reference's val_pipeline; without this every eval
+    # epoch would score with random per-frame jitter)
+    val_pipe_cfg = cfg.get("data.val.pipeline")
+    if val_pipe_cfg is None:
+        val_pipe_cfg = [dict(op, test_mode=True)
+                        if op.get("type") == "SampleAVAFrames" else op
+                        for op in cfg["data.pipeline"]]
+    val_pipe = build_pipeline(val_pipe_cfg)
     train_ds = AVADataset(cfg["data.train.ann_file"], num_classes,
                           cfg.get("data.train.data_prefix"))
     val_ds = AVADataset(cfg["data.val.ann_file"], num_classes,
                         cfg.get("data.val.data_prefix"))
     proposals = _load_proposals(cfg.get("data.train.proposal_file"))
+    # val proposals (the reference's proposal_file_val): without them
+    # eval candidates are the GT person boxes themselves, which makes
+    # localization perfect by construction
+    val_proposals = _load_proposals(cfg.get("data.val.proposal_file"))
 
     tcfg = RecognitionTrainConfig(**cfg.get("optimizer", {}))
-    tx = make_rec_optimizer(tcfg)
+    epochs = num_epochs or cfg.get("total_epochs", tcfg.num_epochs)
+    steps_per_epoch = max(1, (len(train_ds) + bs - 1) // bs)
+    tx = make_rec_optimizer(tcfg, total_steps=epochs * steps_per_epoch)
 
     # long-term feature bank (FBO configs): load from model.lfb.path or
     # build it from the train split with the freshly initialized
@@ -194,13 +221,33 @@ def train_from_config(cfg: Config, work_dir: str,
                              fps, ts_start, proposals, pos_iou_thr,
                              include_meta=True))
     if uses_fbo and bank is None:
-        # bootstrap the bank with a bare backbone (no shared head)
+        # Bootstrap the bank over BOTH splits (the reference runs its
+        # lfb-infer stage once per split; a train-only bank would leave
+        # every val keyframe with an all-zero long-term window).  With
+        # model.lfb.checkpoint the features come from a trained base
+        # detector (the reference's staged workflow: train base ->
+        # infer LFB -> train FBO); without it the freshly-initialized
+        # backbone is used — fine for smoke runs, documentedly weaker
+        # features for real training.
+        import itertools
+
         bare = AVAFastRCNN(model.backbone, model.head_cfg)
         bvars = bare.init(jax.random.key(0), first["clips"], first["rois"])
+        bparams, bstats = bvars["params"], bvars["batch_stats"]
+        lfb_ckpt = cfg.get("model.lfb.checkpoint")
+        if lfb_ckpt:
+            from ..train.checkpoint import load_checkpoint
+            restored, _, _ = load_checkpoint(
+                lfb_ckpt, {"params": bparams, "batch_stats": bstats})
+            bparams, bstats = restored["params"], restored["batch_stats"]
         bank = build_lfb(
-            bare, bvars["params"], bvars["batch_stats"],
-            det_batches(train_ds, pipe, bs, num_classes, max_boxes, fps,
-                        ts_start, include_meta=True),
+            bare, bparams, bstats,
+            itertools.chain(
+                det_batches(train_ds, pipe, bs, num_classes, max_boxes,
+                            fps, ts_start, include_meta=True),
+                det_batches(val_ds, val_pipe, bs, num_classes, max_boxes,
+                            fps, ts_start, val_proposals,
+                            include_meta=True)),
             capacity=cfg.get("model.lfb.capacity", 5))
         lfb_path = cfg.get("model.lfb.path")
         if lfb_path:
@@ -230,7 +277,6 @@ def train_from_config(cfg: Config, work_dir: str,
         state, stats = payload["state"], payload["batch_stats"]
         start_epoch = int(loop.get("epoch", -1)) + 1
 
-    epochs = num_epochs or cfg.get("total_epochs", tcfg.num_epochs)
     eval_interval = cfg.get("eval_interval", tcfg.eval_interval)
     history: List[Dict] = []
     for epoch in range(start_epoch, epochs):
@@ -256,8 +302,9 @@ def train_from_config(cfg: Config, work_dir: str,
         if (epoch + 1) % eval_interval == 0:
             report = evaluate_ava_detection(
                 infer, state.params, stats,
-                det_batches(val_ds, pipe, bs, num_classes, max_boxes,
-                            fps, ts_start, include_meta=True),
+                det_batches(val_ds, val_pipe, bs, num_classes, max_boxes,
+                            fps, ts_start, val_proposals,
+                            include_meta=True),
                 num_classes, action_thr,
                 bank=bank if uses_fbo else None,
                 window_size=window_size)

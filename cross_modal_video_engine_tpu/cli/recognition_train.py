@@ -155,7 +155,11 @@ def train_from_config(cfg: Config, work_dir: str,
     if cfg.get("multigrid"):
         return _train_multigrid_from_config(cfg, model, train_ds, bs, tcfg,
                                             work_dir, num_epochs)
-    tx = make_rec_optimizer(tcfg)
+    epochs = num_epochs or cfg.get("total_epochs", tcfg.num_epochs)
+    # total_steps sizes the warmup-cosine schedule to the actual run
+    # (the 10k default would decay lr to 0 mid-run on real datasets)
+    tx = make_rec_optimizer(
+        tcfg, total_steps=epochs * max(1, (len(train_ds) + bs - 1) // bs))
     clips0, labels0, _ = next(_label_batches(train_ds, bs))
     variables = model.init(jax.random.key(0), clips0)
     stats = variables.get("batch_stats")
@@ -194,7 +198,6 @@ def train_from_config(cfg: Config, work_dir: str,
         state, stats = payload["state"], payload["batch_stats"]
         start_epoch = int(loop.get("epoch", -1)) + 1
 
-    epochs = num_epochs or cfg.get("total_epochs", tcfg.num_epochs)
     eval_interval = cfg.get("eval_interval", tcfg.eval_interval)
     history = []
     for epoch in range(start_epoch, epochs):

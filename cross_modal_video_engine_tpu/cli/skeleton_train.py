@@ -93,10 +93,17 @@ def to_bone_stream(kp: np.ndarray,
     return bones
 
 
-def _heatmap_volume(kp: np.ndarray, hm_cfg: Dict) -> np.ndarray:
+def _heatmap_volume(kp: np.ndarray, hm_cfg: Dict,
+                    src_shape=None) -> np.ndarray:
     """PoseC3D input: GeneratePoseTarget pseudo-heatmaps (T, H, W, K).
     kp may be (T, V, C) or multi-person (M, T, V, C) — the heatmaps
-    max-combine persons like the reference."""
+    max-combine persons like the reference.
+
+    src_shape: the (h, w) pixel frame of the keypoint coords (from the
+    annotation's img_shape).  Keypoints rescale from it to the heatmap
+    canvas — the reference pipeline's Resize-before-GeneratePoseTarget;
+    without it raw 1080p coords land outside a 56x56 canvas and every
+    gaussian clamps to empty.  None = coords already in heatmap space."""
     from ..data.pipelines_extra import GeneratePoseTarget
     h, w = hm_cfg.get("img_shape", (56, 56))
     op = GeneratePoseTarget(sigma=hm_cfg.get("sigma", 0.6),
@@ -105,7 +112,11 @@ def _heatmap_volume(kp: np.ndarray, hm_cfg: Dict) -> np.ndarray:
                             with_limb=hm_cfg.get("with_limb", False))
     if kp.ndim == 3:
         kp = kp[None]
-    results = {"keypoint": kp[..., :2],
+    xy = kp[..., :2]
+    if src_shape is not None:
+        sh, sw = src_shape
+        xy = xy * np.asarray([w / sw, h / sh], np.float32)
+    results = {"keypoint": xy,
                "keypoint_score": kp[..., 2]
                if kp.shape[-1] > 2 else np.ones(kp.shape[:-1],
                                                 np.float32),
@@ -128,7 +139,8 @@ def skeleton_batches(ds: PoseDataset, batch_size: int,
             kp, label = ds[j]
             if stream == "bone":
                 kp = to_bone_stream(kp)
-            x = _heatmap_volume(kp, heatmap) if heatmap else kp
+            x = (_heatmap_volume(kp, heatmap, ds.src_shape(j))
+                 if heatmap else kp)
             xs.append(x)
             ys.append(label)
         yield (jnp.asarray(np.stack(xs)),
@@ -152,7 +164,11 @@ def train_from_config(cfg: Config, work_dir: str,
                          num_persons)
 
     tcfg = RecognitionTrainConfig(**cfg.get("optimizer", {}))
-    tx = make_rec_optimizer(tcfg)
+    epochs = num_epochs or cfg.get("total_epochs", tcfg.num_epochs)
+    # total_steps sizes the warmup-cosine schedule to the actual run
+    # (the 10k default would decay lr to 0 mid-run on real datasets)
+    tx = make_rec_optimizer(
+        tcfg, total_steps=epochs * max(1, (len(train_ds) + bs - 1) // bs))
     x0, _, _ = next(skeleton_batches(train_ds, bs, stream, heatmap))
     variables = model.init(jax.random.key(0), x0)
     stats = variables.get("batch_stats")
@@ -174,7 +190,6 @@ def train_from_config(cfg: Config, work_dir: str,
         state, stats = payload["state"], payload["batch_stats"]
         start_epoch = int(loop.get("epoch", -1)) + 1
 
-    epochs = num_epochs or cfg.get("total_epochs", tcfg.num_epochs)
     eval_interval = cfg.get("eval_interval", tcfg.eval_interval)
     history: List[Dict] = []
     for epoch in range(start_epoch, epochs):

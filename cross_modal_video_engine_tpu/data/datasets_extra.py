@@ -73,6 +73,14 @@ class PoseDataset:
     def __len__(self) -> int:
         return len(self.annos)
 
+    def src_shape(self, idx: int):
+        """The annotation's (h, w) pixel frame for its keypoint coords
+        (poseC3D pickles carry 'img_shape'); None if absent.  Heatmap
+        consumers rescale keypoints from this frame to the heatmap
+        size — raw 1080p coords dropped into a 56x56 canvas would fall
+        entirely outside it."""
+        return self.annos[idx].get("img_shape")
+
     def __getitem__(self, idx: int) -> Tuple[np.ndarray, int]:
         a = self.annos[idx]
         kp = np.asarray(a["keypoint"], np.float32)

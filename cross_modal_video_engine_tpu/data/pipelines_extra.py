@@ -857,8 +857,11 @@ class SampleAVAFrames:
         end = center + ((self.clip_len + 1) // 2) * self.frame_interval
         inds = np.arange(start, end, self.frame_interval)
         if not self.test_mode:
+            # reference bounds: randint(-fi // 2, (fi + 1) // 2) where
+            # -fi // 2 is floor division of the NEGATED interval —
+            # floor(-3/2) = -2, not -(3 // 2) = -1 (odd intervals)
             inds = inds + self.rng.integers(
-                -(self.frame_interval // 2), (self.frame_interval + 1) // 2,
+                (-self.frame_interval) // 2, (self.frame_interval + 1) // 2,
                 size=self.clip_len)
         inds = np.clip(inds, shot[0], shot[1] - 1)
         results["frame_inds"] = inds.astype(np.int64) + \

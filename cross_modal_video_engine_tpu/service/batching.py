@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from typing import Callable, List, Optional, Sequence
 
@@ -71,6 +72,7 @@ class MicroBatcher:
         self.max_wait = max_wait_ms / 1000.0
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
+        self._lock = threading.Lock()
         self.batches_run = 0
         self.rows_run = 0
         self._worker = threading.Thread(target=self._loop, daemon=True,
@@ -79,31 +81,42 @@ class MicroBatcher:
 
     # -- client side --------------------------------------------------------
     def submit_async(self, row) -> Future:
-        if self._closed:
-            raise RuntimeError("batcher closed")
-        fut: Future = Future()
-        self._q.put((row, fut))
-        return fut
+        # the lock orders this against close(): a row can't slip into
+        # the queue after the poison pill (its Future would never
+        # resolve and submit() would block its HTTP thread forever)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("batcher closed")
+            fut: Future = Future()
+            self._q.put((row, fut))
+            return fut
 
     def submit(self, row, timeout: Optional[float] = None):
         return self.submit_async(row).result(timeout)
 
     def close(self) -> None:
-        self._closed = True
-        self._q.put(None)
+        with self._lock:
+            self._closed = True
+            self._q.put(None)
         self._worker.join(timeout=5)
 
     # -- worker -------------------------------------------------------------
     def _drain(self) -> Optional[List]:
         """Block for the first request, then gather stragglers up to
-        max_batch / max_wait."""
+        max_batch, waiting at most max_wait TOTAL from the first
+        request (a per-straggler timeout would let a trickle of
+        arrivals stretch collection to max_batch * max_wait)."""
         first = self._q.get()
         if first is None:
             return None
         items = [first]
+        deadline = time.monotonic() + self.max_wait
         while len(items) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
             try:
-                nxt = self._q.get(timeout=self.max_wait)
+                nxt = self._q.get(timeout=remaining)
             except queue.Empty:
                 break
             if nxt is None:

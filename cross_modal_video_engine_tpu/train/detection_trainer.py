@@ -326,18 +326,19 @@ def evaluate_ava_detection(infer, params, stats, batches: Iterable[Dict],
                                  batch["timestamp"][b])
             sl = slice(b * max_boxes, (b + 1) * max_boxes)
             n = int(batch["valid"][sl].sum())
-            sc = scores[sl][:n]
-            bx = batch["rois"][sl][:n, 1:]
             db, dl, ds = det_boxes.setdefault(key, []), \
                 det_labels.setdefault(key, []), \
                 det_scores.setdefault(key, [])
-            for c in range(1, num_classes):
-                keep = sc[:, c] >= action_thr
-                for i in np.nonzero(keep)[0]:
-                    x1, y1, x2, y2 = bx[i]
+            # one copy of the per-class action_thr filtering (shared
+            # with detection_test.py via detection_results)
+            per_class = detection_results(scores[sl],
+                                          batch["rois"][sl][:, 1:],
+                                          n, num_classes, action_thr)
+            for c, dets in enumerate(per_class, start=1):
+                for x1, y1, x2, y2, s in dets:
                     db.append([y1, x1, y2, x2])   # AVA eval convention
                     dl.append(c)
-                    ds.append(float(sc[i, c]))
+                    ds.append(float(s))
             gb, gl = gt_boxes_d.setdefault(key, []), \
                 gt_labels_d.setdefault(key, [])
             for i, box in enumerate(np.asarray(
