@@ -20,6 +20,7 @@ ClassificationDataset wraps): ``root/train/<class>/*.jpg`` and
 from __future__ import annotations
 
 import argparse
+import functools
 import glob
 import json
 import os
@@ -43,17 +44,32 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 class ImageFolderDataset:
     """Directory-per-class layout (torchvision ImageFolder semantics;
-    classes sorted by name -> contiguous ids)."""
+    classes sorted by name -> contiguous ids).
 
-    def __init__(self, root: str):
-        self.classes = sorted(
-            d for d in os.listdir(root)
-            if os.path.isdir(os.path.join(root, d)))
-        if not self.classes:
+    ``classes`` imposes an existing name->id mapping (pass the TRAIN
+    split's classes when building the val split: a val tree missing a
+    class would otherwise shift every later id and silently score
+    against the wrong classes)."""
+
+    def __init__(self, root: str, classes: Optional[List[str]] = None):
+        found = sorted(d for d in os.listdir(root)
+                       if os.path.isdir(os.path.join(root, d)))
+        if not found:
             raise FileNotFoundError(f"no class dirs under {root}")
+        if classes is None:
+            self.classes = found
+        else:
+            unknown = sorted(set(found) - set(classes))
+            if unknown:
+                raise ValueError(
+                    f"classes {unknown} under {root} not in the "
+                    f"imposed mapping {classes}")
+            self.classes = list(classes)
+        class_to_id = {c: i for i, c in enumerate(self.classes)}
         exts = ("*.jpg", "*.jpeg", "*.png", "*.bmp", "*.npy")
         self.samples: List[Tuple[str, int]] = []
-        for ci, cname in enumerate(self.classes):
+        for cname in found:
+            ci = class_to_id[cname]
             for e in exts:
                 for p in sorted(glob.glob(os.path.join(root, cname, e))):
                     self.samples.append((p, ci))
@@ -141,13 +157,18 @@ def cls_batches(ds: ImageFolderDataset, batch_size: int, size: int,
                jnp.asarray(np.asarray(labels, np.int32)), n)
 
 
+@functools.lru_cache(maxsize=8)
+def _cls_infer(model: YoloClassifier):
+    """One compiled eval forward per model (a per-call jit closure
+    would recompile every eval epoch — see cli/yolo_train._det_infer)."""
+    return jax.jit(lambda p, s, x: model.apply(
+        {"params": p, "batch_stats": s}, x, train=False))
+
+
 def evaluate_classifier(model: YoloClassifier, params, stats,
                         batches: Iterator) -> Dict[str, float]:
     """classify/val.py: top-1 / top-5 over the eval transform."""
-    def fwd(p, s, x):
-        return model.apply({"params": p, "batch_stats": s}, x,
-                           train=False)
-    infer = jax.jit(fwd)
+    infer = _cls_infer(model)
     top1 = top5 = total = 0
     for images, labels, n in batches:
         logits = np.asarray(infer(params, stats, images))[:n]
@@ -190,7 +211,8 @@ def train_from_config(cfg: Config, work_dir: str,
     fliplr = cfg.get("aug.fliplr", 0.5)
 
     train_ds = ImageFolderDataset(cfg["data.train_dir"])
-    val_ds = (ImageFolderDataset(cfg["data.val_dir"])
+    # val reuses the TRAIN class mapping (ids must align with the head)
+    val_ds = (ImageFolderDataset(cfg["data.val_dir"], train_ds.classes)
               if cfg.get("data.val_dir") else None)
 
     step = make_yolo_cls_train_step(
@@ -211,16 +233,19 @@ def train_from_config(cfg: Config, work_dir: str,
                                ema_stats=variables["batch_stats"])
 
     start_epoch = 0
+    best = -1.0
     if resume:
         payload, loop = load_train_state(resume, {"state": tuple(state)})
         state = YoloTrainState(*payload["state"])
         start_epoch = int(loop.get("epoch", -1)) + 1
+        # restore the best fitness so a post-resume eval can't overwrite
+        # work_dir/best with a worse score
+        best = float(loop.get("best", -1.0))
 
     epochs = num_epochs or cfg.get("total_epochs", 10)
     eval_interval = cfg.get("eval_interval", 1)
     rng = np.random.RandomState(0)
     history: List[Dict] = []
-    best = -1.0
     for epoch in range(start_epoch, epochs):
         # linear schedule, stepped per epoch (classify/train.py:148)
         lr = opt.lr0 * ((1 - epoch / epochs) * (1 - lrf) + lrf)
@@ -247,7 +272,8 @@ def train_from_config(cfg: Config, work_dir: str,
                                   "classes": train_ds.classes,
                                   "model": dict(cfg.get("model", {}))})
         save_train_state(os.path.join(work_dir, f"epoch_{epoch}"),
-                         {"state": tuple(state)}, {"epoch": epoch})
+                         {"state": tuple(state)},
+                         {"epoch": epoch, "best": best})
         history.append(rec)
         print(json.dumps(rec))
     return state, history

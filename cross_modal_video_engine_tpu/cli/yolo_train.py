@@ -301,7 +301,8 @@ def evaluate_detector(model: YoloV5, params, stats,
     size = float(model.cfg.img_size)
     for images, targets, valid, n in batches:
         preds = np.asarray(infer(params, stats, images))
-        dets = postprocess(preds, conf_thres, iou_thres)
+        dets = postprocess(preds, conf_thres, iou_thres,
+                           multi_label=True)   # val.py protocol
         tn = np.asarray(targets)
         vn = np.asarray(valid)
         for b in range(n):
@@ -333,7 +334,8 @@ def evaluate_segmenter(model: YoloV5, params, stats, batches: Iterator,
     for images, targets, valid, gt_masks, n in batches:
         preds, proto = infer(params, stats, images)
         outs = postprocess_seg(np.asarray(preds), np.asarray(proto),
-                               (size, size), conf_thres, iou_thres)
+                               (size, size), conf_thres, iou_thres,
+                               multi_label=True)   # segment/val.py
         tn, vn = np.asarray(targets), np.asarray(valid)
         gmn = np.asarray(gt_masks)
         for b in range(n):

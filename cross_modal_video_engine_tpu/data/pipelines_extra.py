@@ -96,12 +96,21 @@ class AudioDecodeInit:
             n_ch = f.getnchannels()
             width = f.getsampwidth()
             raw = f.readframes(f.getnframes())
-        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
-        y = np.frombuffer(raw, dtype=dtype).astype(np.float32)
-        if width == 1:
-            y = (y - 128.0) / 128.0
+        if width == 3:
+            # 24-bit PCM: widen each little-endian 3-byte sample to
+            # int32 (sign byte replicated) then scale by 2^23
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+            y = (b[:, 0].astype(np.int32)
+                 | (b[:, 1].astype(np.int32) << 8)
+                 | (b[:, 2].astype(np.int8).astype(np.int32) << 16)
+                 ).astype(np.float32) / float(2 ** 23 - 1)
         else:
-            y = y / float(np.iinfo(dtype).max)
+            dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
+            y = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+            if width == 1:
+                y = (y - 128.0) / 128.0
+            else:
+                y = y / float(np.iinfo(dtype).max)
         if n_ch > 1:
             y = y.reshape(-1, n_ch).mean(axis=1)
         if sr != self.sample_rate:
@@ -380,7 +389,10 @@ class PoseDecode:
     def __call__(self, results: Dict) -> Dict:
         if "frame_inds" not in results:
             results["frame_inds"] = np.arange(results["total_frames"])
-        inds = np.squeeze(results["frame_inds"]) + results.get("offset", 0)
+        inds = np.asarray(results["frame_inds"])
+        if inds.ndim != 1:   # reference guard (pose_loading.py:177):
+            inds = np.squeeze(inds)   # a clip_len=1 (1,) keeps its axis
+        inds = inds + results.get("offset", 0)
         if "keypoint_score" in results:
             results["keypoint_score"] = \
                 results["keypoint_score"][:, inds].astype(np.float32)
@@ -1070,7 +1082,10 @@ class ArrayDecode:
 
     def __call__(self, results: Dict) -> Dict:
         array = results["array"]
-        inds = np.squeeze(results["frame_inds"]) + results.get("offset", 0)
+        inds = np.asarray(results["frame_inds"])
+        if inds.ndim != 1:   # reference guard (pose_loading.py:177):
+            inds = np.squeeze(inds)   # a clip_len=1 (1,) keeps its axis
+        inds = inds + results.get("offset", 0)
         modality = results.get("modality", "RGB")
         imgs = []
         for idx in np.atleast_1d(inds):

@@ -66,7 +66,16 @@ def match_predictions(pred_boxes: np.ndarray, pred_classes: np.ndarray,
     if n == 0 or len(gt_boxes) == 0:
         return correct
     if pred_masks is not None:
-        iou = mask_iou(np.asarray(gt_masks), np.asarray(pred_masks))
+        pred_masks = np.asarray(pred_masks)
+        gt_masks = np.asarray(gt_masks)
+        # a silently mismatched mask list would broadcast-crash (or
+        # index out of bounds) deep in the sweep — fail with the cause
+        if len(pred_masks) != n or len(gt_masks) != len(gt_boxes):
+            raise ValueError(
+                f"masks/boxes length mismatch: {len(pred_masks)} pred "
+                f"masks for {n} boxes, {len(gt_masks)} gt masks for "
+                f"{len(gt_boxes)} gt boxes")
+        iou = mask_iou(gt_masks, pred_masks)
     else:
         iou = box_iou(np.asarray(gt_boxes), np.asarray(pred_boxes))
     same = (np.asarray(gt_classes)[:, None]
@@ -139,6 +148,30 @@ def ap_per_class(tp: np.ndarray, conf: np.ndarray, pred_cls: np.ndarray,
     return classes.astype(int), ap, p_curve[:, best], r_curve[:, best]
 
 
+def _summary_row(tps: Sequence[np.ndarray], confs: Sequence[np.ndarray],
+                 pred_clss: Sequence[np.ndarray],
+                 gt_clss: Sequence[np.ndarray],
+                 iou_thresholds: np.ndarray) -> Dict:
+    """Concatenate per-image sweep results and produce the val.py
+    summary dict (shared by detection_map and both segmentation_map
+    branches)."""
+    tp = np.concatenate(tps) if tps else np.zeros((0, len(iou_thresholds)))
+    conf = np.concatenate(confs) if confs else np.zeros(0)
+    pred_cls = np.concatenate(pred_clss) if pred_clss else np.zeros(0)
+    gt_cls = np.concatenate(gt_clss) if gt_clss else np.zeros(0)
+    if gt_cls.size == 0:
+        return dict(map50=0.0, map=0.0, ap_per_class={},
+                    precision=0.0, recall=0.0)
+    classes, ap, prec, rec = ap_per_class(tp, conf, pred_cls, gt_cls)
+    return dict(
+        map50=float(ap[:, 0].mean()) if ap.size else 0.0,
+        map=float(ap.mean()) if ap.size else 0.0,
+        ap_per_class={int(c): float(ap[i, 0]) for i, c in enumerate(classes)},
+        precision=float(prec.mean()) if prec.size else 0.0,
+        recall=float(rec.mean()) if rec.size else 0.0,
+    )
+
+
 def detection_map(predictions: Sequence[Dict], ground_truths: Sequence[Dict],
                   iou_thresholds: np.ndarray = DEFAULT_IOUS) -> Dict:
     """Corpus-level detection eval.
@@ -161,21 +194,8 @@ def detection_map(predictions: Sequence[Dict], ground_truths: Sequence[Dict],
         all_conf.append(np.asarray(pred.get("scores", np.ones(len(boxes)))))
         all_pred_cls.append(np.asarray(pred.get("classes", [])))
         all_gt_cls.append(np.asarray(gt.get("classes", [])))
-    tp = np.concatenate(all_tp) if all_tp else np.zeros((0, len(iou_thresholds)))
-    conf = np.concatenate(all_conf) if all_conf else np.zeros(0)
-    pred_cls = np.concatenate(all_pred_cls) if all_pred_cls else np.zeros(0)
-    gt_cls = np.concatenate(all_gt_cls) if all_gt_cls else np.zeros(0)
-    if gt_cls.size == 0:
-        return dict(map50=0.0, map=0.0, ap_per_class={},
-                    precision=0.0, recall=0.0)
-    classes, ap, prec, rec = ap_per_class(tp, conf, pred_cls, gt_cls)
-    return dict(
-        map50=float(ap[:, 0].mean()) if ap.size else 0.0,
-        map=float(ap.mean()) if ap.size else 0.0,
-        ap_per_class={int(c): float(ap[i, 0]) for i, c in enumerate(classes)},
-        precision=float(prec.mean()) if prec.size else 0.0,
-        recall=float(rec.mean()) if rec.size else 0.0,
-    )
+    return _summary_row(all_tp, all_conf, all_pred_cls, all_gt_cls,
+                        iou_thresholds)
 
 
 def segmentation_map(predictions: Sequence[Dict],
@@ -210,22 +230,7 @@ def segmentation_map(predictions: Sequence[Dict],
         all_gt_cls.append(gc)
 
     def _summary(tps):
-        tp = np.concatenate(tps) if tps else np.zeros((0, len(iou_thresholds)))
-        conf = np.concatenate(all_conf) if all_conf else np.zeros(0)
-        pred_cls = (np.concatenate(all_pred_cls) if all_pred_cls
-                    else np.zeros(0))
-        gt_cls = np.concatenate(all_gt_cls) if all_gt_cls else np.zeros(0)
-        if gt_cls.size == 0:
-            return dict(map50=0.0, map=0.0, ap_per_class={},
-                        precision=0.0, recall=0.0)
-        classes, ap, prec, rec = ap_per_class(tp, conf, pred_cls, gt_cls)
-        return dict(
-            map50=float(ap[:, 0].mean()) if ap.size else 0.0,
-            map=float(ap.mean()) if ap.size else 0.0,
-            ap_per_class={int(c): float(ap[i, 0])
-                          for i, c in enumerate(classes)},
-            precision=float(prec.mean()) if prec.size else 0.0,
-            recall=float(rec.mean()) if rec.size else 0.0,
-        )
+        return _summary_row(tps, all_conf, all_pred_cls, all_gt_cls,
+                            iou_thresholds)
 
     return {"boxes": _summary(tp_b), "masks": _summary(tp_m)}

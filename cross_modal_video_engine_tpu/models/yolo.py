@@ -126,6 +126,25 @@ class Proto(nn.Module):
         return ConvBnSiLU(self.nm, 1, name="cv3")(x, train=train)
 
 
+def _detect_bias_init(stride: int, na: int, nc: int, nm: int):
+    """Detect-head bias priors (_initialize_biases, models/yolo.py
+    :253-261): objectness starts at log(8 objects / (640/stride)² cells)
+    and class logits at log(0.6/(nc-0.999999)), so a from-scratch model
+    doesn't begin with sigmoid=0.5 on every anchor (which floods the
+    first epochs with objectness false-positive loss).  Imported
+    checkpoints overwrite these."""
+    import math
+
+    def init(key, shape, dtype=jnp.float32):
+        b = np.zeros((na, 5 + nc + nm), np.float32)
+        b[:, 4] = math.log(8.0 / (640.0 / stride) ** 2)
+        b[:, 5:5 + nc] = math.log(0.6 / (nc - 0.999999))
+        assert b.size == shape[0], (b.shape, shape)
+        return jnp.asarray(b.reshape(-1), dtype)
+
+    return init
+
+
 class YoloV5(nn.Module):
     cfg: YoloConfig
 
@@ -172,7 +191,11 @@ class YoloV5(nn.Module):
         no = 3 * (5 + cfg.num_classes + cfg.masks)
         outs = []
         for i, feat in enumerate((n3, n4b, n5b)):
-            outs.append(nn.Conv(no, (1, 1), name=f"detect_{i}")(feat))
+            outs.append(nn.Conv(
+                no, (1, 1), name=f"detect_{i}",
+                bias_init=_detect_bias_init(
+                    (8, 16, 32)[i], 3, cfg.num_classes,
+                    cfg.masks))(feat))
         if cfg.masks > 0:
             proto = Proto(cfg.protos or w(256), cfg.masks,
                           name="proto")(n3, train=train)
@@ -296,17 +319,27 @@ def nms(boxes_xywh: np.ndarray, scores: np.ndarray, classes: np.ndarray,
 
 
 def postprocess(preds: np.ndarray, conf_thres: float = 0.25,
-                iou_thres: float = 0.45, max_det: int = 300
-                ) -> List[np.ndarray]:
+                iou_thres: float = 0.45, max_det: int = 300,
+                multi_label: bool = False) -> List[np.ndarray]:
     """(B, N, 5+nc) -> per image (n, 6): x1,y1,x2,y2,conf,cls
-    (yolov5 utils/general.py non_max_suppression semantics)."""
+    (yolov5 utils/general.py non_max_suppression semantics).
+
+    multi_label=False (detect.py default) keeps the argmax class per
+    box; True emits one candidate per (box, class) above conf_thres —
+    the val.py protocol (val.py passes multi_label=True), which matters
+    at val's conf=0.001 where confusable classes both clear the bar."""
     out = []
     for p in preds:
         conf = p[:, 4:5] * p[:, 5:]
-        cls = conf.argmax(1)
-        score = conf[np.arange(len(conf)), cls]
-        m = score > conf_thres
-        p, cls, score = p[m], cls[m], score[m]
+        if multi_label:
+            bi, cls = np.nonzero(conf > conf_thres)
+            score = conf[bi, cls]
+            p = p[bi]
+        else:
+            cls = conf.argmax(1)
+            score = conf[np.arange(len(conf)), cls]
+            m = score > conf_thres
+            p, cls, score = p[m], cls[m], score[m]
         keep = nms(p[:, :4], score, cls, iou_thres, max_det)
         b = p[keep]
         xyxy = np.stack([b[:, 0] - b[:, 2] / 2, b[:, 1] - b[:, 3] / 2,
@@ -318,7 +351,8 @@ def postprocess(preds: np.ndarray, conf_thres: float = 0.25,
 
 def postprocess_seg(preds: np.ndarray, protos: np.ndarray,
                     img_hw: Tuple[int, int], conf_thres: float = 0.25,
-                    iou_thres: float = 0.45, max_det: int = 300
+                    iou_thres: float = 0.45, max_det: int = 300,
+                    multi_label: bool = False
                     ) -> List[Tuple[np.ndarray, np.ndarray]]:
     """Segmentation NMS + mask assembly (segment/predict.py:100-118:
     non_max_suppression(nm=32) then process_mask).
@@ -326,16 +360,22 @@ def postprocess_seg(preds: np.ndarray, protos: np.ndarray,
     preds: (B, N, 5+nc+nm) from `decode_predictions` on a masks>0
     model; protos: (B, Hm, Wm, nm).  Returns per image
     (det (n, 6) [x1,y1,x2,y2,conf,cls], masks (n, H, W) bool).
+    multi_label: see `postprocess` — the segment/val.py protocol.
     """
     nm = protos.shape[-1]
     out = []
     for p, proto in zip(np.asarray(preds), protos):
         box, obj, clsp, coefs = np.split(p, [4, 5, p.shape[1] - nm], axis=1)
         conf = obj * clsp
-        cls = conf.argmax(1)
-        score = conf[np.arange(len(conf)), cls]
-        m = score > conf_thres
-        box, cls, score, coefs = box[m], cls[m], score[m], coefs[m]
+        if multi_label:
+            bi, cls = np.nonzero(conf > conf_thres)
+            score = conf[bi, cls]
+            box, coefs = box[bi], coefs[bi]
+        else:
+            cls = conf.argmax(1)
+            score = conf[np.arange(len(conf)), cls]
+            m = score > conf_thres
+            box, cls, score, coefs = box[m], cls[m], score[m], coefs[m]
         keep = nms(box, score, cls, iou_thres, max_det)
         b = box[keep]
         xyxy = np.stack([b[:, 0] - b[:, 2] / 2, b[:, 1] - b[:, 3] / 2,
