@@ -33,7 +33,9 @@ LANES = 128
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
                 sm_scale: float, causal: bool, block_q: int, block_k: int,
-                kv_len: int, q_valid: int, kv_valid: int):
+                kv_valid: int):
+    # (q-row padding needs no mask here: padded output rows are sliced
+    # off by the caller; kv padding is masked via kv_valid)
     q_idx = pl.program_id(1)
     kv_idx = pl.program_id(2)
     n_kv = pl.num_programs(2)
@@ -149,7 +151,7 @@ def _flash_attention_impl(q, k, v, sm_scale, causal, block_q, block_k):
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel, sm_scale=sm_scale, causal=causal, block_q=block_q,
-            block_k=block_k, kv_len=kf.shape[1], q_valid=Sq, kv_valid=Skv),
+            block_k=block_k, kv_valid=Skv),
         out_shape=jax.ShapeDtypeStruct(qf.shape, q.dtype),
         grid=(qf.shape[0], qf.shape[1] // block_q, kf.shape[1] // block_k),
         in_specs=[

@@ -87,22 +87,56 @@ def jaccard_sim(im: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
 
 
 def get_sim(name: str):
+    """Training-side similarity (reference TripletLoss.__init__ mapping,
+    loss.py:93-108 — note the reference feeds the distance-flavored
+    L1/L2_sim_norm into the same hinge, and we mirror that exactly)."""
     return SIMILARITIES.get(name)
+
+
+def _errors(cap: jnp.ndarray, vid: jnp.ndarray, measure: str
+            ) -> jnp.ndarray:
+    """Exact evaluation.cal_error branch semantics (evaluation.py:17-38):
+    cosine L2-normalizes internally, euclidean/l1/l2 are POSITIVE
+    unsquared cdist values, the *_norm measures are -cdist/dim - 1, and
+    jaccard is -similarity.  (These deliberately differ from the
+    train-side loss.py formulas — e.g. train 'euclidean' is -squared —
+    because the reference's two files differ; each side matches its
+    own file.)  'order' has no reference cal_error branch; it is scored
+    as -order_sim in the TRAINING orientation (penalty when the caption
+    is not entailed by the video)."""
+    d = vid.shape[1]
+    if measure == "cosine":
+        return -jnp.dot(l2norm(cap), l2norm(vid).T,
+                        preferred_element_type=jnp.float32)
+    if measure in ("euclidean", "l2", "l2_norm"):
+        sq = (jnp.sum(cap * cap, axis=1)[:, None]
+              + jnp.sum(vid * vid, axis=1)[None, :]
+              - 2.0 * jnp.dot(cap, vid.T,
+                              preferred_element_type=jnp.float32))
+        dist = jnp.sqrt(jnp.maximum(sq, 0.0))
+        return -dist / d - 1.0 if measure == "l2_norm" else dist
+    if measure in ("l1", "l1_norm"):
+        dist = jnp.sum(jnp.abs(cap[:, None, :] - vid[None, :, :]), axis=2)
+        return -dist / d - 1.0 if measure == "l1_norm" else dist
+    if measure == "jaccard":
+        return -jaccard_sim(cap, vid)
+    if measure == "order":
+        return -order_sim(vid, cap).T
+    raise ValueError(f"unknown measure {measure!r}")
 
 
 @functools.partial(jax.jit, static_argnames=("measure", "block"))
 def _error_matrix(vid: jnp.ndarray, cap: jnp.ndarray, measure: str = "cosine",
                   block: int = 0) -> jnp.ndarray:
-    sim = get_sim(measure)
     if block and cap.shape[0] > block:
         # memory-chunked like evaluation.cal_error_batch (evaluation.py:41-72)
         n = cap.shape[0]
         pad = (-n) % block
         cap_p = jnp.pad(cap, ((0, pad), (0, 0)))
         chunks = cap_p.reshape(-1, block, cap.shape[1])
-        out = jax.lax.map(lambda c: -sim(c, vid), chunks)
+        out = jax.lax.map(lambda c: _errors(c, vid, measure), chunks)
         return out.reshape(-1, vid.shape[0])[:n]
-    return -sim(cap, vid)
+    return _errors(cap, vid, measure)
 
 
 def cal_error(videos, captions, measure: str = "cosine", block: int = 0):

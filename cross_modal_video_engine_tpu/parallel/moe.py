@@ -9,9 +9,11 @@ set (dp/tp/sp/pp/ep).  Top-1 "switch" routing with a capacity limit:
   * tokens are packed into per-expert capacity slots and exchanged with
     ONE `all_to_all` over ICI, the expert MLP runs as a dense local
     GEMM, and a second all_to_all returns results;
-  * over-capacity tokens pass through on the residual path (standard
-    switch-transformer semantics), and the router is trained with the
-    usual load-balance auxiliary loss.
+  * the returned value is the PRE-residual layer output: over-capacity
+    tokens yield 0, so the consumer's `x + out` residual reduces to
+    identity for them (standard switch-transformer semantics; returning
+    the input here would double-inject it through the residual add);
+    the router is trained with the usual load-balance auxiliary loss.
 
 Everything is one shard_map program; routing is argmax + one-hot
 matmuls, so there is no data-dependent shape anywhere.
@@ -53,16 +55,20 @@ def expert_parallel_mlp(tokens: jnp.ndarray, router_w: jnp.ndarray,
         probs = jax.nn.softmax(logits, axis=-1)
         expert = jnp.argmax(probs, axis=-1)              # (n,)
         gate = jnp.max(probs, axis=-1)
-        onehot = jax.nn.one_hot(expert, E, dtype=x.dtype)
+        # slot bookkeeping stays f32 regardless of token dtype: a bf16
+        # cumsum rounds positions past 256, colliding distinct tokens
+        # into one dispatch slot (their features silently sum)
+        onehot_f = jax.nn.one_hot(expert, E, dtype=jnp.float32)
+        onehot = onehot_f.astype(x.dtype)
 
         # switch load-balance loss: E * sum(frac_tokens * frac_probs)
-        frac_tokens = onehot.mean(axis=0)
-        frac_probs = probs.mean(axis=0)
+        frac_tokens = onehot_f.mean(axis=0)
+        frac_probs = probs.astype(jnp.float32).mean(axis=0)
         lb = E * jnp.sum(frac_tokens * frac_probs)
         lb = jax.lax.pmean(lb, axis)
 
         # capacity slots: position of each token within its expert queue
-        pos = (jnp.cumsum(onehot, axis=0) - 1.0) * onehot
+        pos = (jnp.cumsum(onehot_f, axis=0) - 1.0) * onehot_f
         pos = pos.sum(axis=-1).astype(jnp.int32)         # (n,)
         keep = (pos < C).astype(x.dtype)
         dropped = jax.lax.pmean(1.0 - keep.mean(), axis)
@@ -84,10 +90,10 @@ def expert_parallel_mlp(tokens: jnp.ndarray, router_w: jnp.ndarray,
                                   tiled=False)           # (E, C, D)
 
         # unpack: token i reads its (expert, slot) cell; dropped tokens
-        # pass through on the residual
+        # contribute 0 so the consumer's residual passes them through
         got = jnp.einsum("ne,nc,ecd->nd", onehot, slot, back)
         out = jnp.where((keep * gate)[:, None] > 0,
-                        got * gate[:, None], x)
+                        got * gate[:, None], 0.0)
         return out, lb, dropped
 
     out, lb, dropped = run(tokens, router_w, w1, w2)

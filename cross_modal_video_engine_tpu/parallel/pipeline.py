@@ -52,6 +52,16 @@ def spmd_pipeline(stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
         in_specs=(P(axis), P()), out_specs=P(),
         check_vma=False)
     def run(params, inputs):
+        # each device must hold exactly ONE stage slice: with more
+        # stages than mesh devices the local leading axis is >1 and
+        # p[0] would silently drop the extra stages (use
+        # pipeline_models.stack_tower_blocks' (S, k) layout for
+        # multiple blocks per stage)
+        lead = {jax.tree.leaves(params)[0].shape[0]} if jax.tree.leaves(
+            params) else {1}
+        assert lead == {1}, (
+            f"stage_params leading axis shards to {lead} per device; "
+            f"expected 1 (S must equal the '{axis}' mesh axis size)")
         params = jax.tree.map(lambda p: p[0], params)   # this stage's slice
         stage = jax.lax.axis_index(axis)
         buf0 = jnp.zeros_like(inputs[0])

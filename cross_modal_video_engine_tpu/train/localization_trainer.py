@@ -73,8 +73,10 @@ def bmn_labels(gt_segments: np.ndarray, T: int, D: Optional[int] = None
     gt_iou_map = iou.max(-1).astype(np.float32)
 
     pad = 3.0 * gap
+    # boundary anchors are 2-gap wide: _temporal_anchors(-0.5, 1.5)
+    # (bmn.py:134-135), i.e. [gap*(i-0.5), gap*(i+1.5)]
     anchors_min = gap * (np.arange(T) - 0.5)
-    anchors_max = gap * (np.arange(T) + 0.5)
+    anchors_max = gap * (np.arange(T) + 1.5)
     start_lo, start_hi = gt[:, 0] - pad / 2, gt[:, 0] + pad / 2
     end_lo, end_hi = gt[:, 1] - pad / 2, gt[:, 1] + pad / 2
     gt_start = _iop_1d(anchors_min, anchors_max, start_lo, start_hi
@@ -116,6 +118,10 @@ class SSNSamplerConfig:
     background_iou: float = 0.01
     incomplete_iou: float = 0.3
     incomplete_overlap: float = 0.01
+    # minimum fraction of the video a background proposal must span
+    # (get_negatives background_coverage_threshold; 0.02 in the shipped
+    # SSN configs)
+    background_coverage: float = 0.01
 
 
 def sample_ssn_proposals(proposals: np.ndarray, gt_segments: np.ndarray,
@@ -137,9 +143,15 @@ def sample_ssn_proposals(proposals: np.ndarray, gt_segments: np.ndarray,
     best_overlap = overlap.max(0)
 
     pos = np.nonzero(best_iou >= cfg.positive_iou)[0]
-    inc = np.nonzero((best_iou < cfg.incomplete_iou)
-                     & (best_overlap > cfg.incomplete_overlap))[0]
-    bg = np.nonzero(best_iou < cfg.background_iou)[0]
+    # get_negatives is if/elif: a proposal that qualifies as incomplete
+    # is NEVER also background, and backgrounds must additionally cover
+    # enough of the video (ssn_dataset.py:560-594)
+    inc_mask = ((best_iou < cfg.incomplete_iou)
+                & (best_overlap > cfg.incomplete_overlap))
+    coverage = proposals[:, 1] - proposals[:, 0]     # normalized spans
+    inc = np.nonzero(inc_mask)[0]
+    bg = np.nonzero(~inc_mask & (best_iou < cfg.background_iou)
+                    & (coverage > cfg.background_coverage))[0]
 
     def pick(idx, k):
         if len(idx) == 0:

@@ -46,10 +46,18 @@ class ShardedCheckpointer:
             lambda x: self._ocp.utils.to_shape_dtype_struct(x)
             if hasattr(self._ocp.utils, "to_shape_dtype_struct") else x,
             template)
+        # only request items the checkpoint actually contains — asking
+        # for 'loop' on a save(step, state) checkpoint (loop_state=None)
+        # raises KeyError inside orbax
+        try:
+            present = set(self.manager.item_metadata(step).keys())
+        except Exception:
+            present = {"state", "loop"}
+        items = {"state": self._ocp.args.StandardRestore(target)}
+        if "loop" in present:
+            items["loop"] = self._ocp.args.JsonRestore()
         restored = self.manager.restore(
-            step, args=self._ocp.args.Composite(
-                state=self._ocp.args.StandardRestore(target),
-                loop=self._ocp.args.JsonRestore()))
+            step, args=self._ocp.args.Composite(**items))
         loop = restored.get("loop") or {}
         return restored["state"], loop, step
 

@@ -105,11 +105,14 @@ def test_bmn_label_generation():
     assert gt_iou_map.shape == (T, T)
     # the exact anchor [0.3, 0.7] = start 3, duration 4 has iou 1
     np.testing.assert_allclose(gt_iou_map[3, 3], 1.0)
-    # the 3/T-wide boundary window fully covers the 3 snippet anchors
-    # around each gt boundary (reference bmn.py gt_len_pad = 3/tscale)
-    np.testing.assert_allclose(gt_start[2:5], 1.0)
-    np.testing.assert_allclose(gt_start[6:], 0.0, atol=1e-12)
-    np.testing.assert_allclose(gt_end[6:9], 1.0)
+    # reference boundary anchors are 2-gap wide (_temporal_anchors
+    # (-0.5, 1.5), bmn.py:134) and the window is 3/T wide
+    # (gt_len_pad = 3/tscale): the IoP profile around each boundary is
+    # [.5, 1, 1, .5] over the four overlapping anchors
+    np.testing.assert_allclose(gt_start, [0, .5, 1, 1, .5, 0, 0, 0, 0, 0],
+                               atol=1e-7)
+    np.testing.assert_allclose(gt_end, [0, 0, 0, 0, 0, .5, 1, 1, .5, 0],
+                               atol=1e-7)
     act, st, en = bsn_tem_labels(np.asarray([[0.3, 0.7]]), T)
     np.testing.assert_allclose(act[3:7], 1.0)
     np.testing.assert_allclose(act[:3], 0.0, atol=1e-12)

@@ -57,12 +57,13 @@ def test_moe_capacity_overflow_passes_through():
     out = np.asarray(out)
     assert float(aux["dropped_fraction"]) > 0.0
     # per device (4 local tokens, capacity 1): slot 0 transformed, the
-    # rest identical to their inputs (residual pass-through)
+    # rest ZERO (pre-residual output: the consumer's x + out residual
+    # passes dropped tokens through as identity)
     transformed = np.isclose(out / np.maximum(x, 1e-9), 7.0 * 0.99,
                              rtol=0.2).all(axis=1)
-    passed = np.isclose(out, x).all(axis=1)
-    assert (transformed | passed).all()
-    assert passed.sum() == 12 and transformed.sum() == 4
+    dropped_rows = np.isclose(out, 0.0).all(axis=1)
+    assert (transformed | dropped_rows).all()
+    assert dropped_rows.sum() == 12 and transformed.sum() == 4
 
 
 def test_moe_differentiates():
@@ -87,3 +88,25 @@ def test_moe_differentiates():
         gk = np.asarray(g[k])
         assert np.isfinite(gk).all()
         assert np.abs(gk).max() > 0, k
+
+
+def test_moe_bf16_slots_past_256_do_not_collide():
+    """Regression: slot positions were cumsum'd in the token dtype, so
+    bf16 tokens past position 256 (inexact in bf16) collided into the
+    same dispatch slot and their features silently summed."""
+    E, D, N = 2, 8, 1024
+    mesh = _mesh(E)
+    x = rng.uniform(0.1, 0.5, (N, D)).astype(np.float32)
+    x[:, 0] += 5.0                     # everyone routes to expert 0
+    router_w = np.eye(D, E, dtype=np.float32) * 10.0
+    w1 = np.stack([np.eye(D, dtype=np.float32)] * E)
+    w2 = np.stack([np.eye(D, dtype=np.float32)] * E)
+    out, aux = expert_parallel_mlp(
+        jnp.asarray(x, jnp.bfloat16), jnp.asarray(router_w),
+        jnp.asarray(w1), jnp.asarray(w2), mesh, capacity_factor=2.0)
+    assert float(aux["dropped_fraction"]) == 0.0
+    probs = np.exp(x @ router_w)
+    probs = probs / probs.sum(1, keepdims=True)
+    want = x * probs.max(1)[:, None]   # identity expert * gate
+    np.testing.assert_allclose(np.asarray(out, np.float32), want,
+                               rtol=0.05, atol=0.05)
