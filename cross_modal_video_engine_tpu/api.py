@@ -64,7 +64,10 @@ def inference_recognizer(model, variables, video: str,
                          ) -> Tuple[np.ndarray, Dict[int, np.ndarray]]:
     """Run a video through the test pipeline and the recognizer.
     outputs: backbone block indices to capture (OutputHook equivalent)."""
-    pipe_cfg = list(pipeline or TEST_PIPELINE)
+    # copy the op dicts, not just the list: centercrop=False rewrites
+    # the Resize entry, and a shallow copy would mutate the shared
+    # TEST_PIPELINE (or the caller's pipeline) for every later call
+    pipe_cfg = [dict(c) for c in (pipeline or TEST_PIPELINE)]
     if not centercrop:
         pipe_cfg = [c for c in pipe_cfg if c.get("type") != "CenterCrop"]
         for c in pipe_cfg:
@@ -72,8 +75,12 @@ def inference_recognizer(model, variables, video: str,
                 c["scale"] = (224, 224)
                 c["keep_ratio"] = False
     if shuffle_idx is not None:
-        insert_at = next(i for i, c in enumerate(pipe_cfg)
-                         if c["type"] == "Resize")
+        insert_at = next((i for i, c in enumerate(pipe_cfg)
+                          if c["type"] == "Resize"), None)
+        if insert_at is None:
+            raise ValueError(
+                "shuffle_idx needs a Resize op in the pipeline as its "
+                "insertion anchor; none found")
         pipe_cfg.insert(insert_at,
                         dict(type="RandomShuffleFrames",
                              shuffle_idx=list(shuffle_idx)))

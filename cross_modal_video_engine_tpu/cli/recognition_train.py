@@ -254,7 +254,8 @@ def _train_multigrid_from_config(cfg, model, train_ds, bs, tcfg, work_dir,
     clips0, _, _ = next(_label_batches(train_ds, bs))
     variables = model.init(jax.random.key(0), clips0)
     (variables, _opt), history = train_multigrid(
-        model, variables, tcfg, schedule, epoch_batches, epochs)
+        model, variables, tcfg, schedule, epoch_batches, epochs,
+        total_steps=epochs * max(1, (len(train_ds) + bs - 1) // bs))
     save_checkpoint(os.path.join(work_dir, "multigrid_final"), variables,
                     {"backbone": cfg["model.backbone"],
                      "num_classes": cfg["model.num_classes"]},

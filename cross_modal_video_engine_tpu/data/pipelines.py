@@ -196,6 +196,13 @@ class Resize:
                 new_w, new_h = short, int(round(h * short / w))
             else:
                 new_w, new_h = int(round(w * short / h)), short
+        elif self.keep_ratio and len(self.scale) == 2:
+            # mmcv rescale_size: (w, h) is a MAX box when keep_ratio
+            # (the default) — scale so both edges fit, preserving
+            # aspect; stretching to the exact size is keep_ratio=False
+            mw, mh = self.scale
+            f = min(max(mw, mh) / max(h, w), min(mw, mh) / min(h, w))
+            new_w, new_h = int(w * f + 0.5), int(h * f + 0.5)
         elif len(self.scale) == 2:
             new_w, new_h = self.scale
         else:
@@ -345,12 +352,17 @@ class Flip:
         if flip:
             results["imgs"] = [np.ascontiguousarray(im[:, ::-1])
                                for im in results["imgs"]]
-            # detection pipelines carry normalized x1y1x2y2 boxes
-            # (mmaction's Flip mirrors gt_bboxes/proposals too)
+            # mirror x1y1x2y2 boxes in their declared frame: normalized
+            # [0,1] (the AVA convention, bbox_coords='normalized' — the
+            # default for back-compat) or pixel coords (anything else)
+            normalized = results.get("bbox_coords", "normalized") \
+                == "normalized"
+            w_img = results["imgs"][0].shape[1]
             for key in ("gt_bboxes", "proposals"):
                 if results.get(key) is not None and len(results[key]):
                     b = np.asarray(results[key], np.float32).copy()
-                    b[:, [0, 2]] = 1.0 - b[:, [2, 0]]
+                    span = 1.0 if normalized else float(w_img)
+                    b[:, [0, 2]] = span - b[:, [2, 0]]
                     results[key] = b
         return results
 

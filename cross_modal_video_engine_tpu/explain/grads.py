@@ -13,6 +13,7 @@ On TPU, hooks become pure functions:
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -36,7 +37,19 @@ def grad_extract(model, variables, videos, layers: Sequence[int],
     'scores' (B, C), and per-layer 'activations'/'gradients'
     {layer: (B, L, D)}."""
     layers = tuple(layers)
+    f = (_compiled_extract(model, layers, target_class) if jit
+         else _make_extract(model, layers, target_class))
+    scores, cls_idx, captured, grads = f(variables, videos)
+    return {
+        "scores": np.asarray(scores),
+        "pred": np.asarray(cls_idx),
+        "activations": {l: np.asarray(v) for l, v in captured.items()},
+        "gradients": {l: np.asarray(v) for l, v in grads.items()},
+    }
 
+
+def _make_extract(model, layers: Tuple[int, ...],
+                  target_class: Optional[int]):
     def run(variables, videos):
         scores, captured = model.apply(
             variables, videos, layers, method="forward_with_capture")
@@ -56,14 +69,17 @@ def grad_extract(model, variables, videos, layers: Sequence[int],
             grads[l] = jax.grad(score_of)(captured[l])
         return scores, cls_idx, captured, grads
 
-    f = jax.jit(run) if jit else run
-    scores, cls_idx, captured, grads = f(variables, videos)
-    return {
-        "scores": np.asarray(scores),
-        "pred": np.asarray(cls_idx),
-        "activations": {l: np.asarray(v) for l, v in captured.items()},
-        "gradients": {l: np.asarray(v) for l, v in grads.items()},
-    }
+    return run
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_extract(model, layers: Tuple[int, ...],
+                      target_class: Optional[int]):
+    """One compiled forward+grad program per (model, layers, target):
+    a per-call jax.jit wrapper would retrace and recompile every
+    request on the serving hot path (20s-9min per compile through the
+    remote TPU service)."""
+    return jax.jit(_make_extract(model, layers, target_class))
 
 
 def normalized_cls_grad(grad_tokens: np.ndarray) -> np.ndarray:

@@ -25,8 +25,10 @@ def box_mask(frame: np.ndarray, xyxy: Sequence[float],
              value: int = 0) -> np.ndarray:
     """Fill the box region (plots.py:117-123). Mutates and returns frame."""
     h, w = frame.shape[:2]
-    x1, y1, x2, y2 = (int(max(0, xyxy[0])), int(max(0, xyxy[1])),
-                      int(min(w, xyxy[2])), int(min(h, xyxy[3])))
+    # clamp BOTH corners into [0, size]: a negative x2/y2 would become
+    # a negative-index slice and mask a large wrong region
+    x1, y1 = int(min(max(0, xyxy[0]), w)), int(min(max(0, xyxy[1]), h))
+    x2, y2 = int(min(max(0, xyxy[2]), w)), int(min(max(0, xyxy[3]), h))
     frame[y1:y2, x1:x2] = value
     return frame
 
@@ -68,8 +70,16 @@ def per_class_masked_videos(frames: np.ndarray,
 def detect_video(detector_fn: Callable[[np.ndarray], List[np.ndarray]],
                  frames: np.ndarray, batch_size: int = 16
                  ) -> List[np.ndarray]:
-    """Run a batched detector over all frames of a clip."""
+    """Run a batched detector over all frames of a clip.  The tail
+    batch is padded to batch_size by repeating the last frame (static
+    shapes: an odd tail would compile a second program — 20s-9min per
+    shape through the remote TPU service)."""
     dets: List[np.ndarray] = []
     for i in range(0, len(frames), batch_size):
-        dets.extend(detector_fn(frames[i:i + batch_size]))
+        chunk = frames[i:i + batch_size]
+        n = len(chunk)
+        if n < batch_size:
+            pad = np.repeat(chunk[-1:], batch_size - n, axis=0)
+            chunk = np.concatenate([chunk, pad], axis=0)
+        dets.extend(detector_fn(chunk)[:n])
     return dets

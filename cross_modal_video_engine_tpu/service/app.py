@@ -23,6 +23,12 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Dict, Optional
 
 
+class UnknownRoute(KeyError):
+    """Raised by dispatch for an unregistered route — distinct from
+    KeyErrors raised INSIDE a handler (e.g. a missing payload field),
+    which must surface as handler errors, not 404s."""
+
+
 class EngineService:
     """Callable registry for the four capabilities, with per-route
     request counters and latency percentiles on GET /metrics (the
@@ -72,7 +78,7 @@ class EngineService:
         if route == "metrics":
             return self.metrics()
         if route not in self.handlers:
-            raise KeyError(route)
+            raise UnknownRoute(route)
         t0 = time.perf_counter()
         try:
             out = self.handlers[route](payload)
@@ -107,8 +113,10 @@ def create_server(service: EngineService, host: str = "127.0.0.1",
                 payload = json.loads(self.rfile.read(length) or b"{}")
                 result = service.dispatch(self.path, payload)
                 self._send(200, result)
-            except KeyError:
+            except UnknownRoute:
                 self._send(404, {"error": f"unknown route {self.path}"})
+            except KeyError as e:   # missing payload field in a handler
+                self._send(400, {"error": f"missing field {e}"})
             except Exception as e:  # surface handler errors as 500 JSON
                 self._send(500, {"error": str(e)})
 

@@ -225,6 +225,34 @@ def bucketize_batches(batches, bucket):
             have = buf_c[0].shape[0]
 
 
+class _RawChunker:
+    """Draw exactly-n-sample chunks from an iterable of raw full-shape
+    (clips, labels) batches (tail dropped, like bucketize_batches).
+    Used by the short-cycle multigrid path, where consecutive steps
+    need DIFFERENT batch sizes — pre-chunking at one bucket and slicing
+    would silently discard the rest of every mismatched chunk."""
+
+    def __init__(self, batches):
+        self._it = iter(batches)
+        self._c, self._l = [], []
+        self._have = 0
+
+    def take(self, n: int):
+        while self._have < n:
+            try:
+                c, l = next(self._it)
+            except StopIteration:
+                return None
+            c = np.asarray(c)
+            self._c.append(c)
+            self._l.append(np.asarray(l))
+            self._have += c.shape[0]
+        cat_c, cat_l = np.concatenate(self._c), np.concatenate(self._l)
+        self._c, self._l = [cat_c[n:]], [cat_l[n:]]
+        self._have = cat_c.shape[0] - n
+        return cat_c[:n], cat_l[:n]
+
+
 def make_multigrid_train_step(model, tx, lr_scale: float,
                               has_batch_stats: bool):
     """One compiled classification step with the bucket's LR scale and
@@ -262,7 +290,8 @@ def make_multigrid_train_step(model, tx, lr_scale: float,
 def train_multigrid(model, variables, tcfg: RecognitionTrainConfig,
                     schedule, epoch_batches: Callable[[int], Any],
                     total_epochs: int, rng=None,
-                    precise_bn_batches: int = 0):
+                    precise_bn_batches: int = 0,
+                    total_steps: Optional[int] = None):
     """Multigrid training loop: each epoch runs at the schedule's bucket
     (coarse -> fine long cycle, optional short cycle per step, final
     epochs at the finest bucket), with per-bucket compiled steps and LR
@@ -279,7 +308,10 @@ def train_multigrid(model, variables, tcfg: RecognitionTrainConfig,
     coarse-bucket epochs pollute the EMA with other-shape statistics.
     """
     rng = jax.random.key(0) if rng is None else rng
-    tx = make_rec_optimizer(tcfg)
+    # total_steps sizes a configured warmup-cosine schedule to the run
+    # (the 10k default would decay lr to 0 mid-run on real datasets)
+    tx = (make_rec_optimizer(tcfg, total_steps=total_steps)
+          if total_steps else make_rec_optimizer(tcfg))
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     has_stats = bool(stats)
@@ -296,26 +328,36 @@ def train_multigrid(model, variables, tcfg: RecognitionTrainConfig,
     history = []
     for epoch in range(total_epochs):
         bucket = schedule.bucket_for(epoch, total_epochs)
-        step = get_step(bucket)
         losses, accs, n_steps = [], [], 0
-        for clips, labels in bucketize_batches(epoch_batches(epoch), bucket):
-            if schedule.short_cycle_period:
-                b2 = schedule.bucket_for(epoch, total_epochs, n_steps)
-                if b2 != bucket:
-                    clips = adapt_clips_to_bucket(
-                        clips[: b2.batch_size], b2)
-                    labels = labels[: b2.batch_size]
-                    step_fn = get_step(b2)
-                else:
-                    step_fn = step
-            else:
-                step_fn = step
-            rng, sub = jax.random.split(rng)
-            params, stats, opt_state, logs = step_fn(
-                params, stats, opt_state, clips, labels, sub)
-            losses.append(float(logs["loss"]))
-            accs.append(float(logs["top1_acc"]))
-            n_steps += 1
+        if schedule.short_cycle_period:
+            # per-step chunking: consecutive steps use different bucket
+            # batch sizes, so each step draws exactly its bucket's
+            # samples from the raw stream (pre-chunking at one bucket
+            # and slicing would drop the rest of mismatched chunks)
+            chunker = _RawChunker(epoch_batches(epoch))
+            while True:
+                b_step = schedule.bucket_for(epoch, total_epochs, n_steps)
+                chunk = chunker.take(b_step.batch_size)
+                if chunk is None:
+                    break
+                clips = adapt_clips_to_bucket(jnp.asarray(chunk[0]), b_step)
+                labels = jnp.asarray(chunk[1])
+                rng, sub = jax.random.split(rng)
+                params, stats, opt_state, logs = get_step(b_step)(
+                    params, stats, opt_state, clips, labels, sub)
+                losses.append(float(logs["loss"]))
+                accs.append(float(logs["top1_acc"]))
+                n_steps += 1
+        else:
+            step = get_step(bucket)
+            for clips, labels in bucketize_batches(epoch_batches(epoch),
+                                                   bucket):
+                rng, sub = jax.random.split(rng)
+                params, stats, opt_state, logs = step(
+                    params, stats, opt_state, clips, labels, sub)
+                losses.append(float(logs["loss"]))
+                accs.append(float(logs["top1_acc"]))
+                n_steps += 1
         history.append({
             "epoch": epoch, "bucket": (bucket.batch_size, bucket.num_frames,
                                        bucket.resolution),
@@ -363,7 +405,7 @@ def train_omnisource(model, variables, tcfg: RecognitionTrainConfig,
                      main_batches: Callable[[int], Any],
                      aux_batches: Sequence[Callable[[], Any]],
                      train_ratio: Sequence[int], total_epochs: int,
-                     rng=None):
+                     rng=None, total_steps: Optional[int] = None):
     """Alternating-source training: the main source drives the epoch;
     every `train_ratio[0]` main steps, `train_ratio[1+i]` batches are
     drawn from each (endlessly cycled) auxiliary source and stepped with
@@ -376,7 +418,8 @@ def train_omnisource(model, variables, tcfg: RecognitionTrainConfig,
     Returns (trained variables, per-epoch history).
     """
     rng = jax.random.key(0) if rng is None else rng
-    tx = make_rec_optimizer(tcfg)
+    tx = (make_rec_optimizer(tcfg, total_steps=total_steps)
+          if total_steps else make_rec_optimizer(tcfg))
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     opt_state = tx.init(params)
