@@ -849,7 +849,13 @@ def convert_videomae(sd: Dict, prefix: str = "",
         i += 1
     variables = {"params": params}
     if head_key and p + head_key + ".weight" in sd:
-        variables["head"] = _dense(sd, p + head_key)
+        # finetuned classifier: nest {backbone, cls_head} like the
+        # other converters so BackboneClassifier consumes it directly
+        # (a sibling 'head' collection would be silently dropped)
+        variables = {"params": {
+            "backbone": params,
+            "cls_head": {"fc_cls": _dense(sd, p + head_key)},
+        }}
     return variables
 
 

@@ -8,9 +8,8 @@ last-batch size would trigger a recompile per shape on TPU.
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+from typing import Callable, Iterable
 
-import jax
 import numpy as np
 
 

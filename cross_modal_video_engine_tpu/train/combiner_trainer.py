@@ -14,6 +14,7 @@ from typing import Any, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..models.combiner import Combiner, CombinerConfig
@@ -72,7 +73,10 @@ def composed_rank_eval(model: Combiner, params, ref_feats, text_feats,
                        gt_rows: jnp.ndarray) -> Tuple[jnp.ndarray, dict]:
     """Reference-video-masked recall eval (MultiFusion validate.py:76-138):
     the query's own reference video is removed from the ranking before
-    computing R@K."""
+    computing R@K.  Returns the top-50 ranking columns (all consumers
+    read R@<=50 / rank 1) — an exact top-k instead of a full argsort of
+    the (Q, N) matrix; large galleries use the TPU PartialReduce
+    (lax.approx_max_k at recall_target=1.0 = exact, see CLAUDE.md)."""
     pred = model.apply({"params": params}, ref_feats, text_feats,
                        method="combine_features")
     index = index_high.mean(axis=1)
@@ -81,12 +85,16 @@ def composed_rank_eval(model: Combiner, params, ref_feats, text_feats,
     # mask out the reference video of each query
     q = jnp.arange(dists.shape[0])
     dists = dists.at[q, reference_rows].set(jnp.inf)
-    order = jnp.argsort(dists, axis=1)
+    n = dists.shape[1]
+    kk = min(50, n)
+    if n > 4096:
+        _, order = jax.lax.approx_max_k(-dists, kk, recall_target=1.0)
+    else:
+        _, order = jax.lax.top_k(-dists, kk)
     hits = order == gt_rows[:, None]
-    import numpy as np
     h = np.asarray(hits)
     metrics = {}
     for k in (1, 5, 10, 50):
-        kk = min(k, h.shape[1])
-        metrics[f"recall_at{k}"] = float(h[:, :kk].any(axis=1).mean() * 100)
+        metrics[f"recall_at{k}"] = float(
+            h[:, : min(k, kk)].any(axis=1).mean() * 100)
     return np.asarray(order), metrics

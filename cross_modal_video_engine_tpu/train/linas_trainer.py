@@ -86,8 +86,12 @@ def _distill(cfg: LinasTrainConfig, student, teacher):
         return mse_distill(student, teacher, red)
     if cfg.distill_type == "kl":
         return kl_distill(student, teacher, red)
-    return (mse_distill(student, teacher, red)
-            + kl_distill(student, teacher, red))
+    if cfg.distill_type == "mse+kl":
+        return (mse_distill(student, teacher, red)
+                + kl_distill(student, teacher, red))
+    # 'cross' spans both towers and is handled at the call site
+    # (MSE on text + KL on video, model.py:926-927)
+    raise ValueError(f"per-tensor distill got type {cfg.distill_type!r}")
 
 
 def make_train_step(model: DualEncoding, cfg: LinasTrainConfig, tx,
@@ -102,8 +106,14 @@ def make_train_step(model: DualEncoding, cfg: LinasTrainConfig, tx,
     def loss_fn(params, batch_stats, videos, text, support, rng,
                 adapt_mask):
         variables = {"params": params, "batch_stats": batch_stats}
+        # with_detach also detaches the teacher FEATURE inside the
+        # forward (model.py:685-687 student_text_mapping(cap_enc
+        # .detach())) so the student path can't backprop into the
+        # teacher text encoder — the loss-level stop_gradient on the
+        # teacher targets alone would not stop that path
         out, mutated = model.apply(
             variables, videos, text, support, train=True,
+            detach_teacher_feature=cfg.with_detach,
             mutable=["batch_stats"], rngs={"dropout": rng})
         logs = {}
         sg = jax.lax.stop_gradient
@@ -114,9 +124,17 @@ def make_train_step(model: DualEncoding, cfg: LinasTrainConfig, tx,
             cap_t = sg(out["cap_emb"])
             vid_t = sg(out["vid_emb"])
             if cfg.distill_loss == "text+video":
-                loss1 = (_distill(cfg, out["student_cap_emb"], cap_t)
-                         + cfg.video_alpha *
-                         _distill(cfg, out["student_vid_emb"], vid_t))
+                if cfg.distill_type == "cross":
+                    # 'cross' = MSE on the text tower + KL on the video
+                    # tower, unweighted (model.py:926-927)
+                    loss1 = (mse_distill(out["student_cap_emb"], cap_t,
+                                         cfg.cost_style)
+                             + kl_distill(out["student_vid_emb"], vid_t,
+                                          cfg.cost_style))
+                else:
+                    loss1 = (_distill(cfg, out["student_cap_emb"], cap_t)
+                             + cfg.video_alpha *
+                             _distill(cfg, out["student_vid_emb"], vid_t))
             elif cfg.distill_loss == "video":
                 loss1 = _distill(cfg, out["student_vid_emb"], vid_t)
             else:
@@ -273,19 +291,25 @@ class EpochScheduler:
         self.cfg = cfg
         self.best = -np.inf
         self.no_impr = 0
+        self.since_halve = 0      # reference lr_counter: epochs since
+                                  # the LAST halve, not consecutive bads
 
     def on_epoch_end(self, state: TrainState, score: float
                      ) -> Tuple[TrainState, bool, bool]:
-        """Returns (state, is_best, should_stop)."""
+        """Returns (state, is_best, should_stop).  Reference semantics
+        (trainer.py:298-307): halve on ANY non-improving epoch, but use
+        each learning rate for at least `lr_halve_patience` epochs."""
         lr = get_learning_rate(state) * self.cfg.lr_decay_rate
+        self.since_halve += 1
         is_best = score > self.best
         if is_best:
             self.best = score
             self.no_impr = 0
         else:
             self.no_impr += 1
-            if self.no_impr % self.cfg.lr_halve_patience == 0:
+            if self.since_halve >= self.cfg.lr_halve_patience:
                 lr *= 0.5
+                self.since_halve = 0
         state = set_learning_rate(state, lr)
         stop = self.no_impr >= self.cfg.early_stop_patience
         return state, is_best, stop

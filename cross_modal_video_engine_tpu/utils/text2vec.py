@@ -102,7 +102,8 @@ def get_text_encoder(name: str):
 def get_we_parameter(vocab: Vocabulary, w2v_dir: str) -> np.ndarray:
     """Word-embedding init matrix for the text GRU, matching
     LINAS-engine/model.py:19-32: rows from word2vec when available, else
-    zero-mean gaussian scaled like the reference fallback."""
+    the reference's UNSCALED uniform(-1, 1) fallback (the OOV/special-
+    token scale is part of the recipe)."""
     w2v = BigFile(w2v_dir)
     ndims = w2v.ndims
     rng = np.random.default_rng(0)
@@ -112,5 +113,5 @@ def get_we_parameter(vocab: Vocabulary, w2v_dir: str) -> np.ndarray:
         if word in w2v:
             out[i] = w2v.read_one(word)
         else:
-            out[i] = rng.uniform(-1, 1, ndims) / np.sqrt(ndims)
+            out[i] = rng.uniform(-1, 1, ndims)
     return out

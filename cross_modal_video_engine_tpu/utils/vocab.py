@@ -62,10 +62,22 @@ class Vocabulary:
     @classmethod
     def load(cls, path: str) -> "Vocabulary":
         if path.endswith(".pkl"):
-            # reference pickled Vocabulary objects (util/vocab.py:149);
-            # accept them via duck typing.
+            # Reference pickles were written by util/vocab.py, so the
+            # class is recorded as __main__.Vocabulary (or
+            # util.vocab.Vocabulary) — neither importable here.  A
+            # plain pickle.load would raise AttributeError before any
+            # duck typing; map every *.Vocabulary onto a bare shim.
+            class _Shim:
+                pass
+
+            class _Unpickler(pickle.Unpickler):
+                def find_class(self, module, name):
+                    if name == "Vocabulary":
+                        return _Shim
+                    return super().find_class(module, name)
+
             with open(path, "rb") as f:
-                obj = pickle.load(f)
+                obj = _Unpickler(f).load()
             vocab = cls(getattr(obj, "text_style", "rnn"))
             for i in range(len(obj.word2idx)):
                 vocab.add_word(obj.idx2word[i])

@@ -123,3 +123,31 @@ def test_videomae_config_from_sd():
     assert kw["patch_size"] == 16 and kw["tubelet_size"] == 2
     assert kw["embed_dims"] == 24 and kw["num_layers"] == 2
     assert kw["init_values"] > 0
+
+
+def test_videomae_finetuned_head_feeds_backbone_classifier():
+    """A finetuned checkpoint's `head` Linear must land under
+    params.cls_head.fc_cls (the BackboneClassifier layout) — a sibling
+    'head' collection was silently dropped by every consumer."""
+    from cross_modal_video_engine_tpu.models.recognizer import (
+        BackboneClassifier)
+
+    cfg = VideoMAEConfig(num_frames=4, img_size=32, patch_size=16,
+                         tubelet_size=2, embed_dims=24, num_heads=2,
+                         num_layers=2, init_values=0.1)
+    sd = dict(TVideoMAE(cfg).state_dict())
+    g = torch.Generator().manual_seed(0)
+    sd["head.weight"] = torch.randn(5, 24, generator=g)
+    sd["head.bias"] = torch.randn(5, generator=g)
+    variables = convert_videomae(sd)
+    assert set(variables["params"]) == {"backbone", "cls_head"}
+
+    x = np.random.default_rng(5).standard_normal(
+        (2, 4, 32, 32, 3)).astype(np.float32)
+    model = BackboneClassifier(VideoMAEViT(cfg), num_classes=5,
+                               dropout_ratio=0.0)
+    got = np.asarray(model.apply(variables, jnp.asarray(x)))
+    feat = np.asarray(VideoMAEViT(cfg).apply(
+        {"params": variables["params"]["backbone"]}, jnp.asarray(x)))
+    want = feat @ sd["head.weight"].numpy().T + sd["head.bias"].numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
