@@ -146,15 +146,16 @@ def ohem_hinge_loss(pred, labels, is_positive: int, ohem_ratio: float,
     """
     n = pred.shape[0]
     picked = pred[jnp.arange(n), labels - 1]
-    losses = nn_relu(1.0 - is_positive * picked)
-    keep = max(1, int(group_size * ohem_ratio))
+    losses = jnp.maximum(1.0 - is_positive * picked, 0.0)
+    # no floor: the reference's int(group_size * ohem_ratio) can be 0
+    # (the group then contributes nothing), and the kept count must
+    # match ssn_completeness_loss's int(N * ohem_ratio) denominator
+    keep = int(group_size * ohem_ratio)
+    if keep == 0:
+        return jnp.zeros((), losses.dtype)
     grouped = losses.reshape(-1, group_size)
     top, _ = jax.lax.top_k(grouped, keep)
     return jnp.sum(top)
-
-
-def nn_relu(x):
-    return jnp.maximum(x, 0.0)
 
 
 def ssn_activity_loss(activity_score, labels, activity_indexer):

@@ -17,14 +17,19 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 
-def _ranks_of(errors: np.ndarray, gt_cols: np.ndarray) -> np.ndarray:
-    """0-based rank of column gt_cols[i] when row i is argsorted ascending."""
+def _inverse_perm(errors: np.ndarray) -> np.ndarray:
+    """inv[i, j] = 0-based rank of column j when row i is argsorted
+    ascending (one copy of the rank-inversion logic)."""
     order = np.argsort(errors, axis=1, kind="stable")
-    # position of each column in the sorted order
     inv = np.empty_like(order)
     rows = np.arange(order.shape[0])[:, None]
     inv[rows, order] = np.arange(order.shape[1])[None, :]
-    return inv[np.arange(len(gt_cols)), gt_cols]
+    return inv
+
+
+def _ranks_of(errors: np.ndarray, gt_cols: np.ndarray) -> np.ndarray:
+    """0-based rank of column gt_cols[i] when row i is argsorted ascending."""
+    return _inverse_perm(errors)[np.arange(len(gt_cols)), gt_cols]
 
 
 def t2v(c2i: np.ndarray, n_caption: int = 5) -> List[float]:
@@ -104,13 +109,13 @@ def eval_q2m(scores: np.ndarray, q2m_gts: Dict[int, List[int]]
              ) -> Tuple[float, float, float, float, float]:
     """(r1, r5, r10, medr, meanr) with 1-based min-rank over multiple GTs."""
     n_q, n_m = scores.shape
-    order = np.argsort(scores, axis=1, kind="stable")
-    inv = np.empty_like(order)
-    rows = np.arange(n_q)[:, None]
-    inv[rows, order] = np.arange(n_m)[None, :]
+    inv = _inverse_perm(scores)
     gt_ranks = np.empty(n_q, dtype=np.int64)
     for i in range(n_q):
-        gt_ranks[i] = inv[i, q2m_gts[i]].min() + 1
+        gts = q2m_gts[i]
+        # a query with no ground truth ranks past the gallery
+        # (the reference leaves rank = n_m + 1 and continues)
+        gt_ranks[i] = inv[i, gts].min() + 1 if len(gts) else n_m + 1
     r1 = 100.0 * np.mean(gt_ranks <= 1)
     r5 = 100.0 * np.mean(gt_ranks <= 5)
     r10 = 100.0 * np.mean(gt_ranks <= 10)

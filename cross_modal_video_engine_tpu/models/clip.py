@@ -229,8 +229,17 @@ class TextTower(nn.Module):
                          (cfg.vocab_size, cfg.text_width))
         x = emb[text_ids].astype(dt)
         if img_tokens is not None:
-            is_split = (text_ids == split_ind)[..., None]
-            x = jnp.where(is_split, img_tokens[:, None, :].astype(dt), x)
+            # splice at the FIRST occurrence of split_ind only
+            # (encode_text_img_retrieval uses ind_insert.nonzero()[0];
+            # a caption whose BPE stream repeats the id must not get
+            # the image feature injected at later positions)
+            is_split = text_ids == split_ind
+            first = jnp.argmax(is_split, axis=-1)
+            hit = jnp.any(is_split, axis=-1)
+            onehot = (jnp.arange(text_ids.shape[1])[None, :]
+                      == first[:, None]) & hit[:, None]
+            x = jnp.where(onehot[..., None],
+                          img_tokens[:, None, :].astype(dt), x)
         pos = self.param("positional_embedding", nn.initializers.normal(0.01),
                          (cfg.context_length, cfg.text_width))
         L = text_ids.shape[1]
@@ -305,12 +314,13 @@ class CLIPModel(nn.Module):
 
     def __call__(self, images: jnp.ndarray, text_ids: jnp.ndarray):
         """Contrastive logits like reference CLIP.forward."""
+        from ..ops.similarity import l2norm
         image_features, _ = self.encode_image(images)
         text_features = self.encode_text(text_ids)
-        image_features = image_features / jnp.linalg.norm(
-            image_features, axis=-1, keepdims=True)
-        text_features = text_features / jnp.linalg.norm(
-            text_features, axis=-1, keepdims=True)
+        # l2norm's epsilon guard: an all-zero row (padded/blank batch
+        # entry) must not turn the whole logit matrix into NaN
+        image_features = l2norm(image_features)
+        text_features = l2norm(text_features)
         scale = jnp.exp(self.logit_scale)
         logits_per_image = scale * image_features @ text_features.T
         return logits_per_image, logits_per_image.T
