@@ -103,6 +103,7 @@ class ComposedVideoDataset:
             self.id2name = json.load(open(id2name_json))
 
         self.triplets: List[Dict] = []
+        self.name2source: Dict[str, str] = {}
         names = set()
         with open(triplets_tsv) as f:
             for line in f:
@@ -118,6 +119,10 @@ class ComposedVideoDataset:
                                           caption=caption, source=source,
                                           cls=cls))
                 names.update((ref, target))
+                # remember which root each video came from so classic
+                # mode / corpus indexing can find dual-root features
+                self.name2source.setdefault(ref, source)
+                self.name2source.setdefault(target, source)
         self.video_names = sorted(names)
         self.name2row = {n: i for i, n in enumerate(self.video_names)}
 
@@ -125,7 +130,9 @@ class ComposedVideoDataset:
         return (len(self.triplets) if self.mode == "relative"
                 else len(self.video_names))
 
-    def _features(self, name: str, source: str = ""):
+    def _features(self, name: str, source: Optional[str] = None):
+        if source is None:
+            source = self.name2source.get(name, "")
         high, middle = self.store.load(name, source)
         high = adaptive_avg_pool_axis(high, self.frames, axis=0)
         middle = pool_middle_feature(middle, self.frames, self.tokens)

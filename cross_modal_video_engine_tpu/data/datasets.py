@@ -78,6 +78,14 @@ class VideoDataset(BaseVideoDataset):
 class RawframeDataset(BaseVideoDataset):
     filename_tmpl = "img_{:05d}.jpg"
 
+    def __init__(self, *args, **kwargs):
+        # mmaction rawframe convention: frames are 1-based on disk and
+        # start_index defaults to 1 (rawframe_dataset.py); frame_inds
+        # then index the template DIRECTLY (RawFrameDecode adds no
+        # offset, so start_index=1 configs port 1:1)
+        kwargs.setdefault("start_index", 1)
+        super().__init__(*args, **kwargs)
+
     def load_annotations(self) -> List[Dict]:
         infos = []
         with open(self.ann_file) as f:
@@ -144,7 +152,10 @@ class ShardedSampler:
             rng = np.random.default_rng(self.seed + epoch)
             rng.shuffle(order)
         per = int(np.ceil(self.n / self.world_size))
-        padded = np.concatenate([order, order[: per * self.world_size - self.n]])
+        # np.resize tiles cyclically, so even n < world_size fills every
+        # rank (a slice-pad would leave short ranks with fewer steps and
+        # hang multi-host lockstep collectives)
+        padded = np.resize(order, per * self.world_size)
         return list(padded[self.rank::self.world_size])
 
 
@@ -197,8 +208,7 @@ class ClassSpecificSampler(ShardedSampler):
 
         n = len(order)
         per = int(np.ceil(n / self.world_size))
-        pad = per * self.world_size - n
-        padded = np.concatenate([order, order[:pad]]) if pad else order
+        padded = np.resize(order, per * self.world_size)  # cyclic pad
         return list(padded[self.rank::self.world_size])
 
 
@@ -319,12 +329,16 @@ class ImageDataset(VideoDataset):
                 filename, labels = parts[0], [int(x) for x in parts[1:]]
                 if self.data_prefix:
                     filename = os.path.join(self.data_prefix, filename)
-                if len(labels) > 1:
-                    assert self.num_classes, "multi-label needs num_classes"
+                # one-hot ALL rows when the dataset is multi-label
+                # (num_classes given) — mixing per-row int and one-hot
+                # labels would make batch collation ragged
+                if self.num_classes:
                     onehot = np.zeros((self.num_classes,), np.float32)
                     onehot[labels] = 1.0
                     infos.append(dict(filename=filename, label=onehot))
                 else:
+                    assert len(labels) == 1, \
+                        "multi-label rows need num_classes"
                     infos.append(dict(filename=filename, label=labels[0]))
         return infos
 

@@ -132,7 +132,10 @@ class AVADataset:
                 vid, ts = row[0], float(row[1])
                 box = tuple(float(v) for v in row[2:6])
                 action = int(row[6])
-                entity = row[7] if len(row) > 7 else ""
+                # no entity-id column (7-col detector dumps): the BOX is
+                # the identity — a constant key would collapse every
+                # person of the keyframe onto the first one's box
+                entity = row[7] if len(row) > 7 else repr(box)
                 key = (vid, ts)
                 kf = keyframes.setdefault(
                     key, {"video": vid, "timestamp": ts, "entities": {}})

@@ -76,7 +76,7 @@ class LinasDataset:
                 vid = get_video_id(cap_id)
                 self.captions[cap_id] = caption
                 self.ref_captions.setdefault(vid, []).append(caption)
-                if vid not in self.ref_captions or len(self.ref_captions[vid]) == 1:
+                if len(self.ref_captions[vid]) == 1:   # first caption seen
                     video_ids.append(vid)
                 self.cap_ids.append(cap_id)
         self.video_ids = video_ids

@@ -139,12 +139,24 @@ class NativeVideoReader:
                 self._n, self.width, self.height = (int(info[0]),
                                                     int(info[1]),
                                                     int(info[2]))
-        if not self._handle:
+        if self._handle:
+            # the native info array has no fps; probe it with cv2 so
+            # the CvVideoReader interface contract (DecordInit reads
+            # .fps) holds on both paths
+            try:
+                import cv2
+                cap = cv2.VideoCapture(path)
+                self.fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+                cap.release()
+            except Exception:
+                self.fps = 30.0
+        else:
             from .video_decode import CvVideoReader
             self._fallback = CvVideoReader(path)
             self._n = len(self._fallback)
             self.width = self._fallback.width
             self.height = self._fallback.height
+            self.fps = self._fallback.fps
 
     @property
     def is_native(self) -> bool:
@@ -157,7 +169,15 @@ class NativeVideoReader:
                   out_size: Optional[tuple] = None) -> np.ndarray:
         """Decode frames; optionally fused resize to out_size=(w, h)."""
         if self._fallback is not None:
-            return self._fallback.get_batch(indices)
+            frames = self._fallback.get_batch(indices)
+            if out_size and (out_size[0] != self.width
+                             or out_size[1] != self.height):
+                # honor out_size on the fallback path too — behavior
+                # must not depend on whether the native lib is built
+                import cv2
+                frames = np.stack([cv2.resize(f, tuple(out_size))
+                                   for f in frames])
+            return frames
         idx = np.ascontiguousarray(indices, np.int64)
         w = out_size[0] if out_size else self.width
         h = out_size[1] if out_size else self.height

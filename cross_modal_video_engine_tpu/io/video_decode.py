@@ -112,14 +112,17 @@ class OpenCVDecode(DecordDecode):
 
 @PIPELINES.register("RawFrameDecode")
 class RawFrameDecode:
-    """loading.py:1249: read img_{idx:05d}.jpg frames from frame_dir."""
+    """loading.py:1249: read img_{idx:05d}.jpg frames from frame_dir.
+    frame_inds index the template directly — RawframeDataset defaults
+    start_index=1 (the mmaction 1-based rawframe convention), so an
+    extra +1 here would double-offset every ported config."""
 
     def __call__(self, results: Dict) -> Dict:
         tmpl = results.get("filename_tmpl", "img_{:05d}.jpg")
         d = results["frame_dir"]
         imgs = []
         for idx in results["frame_inds"]:
-            p = os.path.join(d, tmpl.format(int(idx) + 1))
+            p = os.path.join(d, tmpl.format(int(idx)))
             img = cv2.imread(p)
             if img is None:
                 raise IOError(f"missing frame {p}")

@@ -105,5 +105,11 @@ def test_collect_results(tmp_path):
     out = gather_object_results({"rank": 0, "acc": 0.5}, str(tmp_path / "g"),
                                 rank=0, world_size=1)
     assert out == [{"rank": 0, "acc": 0.5}]
+    # repeated gathers into the SAME tmpdir must not serve stale parts
+    out2 = gather_object_results({"rank": 0, "acc": 0.7},
+                                 str(tmp_path / "g"), rank=0, world_size=1)
+    assert out2 == [{"rank": 0, "acc": 0.7}]
+    # per-process axis is always present: (1, ...) single-process, so
+    # caller code keeps the same shape contract on a pod
     x = np.arange(6).reshape(2, 3)
-    np.testing.assert_array_equal(all_gather_results(x), x)
+    np.testing.assert_array_equal(all_gather_results(x), x[None])
