@@ -6,7 +6,10 @@ _base_ = ['./slowonly_kinetics_pretrained_r50_4x16x1_20e_ava_rgb.py']
 model = dict(
     backbone=dict(_delete_=True, type='SlowFast',
                   depth_blocks=[3, 4, 6, 3], alpha=8, beta_inv=8,
-                  base_channels=64),
+                  base_channels=64,
+                  # AVA keeps the last stage unstrided for stride-16
+                  # RoI maps (reference spatial_strides=(1, 2, 2, 1))
+                  spatial_strides=[1, 2, 2, 1]),
     roi_head=dict(num_classes=81, in_channels=2304, roi_size=8,
                   sampling_ratio=2, temporal_pool='avg',
                   spatial_pool='max', dropout=0.5))

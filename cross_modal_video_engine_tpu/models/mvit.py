@@ -34,17 +34,47 @@ class MViTConfig:
     mlp_ratio: float = 4.0
 
 
-def _pool_tokens(x: jnp.ndarray, grid: Tuple[int, int, int],
-                 stride: Tuple[int, int, int]) -> Tuple[jnp.ndarray, Tuple]:
-    """x: (B, T*H*W, C) on `grid` -> max-pooled tokens + new grid."""
+def _pooled_grid(grid: Tuple[int, int, int],
+                 stride: Tuple[int, int, int]) -> Tuple[int, int, int]:
+    """Output grid of a kernel-3/pad-1 pooling at `stride`:
+    floor((g - 1) / s) + 1 per axis."""
+    return tuple((g - 1) // s + 1 for g, s in zip(grid, stride))
+
+
+def _pool_skip(x: jnp.ndarray, grid: Tuple[int, int, int],
+               stride: Tuple[int, int, int]) -> Tuple[jnp.ndarray, Tuple]:
+    """Residual-path pooling: parameterless kernel-3/pad-1 max pool
+    (the official MViT pool_skip), matching the conv pools' grid."""
     if all(s == 1 for s in stride):
         return x, grid
     B, N, C = x.shape
     T, H, W = grid
     x = x.reshape(B, T, H, W, C)
-    x = nn.max_pool(x, window_shape=stride, strides=stride)
-    new_grid = (T // stride[0], H // stride[1], W // stride[2])
-    return x.reshape(B, -1, C), new_grid
+    x = nn.max_pool(x, window_shape=(3, 3, 3), strides=stride,
+                    padding=((1, 1), (1, 1), (1, 1)))
+    return x.reshape(B, -1, C), _pooled_grid(grid, stride)
+
+
+class _PoolConv(nn.Module):
+    """MViTv2 token pooling: strided DEPTHWISE 3x3x3 conv + LayerNorm
+    on the (T, H, W) grid — learnable, unlike a max pool."""
+
+    stride: Tuple[int, int, int]
+    grid: Tuple[int, int, int]
+
+    @nn.compact
+    def __call__(self, x):
+        if all(s == 1 for s in self.stride):
+            return x, self.grid
+        B, N, C = x.shape
+        T, H, W = self.grid
+        x = x.reshape(B, T, H, W, C)
+        x = nn.Conv(C, (3, 3, 3), strides=self.stride,
+                    padding=((1, 1), (1, 1), (1, 1)),
+                    feature_group_count=C, use_bias=False,
+                    name="conv")(x)
+        x = nn.LayerNorm(name="norm")(x)
+        return x.reshape(B, -1, C), _pooled_grid(self.grid, self.stride)
 
 
 class PoolingAttention(nn.Module):
@@ -62,9 +92,9 @@ class PoolingAttention(nn.Module):
         q = nn.Dense(self.dim_out, name="q")(x)
         k = nn.Dense(self.dim_out, name="k")(x)
         v = nn.Dense(self.dim_out, name="v")(x)
-        q, q_grid = _pool_tokens(q, self.grid, self.q_stride)
-        k, _ = _pool_tokens(k, self.grid, self.kv_stride)
-        v, _ = _pool_tokens(v, self.grid, self.kv_stride)
+        q, q_grid = _PoolConv(self.q_stride, self.grid, name="pool_q")(q)
+        k, _ = _PoolConv(self.kv_stride, self.grid, name="pool_k")(k)
+        v, _ = _PoolConv(self.kv_stride, self.grid, name="pool_v")(v)
         B, Nq, _ = q.shape
         Nk = k.shape[1]
         qh = q.reshape(B, Nq, H, hd).transpose(0, 2, 1, 3)
@@ -98,7 +128,7 @@ class MViTBlock(nn.Module):
         sc = x
         if sc.shape[-1] != self.dim_out:
             sc = nn.Dense(self.dim_out, name="shortcut_proj")(sc)
-        sc, _ = _pool_tokens(sc, self.grid, self.q_stride)
+        sc, _ = _pool_skip(sc, self.grid, self.q_stride)
         x = sc + attn
         h = nn.LayerNorm(name="norm2")(x)
         h = nn.Dense(int(self.dim_out * self.mlp_ratio), name="fc1")(h)

@@ -207,6 +207,10 @@ class SlowFastConfig:
     beta_inv: int = 8              # fast channel thinning
     base_channels: int = 64
     lateral_kernel_t: int = 5
+    # per-stage spatial strides on BOTH pathways; the AVA detection
+    # configs use (1, 2, 2, 1) to keep stride-16 RoI maps
+    # (configs/detection/ava/*.py spatial_strides)
+    spatial_strides: Tuple[int, ...] = (1, 2, 2, 2)
 
 
 @BACKBONES.register("SlowFast")
@@ -228,7 +232,8 @@ class SlowFast(nn.Module):
         fast_cfg = ResNet3DConfig(
             stage_blocks=cfg.depth_blocks, base_channels=cfg.base_channels,
             conv1_kernel_t=5, stage_temporal_kernels=(3, 3, 3, 3),
-            channel_ratio=cfg.beta_inv)
+            channel_ratio=cfg.beta_inv,
+            stage_spatial_strides=cfg.spatial_strides)
         fast_feats = ResNet3D(fast_cfg, name="fast")(
             fast_in, train=train, return_stages=True, include_stem=True)
         # fast_feats: [stem, stage1..stage4] — the mmaction fusion points
@@ -247,7 +252,7 @@ class SlowFast(nn.Module):
         planes = c0
         tks = (1, 1, 3, 3)
         for i, blocks in enumerate(cfg.depth_blocks):
-            stride = 1 if i == 0 else 2
+            stride = cfg.spatial_strides[i]
             # time-strided lateral conv brings the fast pathway's previous
             # fusion point to the slow frame rate (conv1_lateral is
             # lateral_0 here, layer{i}_lateral is lateral_{i})

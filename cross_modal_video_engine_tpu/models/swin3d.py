@@ -170,7 +170,14 @@ class PatchMerging(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        """(B, D, H, W, C) -> (B, D, H/2, W/2, 2C)."""
+        """(B, D, H, W, C) -> (B, D, ceil(H/2), ceil(W/2), 2C).  Odd
+        H/W pad by one row/col first (reference swin_transformer.py
+        :298-301 F.pad), so odd stage resolutions merge instead of
+        crashing the strided concat."""
+        H, W = x.shape[2], x.shape[3]
+        if H % 2 or W % 2:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, H % 2), (0, W % 2),
+                            (0, 0)))
         x = jnp.concatenate([x[:, :, 0::2, 0::2], x[:, :, 1::2, 0::2],
                              x[:, :, 0::2, 1::2], x[:, :, 1::2, 1::2]], -1)
         x = nn.LayerNorm(name="norm")(x)
@@ -189,18 +196,24 @@ class Swin3D(nn.Module):
         x = nn.Conv(cfg.embed_dim, p, strides=p, name="patch_embed")(videos)
         x = nn.LayerNorm(name="patch_norm")(x)
         for i, (depth, heads) in enumerate(zip(cfg.depths, cfg.num_heads)):
-            # pad D/H/W to window multiples for this stage
             B, D, H, W, C = x.shape
             win = tuple(min(w, s) for w, s in zip(cfg.window_size,
                                                   (D, H, W)))
-            pads = [(0, (-s) % w) for s, w in zip((D, H, W), win)]
-            if any(pe[1] for pe in pads):
-                x = jnp.pad(x, [(0, 0)] + pads + [(0, 0)])
+            pads = [(0, 0)] + [(0, (-s) % w)
+                               for s, w in zip((D, H, W), win)] + [(0, 0)]
+            need_pad = any(p[1] for p in pads)
             for j in range(depth):
+                # pad to window multiples PER BLOCK and strip after it
+                # (reference forward_part1/F.pad): pad positions must be
+                # fresh zeros in every block, or their previous-block
+                # activations leak into the boundary windows
+                if need_pad:
+                    x = jnp.pad(x, pads)
                 shift = (tuple(w // 2 for w in win) if j % 2 else (0, 0, 0))
                 x = SwinBlock3D(C, heads, win, shift, cfg.mlp_ratio,
                                 name=f"stage{i}_block{j}")(x)
-            x = x[:, :D, :H, :W]          # strip pad
+                if need_pad:
+                    x = x[:, :D, :H, :W]
             if i < len(cfg.depths) - 1:
                 x = PatchMerging(C, name=f"merge{i}")(x)
         x = nn.LayerNorm(name="norm")(x)

@@ -197,10 +197,12 @@ class TimeSformer(nn.Module):
 
     def _pool(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
-        x = self.final_norm(x)
         if cfg.attention_type == "space_only":
+            # reference order (timesformer.py forward): mean over time
+            # FIRST, then the final norm — LayerNorm(mean) != mean(LN)
             x = x.reshape(-1, cfg.time_tokens, cfg.num_patches + 1,
                           cfg.embed_dims).mean(axis=1)
+        x = self.final_norm(x)
         return x, x[:, 0].astype(jnp.float32)
 
     def embed_tokens(self, videos: jnp.ndarray, *, train: bool = False):

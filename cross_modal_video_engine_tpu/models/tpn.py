@@ -29,6 +29,7 @@ from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import linen as nn
 
@@ -66,6 +67,13 @@ class _TemporalModulation(nn.Module):
                     feature_group_count=self.groups, use_bias=False,
                     name="conv")(x)
         if self.scale > 1:
+            # ceil_mode=True (reference MaxPool3d): pad the temporal
+            # tail with -inf so a non-multiple T keeps its last window
+            # instead of dropping the tail frames
+            pad = (-x.shape[1]) % self.scale
+            if pad:
+                x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)),
+                            constant_values=-jnp.inf)
             x = nn.max_pool(x, (self.scale, 1, 1),
                             strides=(self.scale, 1, 1))
         return x
@@ -116,7 +124,9 @@ class TPN(nn.Module):
             a = nn.Conv(a.shape[-1] * 2, (1, 3, 3), strides=(1, 2, 2),
                         padding=((0, 0), (1, 1), (1, 1)), use_bias=False,
                         name="aux_conv")(a)
-            a = _bn(train, "aux_bn")(a)
+            # ConvModule's default act_cfg is ReLU; AuxHead does not
+            # override it (tpn.py:198-256), so conv+BN+ReLU
+            a = nn.relu(_bn(train, "aux_bn")(a))
             a = jnp.mean(a, axis=(1, 2, 3))
             a = nn.Dropout(0.5, deterministic=not train,
                            name="aux_drop")(a)
@@ -127,19 +137,21 @@ class TPN(nn.Module):
                         scores, target).mean()
 
         # spatial modulation: a channel-doubling ladder of strided 3x3
-        # convs brings every stage to the top stage's spatial size
-        # (tpn.py:165-183: channel*2^f -> channel*2^(f+1) per step)
-        tgt_hw = stages[-1].shape[2:4]
+        # convs, one step per channel-ratio octave (tpn.py:165-183:
+        # int(log2(out_channels // channel)) steps).  Keyed on CHANNELS
+        # like the reference — with equal-resolution stages of unequal
+        # width (the AVA spatial_strides=(1,2,2,1) family) a
+        # resolution-keyed loop would build a different ladder.
+        c_top = stages[-1].shape[-1]
         sm = []
         for i, f in enumerate(stages):
-            j = 0
-            while f.shape[2] > tgt_hw[0]:
+            steps = int(np.log2(max(1, c_top // f.shape[-1])))
+            for j in range(steps):
                 f = nn.Conv(f.shape[-1] * 2, (1, 3, 3),
                             strides=(1, 2, 2),
                             padding=((0, 0), (1, 1), (1, 1)), use_bias=False,
                             name=f"sm{i}_conv{j}")(f)
                 f = nn.relu(_bn(train, f"sm{i}_bn{j}")(f))
-                j += 1
             sm.append(f)
 
         # temporal modulation per level

@@ -83,8 +83,10 @@ class TTPN(tnn.Module):
         self.pyramid_fusion = TConvBN3d(2 * lf_out, cfg.fusion_channels, 1)
 
         aux = tnn.Module()
+        # ConvModule's default act_cfg is ReLU; the reference AuxHead
+        # does not override it (tpn.py AuxHead norm_cfg=BN3d only)
         aux.conv = TConvBN3d(c_lo, c_lo * 2, (1, 3, 3), (1, 2, 2),
-                             (0, 1, 1), act=False)
+                             (0, 1, 1))
         aux.fc = tnn.Linear(c_lo * 2, aux_classes)
         self.aux_head = aux
 
