@@ -218,17 +218,24 @@ def build_rawframes(args):
             dst = os.path.join(args.out_dir, os.path.splitext(rel)[0])
             os.makedirs(dst, exist_ok=True)
             reader = NativeVideoReader(src)
-            frames = reader.get_batch(list(range(len(reader))))
+            n = len(reader)
+            # decode in bounded chunks — materializing a whole long
+            # video as uint8 RGB would OOM this box
+            chunk = 256
+            for base in range(0, n, chunk):
+                frames = reader.get_batch(list(range(base,
+                                                     min(base + chunk, n))))
+                for i, frame in enumerate(frames, start=base):
+                    if args.new_short > 0:
+                        h, w = frame.shape[:2]
+                        if min(h, w) > args.new_short:
+                            s = args.new_short / min(h, w)
+                            frame = cv2.resize(
+                                frame,
+                                (int(round(w * s)), int(round(h * s))))
+                    cv2.imwrite(os.path.join(dst, f"img_{i + 1:05d}.jpg"),
+                                frame[..., ::-1])
             reader.release()
-            for i, frame in enumerate(frames):
-                if args.new_short > 0:
-                    h, w = frame.shape[:2]
-                    if min(h, w) > args.new_short:
-                        s = args.new_short / min(h, w)
-                        frame = cv2.resize(
-                            frame, (int(round(w * s)), int(round(h * s))))
-                cv2.imwrite(os.path.join(dst, f"img_{i + 1:05d}.jpg"),
-                            frame[..., ::-1])
             count += 1
     print(f"extracted frames for {count} videos into {args.out_dir}")
 

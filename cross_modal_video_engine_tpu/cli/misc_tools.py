@@ -35,24 +35,35 @@ def flow_extraction(args):
     from ..io.native import NativeVideoReader
 
     reader = NativeVideoReader(args.input)
-    frames = reader.get_batch(list(range(len(reader))))
-    reader.release()
-    gray = [cv2.cvtColor(f, cv2.COLOR_RGB2GRAY) for f in frames]
+    n = len(reader)
     os.makedirs(args.dest, exist_ok=True)
     bound = args.bound
-    for i in range(len(gray) - 1):
-        flow = cv2.calcOpticalFlowFarneback(
-            gray[i], gray[i + 1], None, 0.5, 3, 15, 3, 5, 1.2, 0)
-        q = np.clip(flow, -bound, bound)
-        q = ((q + bound) * (255.0 / (2 * bound))).astype(np.uint8)
-        cv2.imwrite(os.path.join(args.dest, f"flow_x_{i:05d}.jpg"),
-                    q[..., 0])
-        cv2.imwrite(os.path.join(args.dest, f"flow_y_{i:05d}.jpg"),
-                    q[..., 1])
-        if args.save_rgb:
-            cv2.imwrite(os.path.join(args.dest, f"img_{i:05d}.jpg"),
-                        frames[i][..., ::-1])
-    print(f"wrote {len(gray) - 1} flow frame pairs to {args.dest}")
+    # stream in bounded chunks (whole-video decode would OOM long
+    # inputs); keep one frame of overlap for the i -> i+1 flow pair
+    chunk = 256
+    prev_rgb = prev_gray = None
+    written = 0
+    for base in range(0, n, chunk):
+        frames = reader.get_batch(list(range(base, min(base + chunk, n))))
+        for off, frame in enumerate(frames):
+            g = cv2.cvtColor(frame, cv2.COLOR_RGB2GRAY)
+            if prev_gray is not None:
+                i = base + off - 1
+                flow = cv2.calcOpticalFlowFarneback(
+                    prev_gray, g, None, 0.5, 3, 15, 3, 5, 1.2, 0)
+                q = np.clip(flow, -bound, bound)
+                q = ((q + bound) * (255.0 / (2 * bound))).astype(np.uint8)
+                cv2.imwrite(os.path.join(args.dest, f"flow_x_{i:05d}.jpg"),
+                            q[..., 0])
+                cv2.imwrite(os.path.join(args.dest, f"flow_y_{i:05d}.jpg"),
+                            q[..., 1])
+                if args.save_rgb:
+                    cv2.imwrite(os.path.join(args.dest, f"img_{i:05d}.jpg"),
+                                prev_rgb[..., ::-1])
+                written += 1
+            prev_gray, prev_rgb = g, frame
+    reader.release()
+    print(f"wrote {written} flow frame pairs to {args.dest}")
 
 
 def bsn_pgm(args):
@@ -82,6 +93,21 @@ def bsn_pgm(args):
         props = match_boundaries(start, end,
                                  max_proposals=args.max_proposals)
         if props.size == 0:
+            # still write the files: the PEM dataset LoadProposals
+            # np.loadtxt's every annotated video's csv — a missing file
+            # would crash training mid-epoch.  One zero-score full-span
+            # placeholder row keeps the contract.
+            rows = np.asarray([[0.0, 1.0, 0.0, 0.0, 0.0, 0.0]],
+                              np.float32)
+            np.savetxt(os.path.join(args.proposals_dir, vid + ".csv"),
+                       rows, delimiter=",", fmt="%.6f",
+                       header="tmin,tmax,tmin_score,tmax_score,score,"
+                              "match_iou")
+            np.save(os.path.join(args.features_dir, vid + ".npy"),
+                    proposal_features(
+                        action, np.asarray([[0, T - 1, 0.0]],
+                                           np.float32)))
+            count += 1
             continue
         tmin, tmax = props[:, 0] / T, props[:, 1] / T
         rows = np.stack([
@@ -133,7 +159,7 @@ def export_model(args):
     rng = np.random.default_rng(0)
     if args.checkpoint:
         from ..train.checkpoint import load_checkpoint
-        variables, _meta = load_checkpoint(args.checkpoint)
+        variables, _cfg, _meta = load_checkpoint(args.checkpoint)
     else:
         shapes = jax.eval_shape(
             lambda k: model.init(k, frames[:, 0],
@@ -145,12 +171,16 @@ def export_model(args):
                 rng.standard_normal(s.shape).astype(np.float32) * 0.02,
                 s.dtype), shapes)
 
-    def forward(x):
-        high, _ = model.apply(variables, x, method="encode_video")
+    # weights ride as a call ARGUMENT (like export_yolo below): closing
+    # over them would bake hundreds of MB of constants into the
+    # StableHLO body, which the axon remote-compile service rejects
+    def forward(v, x):
+        high, _ = model.apply(v, x, method="encode_video")
         return high
 
     exported = jax.export.export(
         jax.jit(forward), platforms=("cpu", "tpu"))(
+            jax.eval_shape(lambda: variables),
             jax.ShapeDtypeStruct(frames.shape, frames.dtype))
     blob = exported.serialize()
     with open(args.output, "wb") as f:

@@ -17,6 +17,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 
@@ -27,6 +28,15 @@ from ..data.provider import LinasDataset
 from ..retrieval.evaluation import encode_batched
 from ..retrieval.index import RetrievalIndex
 from .common import load_dataset, restore_dual_encoding
+
+
+@functools.lru_cache(maxsize=4)
+def _embed_vis_fn(model):
+    """One compiled video embedder per model, variables as an ARGUMENT
+    (a per-call closure inlines params into the HLO — rejected >~100MB
+    by the remote compile service — and recompiles every call)."""
+    return jax.jit(lambda v, x: model.apply(v, x,
+                                            method="embed_vis_distill"))
 
 
 def build_video_index(model, variables, dataset: LinasDataset,
@@ -40,11 +50,10 @@ def build_video_index(model, variables, dataset: LinasDataset,
         data = np.load(cache, allow_pickle=True)
         return RetrievalIndex(data["emb"], ids=list(data["ids"]),
                               mesh=mesh, dtype=dtype)
-    embed = jax.jit(lambda v: model.apply(variables, v,
-                                          method="embed_vis_distill"))
+    embed = _embed_vis_fn(model)
     chunks, names = [], []
     for batch, n in dataset.video_batches(batch_size):
-        chunks.append(np.asarray(embed(batch))[:n])
+        chunks.append(np.asarray(embed(variables, batch))[:n])
     names = dataset.video_ids
     emb = np.concatenate(chunks, axis=0)
     if cache:

@@ -10,6 +10,7 @@ directions plus rsum.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 
@@ -22,13 +23,22 @@ from .common import load_dataset, restore_dual_encoding
 from .retrieval_inference import build_video_index
 
 
+@functools.lru_cache(maxsize=4)
+def _embed_txt_fn(model):
+    """One compiled text embedder per model; variables ride as an
+    ARGUMENT (a per-call closure would inline the params into the HLO
+    — rejected >~100MB by the remote compile service — and recompile on
+    every epoch-end evaluate())."""
+    return jax.jit(lambda v, t: model.apply(v, t,
+                                            method="embed_txt_distill"))
+
+
 def evaluate(model, variables, dataset, batch_size: int = 64):
     index = build_video_index(model, variables, dataset, batch_size)
-    embed_txt = jax.jit(lambda t: model.apply(variables, t,
-                                              method="embed_txt_distill"))
+    embed_txt = _embed_txt_fn(model)
     cap_chunks = []
     for batch, n in dataset.text_batches(batch_size):
-        cap_chunks.append(np.asarray(embed_txt(batch))[:n])
+        cap_chunks.append(np.asarray(embed_txt(variables, batch))[:n])
     cap_emb = np.concatenate(cap_chunks, axis=0)
 
     errors = index.full_errors(cap_emb)   # (n_captions, n_videos)

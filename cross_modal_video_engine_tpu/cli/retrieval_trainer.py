@@ -57,10 +57,19 @@ def train(model_cfg: DualEncodingConfig, train_cfg: LinasTrainConfig,
 
     start_epoch = 0
     if resume:
-        state, loop = load_train_state(resume, state)
+        payload, loop = load_train_state(
+            resume, {"state": state} | ({"mask": tuple(mask_state)}
+                                        if use_adapt else {}))
+        state = payload["state"]
+        if use_adapt and "mask" in payload:
+            # the learned adapt mask (pa + its Adam state) resumes too —
+            # resetting it to init would train with a wrong similarity
+            # mask after resume
+            mask_state = type(mask_state)(*payload["mask"])
         start_epoch = int(loop.get("epoch", -1)) + 1
         scheduler.best = float(loop.get("best", -np.inf))
         scheduler.no_impr = int(loop.get("no_impr", 0))
+        scheduler.since_halve = int(loop.get("since_halve", 0))
         print(f"resumed from {resume}: epoch {start_epoch}, "
               f"best={scheduler.best:.2f}")
 
@@ -101,10 +110,14 @@ def train(model_cfg: DualEncodingConfig, train_cfg: LinasTrainConfig,
         with open(os.path.join(out_dir, "val_metric_hist.txt"), "a") as f:
             f.write(f"{epoch} {rsum:.4f}\n")
         if checkpoint_interval and (epoch + 1) % checkpoint_interval == 0:
+            payload = {"state": state}
+            if use_adapt:
+                payload["mask"] = tuple(mask_state)
             save_train_state(
-                os.path.join(out_dir, f"epoch_{epoch}"), state,
+                os.path.join(out_dir, f"epoch_{epoch}"), payload,
                 {"epoch": epoch, "best": scheduler.best,
-                 "no_impr": scheduler.no_impr})
+                 "no_impr": scheduler.no_impr,
+                 "since_halve": scheduler.since_halve})
         if stop:
             print(f"early stop at epoch {epoch}")
             break
@@ -155,7 +168,8 @@ def main(argv=None):
                                  args.out_dir, args.batch_size,
                                  resume=args.resume,
                                  checkpoint_interval=args.checkpoint_interval)
-    print(json.dumps(history[-1]))
+    # a resume with no epochs left legitimately yields an empty history
+    print(json.dumps(history[-1] if history else {"resumed_complete": True}))
     return history
 
 

@@ -166,7 +166,10 @@ def test_image_dataset_multilabel(tmp_path):
     ds = ImageDataset(str(ann), _identity_pipeline(), num_classes=5)
     assert ds.video_infos[0]["label"].shape == (5,)
     assert ds.video_infos[0]["label"][3] == 1.0
-    assert ds.video_infos[1]["label"] == 2
+    # num_classes set -> EVERY row is one-hot (mixed int/one-hot labels
+    # would make batch collation ragged)
+    assert ds.video_infos[1]["label"].shape == (5,)
+    assert ds.video_infos[1]["label"][2] == 1.0
 
 
 def test_rawvideo_dataset(tmp_path):

@@ -82,18 +82,39 @@ def test_publish_model(tmp_path):
 
 
 def test_export_model_roundtrip(tmp_path):
+    """Weights ride as a call argument (like export_yolo) so the
+    artifact stays small and serving loads checkpoints independently;
+    the exported forward must match model.apply on the same weights."""
     import jax
     import jax.numpy as jnp
 
+    from cross_modal_video_engine_tpu.models.clip import (CLIPConfig,
+                                                          CLIPModel)
+    from cross_modal_video_engine_tpu.train.checkpoint import (
+        save_checkpoint)
+
+    # must mirror export_model's 'tiny' preset exactly
+    cfg = CLIPConfig(embed_dim=16, image_resolution=32, vision_width=32,
+                     vision_layers=2, vision_heads=2, patch_size=16,
+                     context_length=8, vocab_size=64, text_width=16,
+                     text_heads=2, text_layers=1)
+    model = CLIPModel(cfg)
+    variables = model.init(jax.random.key(3),
+                           jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 8), jnp.int32))
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, variables)
+
     out = str(tmp_path / "model.stablehlo")
     mt_main(["export_model", "--output", out, "--preset", "tiny",
-             "--batch", "2", "--frames", "2"])
+             "--batch", "2", "--frames", "2", "--checkpoint", ckpt])
     with open(out, "rb") as f:
         exported = jax.export.deserialize(bytearray(f.read()))
     x = jnp.asarray(rng.standard_normal((2, 2, 32, 32, 3)), jnp.float32)
-    y = exported.call(x)
-    assert np.asarray(y).shape == (2, 2, 16)
-    assert np.isfinite(np.asarray(y)).all()
+    y = np.asarray(exported.call(variables, x))
+    assert y.shape == (2, 2, 16)
+    want, _ = model.apply(variables, x, method="encode_video")
+    np.testing.assert_allclose(y, np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
 def test_export_yolo_roundtrip(tmp_path):
