@@ -118,14 +118,27 @@ class Config:
             json.dump(self._tree, f, indent=1, default=str)
 
 
+def _strip_delete(v):
+    """Deep-copy v with every nested `_delete_` flag removed (it is a
+    merge directive, not config content — leaking it would reach model
+    constructors as a bogus kwarg)."""
+    if isinstance(v, dict):
+        return {k: _strip_delete(x) for k, x in v.items()
+                if k != "_delete_"}
+    return copy.deepcopy(v)
+
+
 def _deep_merge(dst: Dict, src: Dict) -> Dict:
     for k, v in src.items():
-        if isinstance(v, dict) and v.pop("_delete_", False):
+        if isinstance(v, dict) and v.get("_delete_", False):
             # mmcv Config semantics: `_delete_=True` replaces the base
-            # dict wholesale instead of deep-merging into it
-            dst[k] = copy.deepcopy(v)
+            # dict wholesale instead of deep-merging into it.  Read,
+            # don't pop — src belongs to the caller and may be merged
+            # again (a pop would silently downgrade the second merge
+            # to a deep-merge).
+            dst[k] = _strip_delete(v)
         elif isinstance(v, dict) and isinstance(dst.get(k), dict):
             _deep_merge(dst[k], v)
         else:
-            dst[k] = copy.deepcopy(v)
+            dst[k] = _strip_delete(v)
     return dst

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import os
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -42,6 +44,13 @@ def make_multislice_mesh(n_model: int = 1,
     devices = list(devices if devices is not None else jax.devices())
     slice_ids = sorted({getattr(d, "slice_index", 0) for d in devices})
     n_slices = len(slice_ids)
+    counts = {s: sum(1 for d in devices
+                     if getattr(d, "slice_index", 0) == s)
+              for s in slice_ids}
+    assert len(set(counts.values())) == 1, (
+        f"uneven devices per slice {counts}: the (dcn, data, model) "
+        f"reshape would put devices in the wrong slice row and ICI "
+        f"collectives would silently cross DCN")
     per_slice = len(devices) // n_slices
     order = sorted(devices, key=lambda d: (getattr(d, "slice_index", 0),
                                            d.id))
@@ -93,6 +102,16 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     else:
         try:
             jax.distributed.initialize()
-        except Exception:
-            pass        # single-process run: nothing to coordinate
+        except Exception as exc:
+            # single-process runs legitimately have nothing to
+            # coordinate — but on a configured pod a silent fallback
+            # would make every host train independently as process 0,
+            # so surface the failure loudly when a cluster was asked for
+            if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+                    os.environ.get("COORDINATOR_ADDRESS"):
+                raise
+            import logging
+            logging.getLogger(__name__).debug(
+                "jax.distributed.initialize skipped (%s); "
+                "continuing single-process", exc)
     return jax.process_index()

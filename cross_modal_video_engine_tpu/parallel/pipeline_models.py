@@ -102,7 +102,14 @@ def pipelined_cls_forward(rec_model, variables, videos: jnp.ndarray,
 def pipelined_cls_loss(rec_model, variables, videos, labels, mesh,
                        n_microbatches: int = 4, axis: str = "stage"):
     """Differentiable CE loss through the pipelined tower (gradients ride
-    the same scan/ppermute program backwards)."""
+    the same scan/ppermute program backwards).
+
+    NOTE: the tower runs with drop-path/dropout OFF (eval-mode blocks —
+    see pipelined_timesformer_tokens), so this is NOT regularization-
+    equivalent to the single-chip train step; it validates that the
+    pipeline differentiates end-to-end.  Stochastic-depth inside the
+    per-stage scan (per-block rngs threaded through ppermute) is the
+    production follow-up if pipeline training needs parity."""
     import optax
     scores = pipelined_cls_forward(rec_model, variables, videos, mesh,
                                    n_microbatches, axis)

@@ -80,7 +80,11 @@ def best_checkpoint_manager(root: str):
             else:
                 shutil.rmtree(link)
         os.symlink(os.path.abspath(new_path), link)
-        if state["path"] and os.path.exists(state["path"]):
+        # guard the same-name case: a new best whose score formats to
+        # the same 4-decimal string overwrote the directory in place —
+        # deleting the "old" path would delete the fresh checkpoint
+        if (state["path"] and state["path"] != new_path
+                and os.path.exists(state["path"])):
             shutil.rmtree(state["path"])
         state["best"], state["path"] = score, new_path
         return True

@@ -16,10 +16,15 @@ import jax.numpy as jnp
 
 
 def update_bn_stats(apply_fn: Callable, variables: Any,
-                    batches: Iterable, num_iters: int = 200) -> Any:
+                    batches: Iterable, num_iters: int = 200,
+                    momentum: float = 0.9) -> Any:
     """apply_fn(variables, batch, mutable=['batch_stats']) must return
     (out, mutated).  Returns variables with batch_stats replaced by the
-    average of the per-batch statistics (momentum-free true average)."""
+    average of the per-batch statistics (momentum-free true average).
+
+    momentum must match the model's BatchNorm momentum (flax default
+    0.9; models/yolo.py uses 0.97) — the EMA inversion below is wrong
+    otherwise and silently corrupts the recalibrated stats."""
     sums = None
     count = 0
     for i, batch in enumerate(batches):
@@ -32,7 +37,7 @@ def update_bn_stats(apply_fn: Callable, variables: Any,
         # momentum-corrected: recover the batch statistic from the EMA step
         # new_ema = m*old + (1-m)*batch  =>  batch = (new - m*old)/(1-m)
         old = variables["batch_stats"]
-        m = 0.9
+        m = momentum
         batch_stats = jax.tree.map(lambda new, o: (new - m * o) / (1 - m),
                                    stats, old)
         sums = jax.tree.map(lambda s, b: s + b, sums, batch_stats)

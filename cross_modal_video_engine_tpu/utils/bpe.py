@@ -72,9 +72,18 @@ class BPETokenizer:
         else:
             with open(merges_path, encoding="utf-8") as f:
                 lines = f.read().split("\n")
-        # OpenAI's file has a version header and is truncated at 49152-256-2+1
-        if lines and lines[0].startswith("#"):
-            lines = lines[1:]
+        # CLIP's exact slice (simple_tokenizer.py): drop the version
+        # header line (it is NOT '#'-prefixed) and truncate to
+        # 49152-256-2+1 merges, giving vocab_size 49408 and
+        # sot/eot = 49406/49407 — the published 262k-line file would
+        # otherwise produce out-of-range ids for every CLIP checkpoint.
+        # Short/toy merges files (no header, < the cap) load verbatim.
+        full = (len(lines) > 49152 - 256 - 2 + 1
+                or (lines and "#version" in lines[0]))
+        if full:
+            lines = lines[1: 49152 - 256 - 2 + 1]
+        elif lines and lines[0].startswith("#"):
+            lines = lines[1:]          # toy files with a comment header
         merges = [tuple(l.split()) for l in lines if len(l.split()) == 2]
 
         self.byte_encoder = bytes_to_unicode()

@@ -73,6 +73,10 @@ def device_time(fn: Callable, *args, steps: int = 10,
 
     idxs = (tuple(range(len(args))) if perturb_argnums is None
             else tuple(perturb_argnums))
+    # at least one arg MUST carry the loop dependency — with none, XLA
+    # hoists the whole body and the time reads ~steps-times too small
+    # (the exact inflation bug this function exists to guard against)
+    assert idxs, "perturb_argnums must name at least one argument"
 
     @jax.jit
     def run(*a):

@@ -100,26 +100,70 @@ int vd_decode(void* handle, const int64_t* indices, int64_t n,
   for (int64_t i = 0; i < n; ++i) want.emplace_back(indices[i], i);
   std::sort(want.begin(), want.end());
 
-  av_seek_frame(d->fmt, d->stream_idx, 0, AVSEEK_FLAG_BACKWARD);
+  // Seek to the keyframe before the EARLIEST wanted frame (the header's
+  // contract): decoding from 0 would make late-clip sampling O(video).
+  // After a timestamp seek the running counter is recovered from the
+  // first received frame's pts (exact for CFR streams); short prefixes
+  // keep the exact sequential scan.
+  AVStream* st = d->fmt->streams[d->stream_idx];
+  bool seeked = false;
+  if (want[0].first > 64 && st->avg_frame_rate.num > 0) {
+    AVRational inv_fps = {st->avg_frame_rate.den, st->avg_frame_rate.num};
+    int64_t ts = av_rescale_q(want[0].first, inv_fps, st->time_base);
+    if (st->start_time != AV_NOPTS_VALUE) ts += st->start_time;
+    if (av_seek_frame(d->fmt, d->stream_idx, ts, AVSEEK_FLAG_BACKWARD) >= 0)
+      seeked = true;
+  }
+  if (!seeked)
+    av_seek_frame(d->fmt, d->stream_idx, 0, AVSEEK_FLAG_BACKWARD);
   avcodec_flush_buffers(d->codec);
 
-  SwsContext* sws = sws_getContext(
-      d->width, d->height, d->codec->pix_fmt, out_w, out_h, AV_PIX_FMT_RGB24,
-      SWS_BILINEAR, nullptr, nullptr, nullptr);
-  if (!sws) return -2;
+  // sws context tracks the DECODED frame geometry (mid-stream
+  // resolution changes are legal in H.264/mpegts; scaling with the
+  // open-time dims would over-read the smaller frame)
+  SwsContext* sws = nullptr;
+  int sws_w = -1, sws_h = -1, sws_fmt = -1;
 
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();
-  int64_t decoded = 0;   // running frame counter
+  int64_t decoded = seeked ? -1 : 0;  // -1: recover from first pts
   size_t next_want = 0;
   const size_t frame_bytes = static_cast<size_t>(out_w) * out_h * 3;
   int ret = 0;
 
   auto emit = [&](AVFrame* f) {
-    while (next_want < want.size() && want[next_want].first == decoded) {
+    if (decoded < 0) {
+      int64_t pts = f->best_effort_timestamp;
+      if (pts == AV_NOPTS_VALUE) {
+        decoded = 0;
+      } else {
+        int64_t base =
+            (st->start_time != AV_NOPTS_VALUE) ? st->start_time : 0;
+        AVRational inv_fps = {st->avg_frame_rate.den,
+                              st->avg_frame_rate.num};
+        decoded = av_rescale_q_rnd(pts - base, st->time_base, inv_fps,
+                                   AV_ROUND_NEAR_INF);
+        if (decoded < 0) decoded = 0;
+      }
+    }
+    if (f->width != sws_w || f->height != sws_h || f->format != sws_fmt) {
+      if (sws) sws_freeContext(sws);
+      sws = sws_getContext(f->width, f->height,
+                           static_cast<AVPixelFormat>(f->format), out_w,
+                           out_h, AV_PIX_FMT_RGB24, SWS_BILINEAR, nullptr,
+                           nullptr, nullptr);
+      sws_w = f->width;
+      sws_h = f->height;
+      sws_fmt = f->format;
+    }
+    // <=: a conservative keyframe seek can overshoot a wanted index by
+    // a frame on odd-pts streams — serve it with the current frame
+    // rather than stalling until the repeat-last fallback
+    while (sws && next_want < want.size() &&
+           want[next_want].first <= decoded) {
       uint8_t* dst[1] = {out + want[next_want].second * frame_bytes};
       int dst_stride[1] = {out_w * 3};
-      sws_scale(sws, f->data, f->linesize, 0, d->height, dst, dst_stride);
+      sws_scale(sws, f->data, f->linesize, 0, f->height, dst, dst_stride);
       ++next_want;
     }
     ++decoded;

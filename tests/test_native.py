@@ -75,3 +75,26 @@ def test_native_decode_out_of_range_repeats_last(tmp_path):
     out = nv.get_batch([6, 7, 50])
     np.testing.assert_array_equal(out[2], out[1])
     nv.release()
+
+
+def test_native_decode_late_clip_seek(tmp_path):
+    """First wanted index > 64 triggers the keyframe-seek fast path;
+    pts-recovered frame numbering must still return the right frames."""
+    frames = np.zeros((120, 48, 64, 3), np.uint8)
+    # encode the frame number in a big solid block so codec noise
+    # cannot blur the identity check
+    for i in range(120):
+        frames[i, :, :, 0] = (i * 2) % 256
+    path = str(tmp_path / "long.mp4")
+    write_test_video(path, frames)
+
+    nv = NativeVideoReader(path)
+    assert nv.is_native
+    idx = [100, 110, 119]
+    got = nv.get_batch(idx)
+    cv = CvVideoReader(path)
+    want = cv.get_batch(idx)
+    diff = np.abs(got.astype(int) - want.astype(int)).mean()
+    assert diff < 2.0, f"late-seek decode disagrees, mean abs diff {diff}"
+    nv.release()
+    cv.release()
