@@ -17,10 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.pipelines import build_pipeline
-from ..models.decoder_head import RNNDecoderConfig
-from ..models.recognizer import Recognizer3DRelseq
-from ..models.timesformer import TimeSformerConfig
-from ..train.checkpoint import load_checkpoint
 
 DEFAULT_PIPELINE = [
     dict(type="DecordInit"),
@@ -57,11 +53,11 @@ def main(argv=None):
     parser.add_argument("--threshold", type=float, default=0.5)
     args = parser.parse_args(argv)
 
-    variables, cfg_d, meta = load_checkpoint(args.checkpoint)
-    ts_cfg = TimeSformerConfig(**{k: tuple(v) if isinstance(v, list) else v
-                                  for k, v in cfg_d["backbone"].items()})
-    dec_cfg = RNNDecoderConfig(**cfg_d["decoder"])
-    model = Recognizer3DRelseq(ts_cfg, dec_cfg)
+    # init_recognizer handles BOTH caption families (TimeSformer and
+    # any build_backbone type the trainer saved with a 'type' key) —
+    # hardcoding TimeSformerConfig crashed on non-TimeSformer ckpts
+    from ..api import init_recognizer
+    model, variables, cfg_d = init_recognizer(args.checkpoint)
 
     steps, probs = caption_video(model, variables, args.video,
                                  threshold=args.threshold)

@@ -44,7 +44,13 @@ def build_ctv_banks(model, variables, video_paths, detector_fn, class_names,
         raw = np.stack(decode_pipe({"filename": path,
                                     "start_index": 0})["imgs"])
         dets = detect_video(detector_fn, raw)
-        masked = per_class_masked_videos(raw, dets, class_names, min_frames)
+        # the reference's >10-frame noise filter assumes the FULL video
+        # is decoded (detect.py); a sampled pipeline may decode fewer
+        # frames than min_frames, which would make the filter
+        # unsatisfiable — cap it so a concept present in every sampled
+        # frame always passes
+        mf = min(min_frames, len(raw) - 1)
+        masked = per_class_masked_videos(raw, dets, class_names, mf)
         if not masked:
             continue
 
@@ -64,6 +70,12 @@ def build_ctv_banks(model, variables, video_paths, detector_fn, class_names,
         for concept, vec in ctvs.items():
             instance_ctvs.setdefault(concept, []).append(vec)
 
+    if not instance_ctvs:
+        raise ValueError(
+            "no masked clips produced any CTVs — no detector class "
+            "passed the min_frames filter on any video (check the "
+            "detector checkpoint/classes and the decode pipeline's "
+            "frame count)")
     sym, sym_names = symbolic_concept_vectors(instance_ctvs)
     clus, clus_names = cluster_concept_vectors(instance_ctvs, n_clusters)
     inst_names, inst_vecs = [], []
@@ -93,7 +105,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     model, variables, cfg_d = init_recognizer(args.checkpoint)
-    n_layers = cfg_d["backbone"]["num_layers"]
+    # configs may rely on the TimeSformerConfig default
+    n_layers = cfg_d["backbone"].get("num_layers", 12)
     target = (args.target_layer if args.target_layer is not None
               else get_model_layers("timesformer", n_layers)["target"])
 

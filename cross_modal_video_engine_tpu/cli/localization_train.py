@@ -43,15 +43,21 @@ from ..train.localization_trainer import (bm_mask, bmn_labels,
 
 
 def _batches(ds: ActivityNetDataset, batch_size: int, order=None):
+    """Yields (items, n_real): the tail batch pads by repeating its
+    first item (static shapes — a ragged tail would compile a second
+    XLA program for both the train step and the eval forward)."""
     order = range(len(ds)) if order is None else order
     buf = []
     for i in order:
         buf.append(ds[i])
         if len(buf) == batch_size:
-            yield buf
+            yield buf, batch_size
             buf = []
     if buf:
-        yield buf
+        n = len(buf)
+        while len(buf) < batch_size:
+            buf.append(buf[0])
+        yield buf, n
 
 
 def evaluate_bmn_proposals(model, params, ds: ActivityNetDataset,
@@ -60,10 +66,10 @@ def evaluate_bmn_proposals(model, params, ds: ActivityNetDataset,
     (reference tools/test.py --eval AR@AN)."""
     fn = jax.jit(lambda p, f: model.apply({"params": p}, f))
     gt, props, total = {}, {}, 0
-    for batch in _batches(ds, batch_size):
+    for batch, n_real in _batches(ds, batch_size):
         feats = jnp.asarray(np.stack([b["features"] for b in batch]))
         out = fn(params, feats)
-        for j, b in enumerate(batch):
+        for j, b in enumerate(batch[:n_real]):
             rows = generate_proposals(
                 np.asarray(out["tem_start"][j]),
                 np.asarray(out["tem_end"][j]),
@@ -110,7 +116,7 @@ def train_from_config(cfg: Config, work_dir: str,
         for epoch in range(epochs):
             order = np.random.default_rng(epoch).permutation(len(train_ds))
             losses = []
-            for batch in _batches(train_ds, bs, order):
+            for batch, _n in _batches(train_ds, bs, order):
                 feats = jnp.asarray(np.stack([b["features"]
                                               for b in batch]))
                 labels = [bmn_labels(b["segments"], T, bcfg.max_duration)
@@ -146,7 +152,7 @@ def train_from_config(cfg: Config, work_dir: str,
         history = []
         for epoch in range(epochs):
             losses = []
-            for batch in _batches(train_ds, bs):
+            for batch, _n in _batches(train_ds, bs):
                 feats = jnp.asarray(np.stack([b["features"]
                                               for b in batch]))
                 labels = [bsn_tem_labels(b["segments"], T) for b in batch]

@@ -40,11 +40,19 @@ def main(argv=None):
                       cfg.get("data.val.data_prefix"))
     bs = cfg.get("data.videos_per_gpu", 8)
 
-    fn = jax.jit(lambda p, v: model.apply(p, v))
+    # multi-clip test protocol (tools/test.py): fold every clip into
+    # the batch and average per video via forward_test(num_segs) —
+    # scoring clip 0 only would silently change the reported accuracy
+    fn = jax.jit(lambda p, v, s: model.apply(p, v, num_segs=s,
+                                             method="forward_test"),
+                 static_argnums=(2,))
     scores, labels = [], []
     for imgs, items, n in ds.batches(bs):
-        clips = jnp.asarray(imgs[:, 0].astype(np.float32))
-        s = np.asarray(fn(variables, clips))[:n]
+        B, n_clips = imgs.shape[:2]
+        clips = jnp.asarray(
+            imgs.reshape((B * n_clips,) + imgs.shape[2:]).astype(
+                np.float32))
+        s = np.asarray(fn(variables, clips, n_clips))[:n]
         scores.extend(list(s))
         labels.extend(int(it["label"]) for it in items[:n])
 

@@ -101,22 +101,35 @@ def mel_filterbank(n_mels: int, n_fft: int, sample_rate: int) -> np.ndarray:
     return fb
 
 
-def log_mel_spectrogram(wave: jnp.ndarray, n_fft: int = 512,
-                        hop: int = 160, n_mels: int = 64,
-                        sample_rate: int = 16000) -> jnp.ndarray:
-    """wave: (B, S) -> (B, frames, n_mels) log-mel features."""
+def mel_spectrogram(wave: jnp.ndarray, n_fft: int = 512,
+                    hop: int = 160, n_mels: int = 64,
+                    sample_rate: int = 16000) -> jnp.ndarray:
+    """wave: (B, S) -> (B, frames, n_mels) LINEAR-power mel features.
+
+    Matches the training pipeline's MelSpectrogram op exactly
+    (data/pipelines_extra.py: librosa semantics — centered/reflect-
+    padded frames, PERIODIC hann, Slaney-normalized filterbank, linear
+    power): from_waveform must see the same feature distribution a
+    checkpoint was trained on; the earlier symmetric-hann + HTK-bin +
+    log variant produced a completely different distribution."""
     B, S = wave.shape
-    n_frames = 1 + (S - n_fft) // hop
+    pad = n_fft // 2
+    wave = jnp.pad(wave, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = 1 + S // hop
     idx = (np.arange(n_frames)[:, None] * hop
            + np.arange(n_fft)[None, :])
     frames = wave[:, idx]                           # (B, F, n_fft)
-    window = jnp.asarray(np.hanning(n_fft).astype(np.float32))
+    window = jnp.asarray(periodic_hann(n_fft))
     spec = jnp.fft.rfft(frames * window, axis=-1)
     power = jnp.abs(spec) ** 2
-    fb = jnp.asarray(mel_filterbank(n_mels, n_fft, sample_rate))
-    mel = jnp.einsum("bfk,km->bfm", power, fb,
-                     preferred_element_type=jnp.float32)
-    return jnp.log(mel + 1e-6)
+    fb = jnp.asarray(librosa_mel_filterbank(n_mels, n_fft, sample_rate))
+    return jnp.einsum("bfk,km->bfm", power, fb,
+                      preferred_element_type=jnp.float32)
+
+
+# transitional alias for earlier callers; note it now returns the
+# pipeline-consistent LINEAR mel, not log
+log_mel_spectrogram = mel_spectrogram
 
 
 class _AudioBlock(nn.Module):
@@ -160,5 +173,5 @@ class AudioRecognizer(nn.Module):
         return nn.Dense(self.cfg.num_classes, name="fc_cls")(feat)
 
     def from_waveform(self, wave: jnp.ndarray, *, train: bool = False):
-        return self(log_mel_spectrogram(wave, n_mels=self.cfg.n_mels),
+        return self(mel_spectrogram(wave, n_mels=self.cfg.n_mels),
                     train=train)

@@ -52,7 +52,7 @@ def build_partitioned_adjacency(num_joints: int = 17,
     if layout is not None:
         num_joints, edges, center = GRAPH_LAYOUTS[layout]
     V = num_joints
-    adj = np.eye(V)
+    adj = np.eye(V)                   # hop-0 self links + hop-1 edges
     for a, b in edges:
         adj[a, b] = adj[b, a] = 1
     # hop distance to the center joint
@@ -62,20 +62,28 @@ def build_partitioned_adjacency(num_joints: int = 17,
         for a, b in edges:
             dist[a] = min(dist[a], dist[b] + 1)
             dist[b] = min(dist[b], dist[a] + 1)
-    deg = adj.sum(1)
-    norm = adj / np.maximum(deg[None, :], 1)
-    subsets = np.zeros((3, V, V))
-    for i in range(V):
-        for j in range(V):
-            if norm[i, j] == 0:
+    # normalize_digraph (graph.py): norm[j, i] = adj[j, i] / in_deg(i)
+    # — COLUMN degree (self-loop included), not the row degree
+    deg = adj.sum(0)
+    norm_ref = adj / np.maximum(deg[None, :], 1)
+    # reference spatial partition over (j, i) in A_ref[source, target]:
+    #   hop 0            -> subset 0 (the diagonal)
+    #   hop 1, equal or FARTHER source (dist[j] >= dist[i])
+    #                    -> subset 1 (root + 'close' merged, graph.py)
+    #   hop 1, closer source -> subset 2
+    ref = np.zeros((3, V, V))
+    for j in range(V):
+        for i in range(V):
+            if norm_ref[j, i] == 0:
                 continue
-            if i == j:
-                subsets[0, i, j] = norm[i, j]
-            elif dist[j] < dist[i]:
-                subsets[1, i, j] = norm[i, j]       # centripetal
+            if j == i:
+                ref[0, j, i] = norm_ref[j, i]
+            elif dist[j] >= dist[i]:
+                ref[1, j, i] = norm_ref[j, i]
             else:
-                subsets[2, i, j] = norm[i, j]       # centrifugal
-    return subsets.astype(np.float32)
+                ref[2, j, i] = norm_ref[j, i]
+    # our block einsum consumes A[k, target, source] -> transpose
+    return np.transpose(ref, (0, 2, 1)).astype(np.float32)
 
 
 class STGCNBlock(nn.Module):

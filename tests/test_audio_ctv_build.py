@@ -24,8 +24,11 @@ def test_mel_filterbank_and_spectrogram():
     assert (fb >= 0).all()
     wave = jnp.asarray(rng.standard_normal((2, 4000)), jnp.float32)
     spec = log_mel_spectrogram(wave, n_fft=256, hop=128, n_mels=16)
-    assert spec.shape == (2, 1 + (4000 - 256) // 128, 16)
+    # librosa-centered framing: 1 + S//hop frames; output is the
+    # pipeline-consistent LINEAR-power mel (non-negative)
+    assert spec.shape == (2, 1 + 4000 // 128, 16)
     assert np.isfinite(np.asarray(spec)).all()
+    assert (np.asarray(spec) >= 0).all()
 
 
 def test_audio_recognizer():

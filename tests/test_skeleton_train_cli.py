@@ -164,10 +164,52 @@ def test_ntu_graph_layout():
         STGCN, STGCNConfig, build_partitioned_adjacency)
     A = build_partitioned_adjacency(layout="ntu-rgb+d")
     assert A.shape == (3, 25, 25)
-    # column-normalized: each joint's incoming weight sums to 1
-    np.testing.assert_allclose(A.sum(axis=(0, 1)), 1.0, atol=1e-5)
+    # reference normalize_digraph: the incoming weights of each TARGET
+    # joint sum to 1 (our orientation is A[k, target, source], so sum
+    # over subsets and the source axis)
+    np.testing.assert_allclose(A.sum(axis=(0, 2)), 1.0, atol=1e-5)
     m = STGCN(STGCNConfig(num_joints=25, channels=(8,),
                           temporal_strides=(1,), layout="ntu-rgb+d"))
     x = jnp.zeros((2, 6, 25, 3))
     v = m.init(jax.random.key(0), x)
     assert m.apply(v, x).shape == (2, 8)
+
+
+def test_spatial_partition_matches_reference_graph_math():
+    """build_partitioned_adjacency vs an independent transcription of
+    the reference Graph 'spatial' strategy (graph.py get_hop_distance /
+    normalize_digraph / the a_root+a_close merge) on COCO-17."""
+    from cross_modal_video_engine_tpu.models.stgcn import (
+        COCO_EDGES, build_partitioned_adjacency)
+
+    V, center = 17, 0
+    adj = np.eye(V)
+    for a, b in COCO_EDGES:
+        adj[a, b] = adj[b, a] = 1
+    # hop_dis to center via matrix powers (reference get_hop_distance)
+    hop = np.full((V, V), np.inf)
+    mats = [np.linalg.matrix_power(adj, d) for d in range(V)]
+    for d in range(V - 1, -1, -1):
+        hop[np.stack(mats)[d] > 0] = d
+    dist = hop[:, center]
+    # normalize_digraph: A @ Dn^-1 (column degree)
+    deg = adj.sum(0)
+    norm = adj @ np.diag(1.0 / deg)
+    a0 = np.zeros((V, V))
+    a1 = np.zeros((V, V))
+    a2 = np.zeros((V, V))
+    for j in range(V):
+        for i in range(V):
+            if adj[j, i] == 0:
+                continue
+            if j == i:
+                a0[j, i] = norm[j, i]
+            elif dist[j] >= dist[i]:
+                a1[j, i] = norm[j, i]
+            else:
+                a2[j, i] = norm[j, i]
+    ref = np.stack([a0, a1, a2])
+
+    ours = build_partitioned_adjacency(V, COCO_EDGES, center)
+    np.testing.assert_allclose(ours, np.transpose(ref, (0, 2, 1)),
+                               atol=1e-6)
