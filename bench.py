@@ -65,7 +65,12 @@ def main():
     @jax.jit
     def embed_loop(variables, frames):
         def body(i, carry):
-            f = frames + carry * 0.0
+            # differing-branch select (the device_time guard): the
+            # earlier `frames + carry * 0.0` survives only while XLA
+            # declines to fold float mul-by-zero — a simplifier change
+            # would hoist the body and inflate the number ~STEPS-fold
+            f = jnp.where(jnp.isfinite(carry), frames,
+                          jnp.zeros_like(frames))
             high, _ = model.apply(variables, f, method="encode_video")
             return jnp.mean(high).astype(jnp.bfloat16)
         return jax.lax.fori_loop(0, STEPS, body,

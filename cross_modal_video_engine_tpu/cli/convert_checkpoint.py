@@ -234,7 +234,17 @@ def main(argv=None):
         blob = json.load(open(args.config)) if args.config else {}
         kwargs = videomae_config_from_sd(
             sd, num_frames=blob.get("num_frames", 16),
-            img_size=blob.get("img_size", 224))
+            img_size=blob.get("img_size", 224),
+            num_heads=blob.get("num_heads"))   # ViT-dim default if None
+        # honor any other explicit --config overrides (e.g. mlp_ratio)
+        import dataclasses as _dc
+
+        from ..models.videomae_vit import VideoMAEConfig
+        fields = {f.name for f in _dc.fields(VideoMAEConfig)}
+        kwargs.update({k: v for k, v in blob.items()
+                       if k in fields
+                       and k not in ("num_frames", "img_size",
+                                     "num_heads")})
         variables = convert_videomae(sd)
         save_checkpoint(args.dst, variables, {"backbone": kwargs},
                         {"source": args.src})

@@ -17,6 +17,17 @@ import argparse
 from ..service.app import EngineService, create_server
 
 
+def _pow2_rows(rows, max_batch):
+    """Pad a request wave to the next power of two by repeating row 0
+    (one copy of the logic the four handlers share; shapes then depend
+    only on the padded batch size so each jitted program compiles at
+    most log2(max_batch)+1 times, ever).  Returns (rows, n_real)."""
+    from ..service.batching import _pad_pow2
+    n = len(rows)
+    padded = _pad_pow2(n, max(n, max_batch))
+    return list(rows) + [rows[0]] * (padded - n), n
+
+
 def build_retrieval_handler(args):
     import numpy as np
     from ..models.dual_encoding import make_text_batch
@@ -33,20 +44,21 @@ def build_retrieval_handler(args):
 
     max_batch = getattr(args, "max_batch", 32)
 
+    # compiled once per model, variables as an argument (an eager
+    # .apply would re-trace and dispatch op-by-op per request wave —
+    # ~30ms per dispatch through the relay)
+    from .retrieval_tester import _embed_txt_fn
+    embed_txt = _embed_txt_fn(model)
+
     def embed_rows(rows):
         # rows: [(ids, bow)] -> one batched embed_txt_distill call;
         # make_text_batch pads to max_words so shapes depend only on the
         # (pow2-padded) batch size.
-        n = len(rows)
-        padded = 1
-        while padded < n:
-            padded *= 2
-        rows = list(rows) + [rows[0]] * (padded - n)
+        rows, n = _pow2_rows(rows, max_batch)
         batch = make_text_batch(
             [ids[: dataset.max_words] for ids, _ in rows],
             np.stack([bow for _, bow in rows]), dataset.max_words)
-        emb = np.asarray(model.apply(state["variables"], batch,
-                                     method="embed_txt_distill"))
+        emb = np.asarray(embed_txt(state["variables"], batch))
         return [emb[i: i + 1] for i in range(n)]
 
     batcher = MicroBatcher(embed_rows, max_batch=max_batch,
@@ -85,22 +97,22 @@ def build_caption_handler(args):
     model = Recognizer3DRelseq(ts, RNNDecoderConfig(**cfg_d["decoder"]))
     pipe = build_pipeline(DEFAULT_PIPELINE)
 
+    import jax
+    fwd = jax.jit(lambda v, x, s: model.apply(v, x, num_segs=s,
+                                              method="forward_test"),
+                  static_argnums=(2,))   # compiled once per wave shape
+    cap_max_batch = getattr(args, "max_batch", 8)
+
     def model_rows(rows):
         # rows: (num_clips, T, H, W, C) float arrays, same shape
         num_segs = rows[0].shape[0]
-        n = len(rows)
-        padded = 1
-        while padded < n:
-            padded *= 2
-        rows = list(rows) + [rows[0]] * (padded - n)
+        rows, n = _pow2_rows(rows, cap_max_batch)
         batch = jnp.asarray(np.concatenate(rows, axis=0))
-        probs = np.asarray(model.apply(variables, batch,
-                                       num_segs=num_segs,
-                                       method="forward_test"))
+        probs = np.asarray(fwd(variables, batch, num_segs))
         return [probs[i] for i in range(n)]
 
     batcher = MicroBatcher(model_rows,
-                           max_batch=getattr(args, "max_batch", 8),
+                           max_batch=cap_max_batch,
                            max_wait_ms=getattr(args, "max_wait_ms", 5.0),
                            name="caption-model")
 
@@ -146,11 +158,23 @@ def build_composed_handler(args):
     names = sorted(f for f in os.listdir(args.videos_dir)
                    if f.split(".")[-1].lower() in ("mp4", "avi", "mkv",
                                                    "webm", "mov"))
+    feature_cache = getattr(args, "feature_cache", None)
     index_high = []
     for name in names:
-        h, _m = extract_video_features(
-            clip_model, clip_vars, os.path.join(args.videos_dir, name),
-            dim=clip_cfg.image_resolution)
+        # the same per-video npz cache composed_inference uses — a
+        # server restart must not re-decode + re-encode the corpus
+        cache = (os.path.join(feature_cache, name + ".npz")
+                 if feature_cache else None)
+        if cache and os.path.exists(cache):
+            h = np.load(cache)["high_feature"]
+        else:
+            h, m = extract_video_features(
+                clip_model, clip_vars, os.path.join(args.videos_dir, name),
+                dim=clip_cfg.image_resolution)
+            if cache:
+                os.makedirs(feature_cache, exist_ok=True)
+                from ..data.composed_dataset import save_video_features
+                save_video_features(cache, h, m)
         hh, _ = build_combiner_inputs(h, np.zeros((1, 1, h.shape[-1]),
                                                   np.float32))
         index_high.append(hh)
@@ -164,27 +188,36 @@ def build_composed_handler(args):
     index = index / np.maximum(
         np.linalg.norm(index, axis=1, keepdims=True), 1e-12)
 
+    import jax
+
+    # compiled once; all weights + the index ride as arguments (eager
+    # .apply would re-trace per wave; a closed-over index would inline
+    # into the HLO)
+    @jax.jit
+    def _rank(cv, cbv, highs, middles, ids, idx):
+        text_feat = clip_model.apply(cv, ids, method="encode_text")
+        pred = combiner.apply(cbv, (highs, middles), text_feat,
+                              method="combine_features")
+        return 1.0 - pred @ idx.T                      # distances
+
+    comp_max_batch = getattr(args, "max_batch", 8)
+    index_j = jnp.asarray(index)
+
     def rank_rows(rows):
         # rows: (ref_high (F, D), ref_middle (F, L, D), token_ids (S,))
         # -> one encode_text + one combine + one index matmul for the
         # whole wave
-        n = len(rows)
-        padded = 1
-        while padded < n:
-            padded *= 2
-        rows = list(rows) + [rows[0]] * (padded - n)
+        rows, n = _pow2_rows(rows, comp_max_batch)
         highs = jnp.asarray(np.stack([r[0] for r in rows]))
         middles = jnp.asarray(np.stack([r[1] for r in rows]))
         ids = jnp.asarray(np.concatenate([r[2] for r in rows]))  # (B, S)
-        text_feat = clip_model.apply(clip_vars, ids, method="encode_text")
-        pred = combiner.apply(comb_vars, (highs, middles), text_feat,
-                              method="combine_features")
-        scores = 1.0 - np.asarray(pred) @ index.T     # distances
+        scores = np.asarray(_rank(clip_vars, comb_vars, highs, middles,
+                                  ids, index_j))
         order = np.argsort(scores, axis=1)
         return [order[i] for i in range(n)]
 
     batcher = MicroBatcher(rank_rows,
-                           max_batch=getattr(args, "max_batch", 8),
+                           max_batch=comp_max_batch,
                            max_wait_ms=getattr(args, "max_wait_ms", 5.0),
                            name="composed-rank")
 
@@ -240,11 +273,7 @@ def build_explain_handler(args):
         # pass batches every request's clips into one program, then
         # per-request slices feed the (host-side) concept scoring
         k = rows[0].shape[0]
-        n = len(rows)
-        padded = 1
-        while padded < n:
-            padded *= 2
-        rows = list(rows) + [rows[0]] * (padded - n)
+        rows, n = _pow2_rows(rows, getattr(args, "max_batch", 8))
         batch = jnp.asarray(np.concatenate(rows, axis=0))
         g = grad_extract(model, variables, batch, [default_layer])
         grads = np.asarray(g["gradients"][default_layer])
@@ -326,6 +355,10 @@ def main(argv=None):
     parser.add_argument("--combiner_checkpoint")
     parser.add_argument("--videos_dir")
     parser.add_argument("--merges")
+    parser.add_argument("--feature_cache", default=None,
+                        help="per-video npz cache dir shared with "
+                             "composed_inference (skips re-encoding "
+                             "the corpus on restart)")
     # explain
     parser.add_argument("--explain_checkpoint")
     parser.add_argument("--concept_banks", default=None)

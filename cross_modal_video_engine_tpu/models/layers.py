@@ -69,7 +69,10 @@ class BiGRU(nn.Module):
                     h_new = jnp.where(mt > 0, h_new, h)
                 return h_new, h_new
 
-            h0 = jnp.zeros((B, H), x.dtype)
+            # the step computes in f32 (preferred_element_type), so the
+            # carry must be f32 too — an x.dtype carry crashes the scan
+            # with a dtype mismatch for bf16 inputs
+            h0 = jnp.zeros((B, H), jnp.float32)
             _, outs = jax.lax.scan(step, h0, (xs, ms))
             if self.packed:
                 outs = outs * ms                  # zeros beyond length, like pad_packed

@@ -150,15 +150,24 @@ class VideoMAEViT(nn.Module):
 
 
 def videomae_config_from_sd(sd: dict, num_frames: int = 16,
-                            img_size: int = 224) -> dict:
-    """Infer VideoMAEConfig kwargs from a checkpoint's shapes."""
+                            img_size: int = 224,
+                            num_heads: int | None = None) -> dict:
+    """Infer VideoMAEConfig kwargs from a checkpoint's shapes.
+
+    num_heads cannot be read from the tensor shapes; it defaults to the
+    ViT convention embed_dims // 64 (S:384/6, B:768/12, L:1024/16) and
+    can be overridden for non-standard towers."""
     pe = sd["patch_embed.proj.weight"]              # (D, 3, t, p, p)
     n_layers = 0
     while f"blocks.{n_layers}.attn.qkv.weight" in sd:
         n_layers += 1
+    embed_dims = int(pe.shape[0])
+    if num_heads is None:
+        num_heads = max(1, embed_dims // 64)
     return dict(
         num_frames=num_frames, img_size=img_size,
         patch_size=int(pe.shape[-1]), tubelet_size=int(pe.shape[2]),
-        embed_dims=int(pe.shape[0]), num_layers=n_layers,
+        embed_dims=embed_dims, num_layers=n_layers,
+        num_heads=num_heads,
         init_values=(0.1 if "blocks.0.gamma_1" in sd else 0.0),
     )

@@ -8,6 +8,7 @@ data provider).
 
 from __future__ import annotations
 
+import functools
 from collections import Counter, defaultdict
 from typing import Dict, Iterable, List, Optional, Tuple
 
@@ -19,25 +20,33 @@ _STOPWORDS = set(
     "so not no do does did done very while during".split())
 
 
-def _lemmatize(words: List[str]) -> List[str]:
+@functools.lru_cache(maxsize=1)
+def _wnl():
+    """One lemmatizer + one nltk availability probe per process (the
+    per-caption import/construct was pure overhead on large corpora)."""
     try:
         from nltk.stem import WordNetLemmatizer
         wnl = WordNetLemmatizer()
-        out = []
-        for w in words:
-            lemma = wnl.lemmatize(wnl.lemmatize(w, "v"), "n")
-            out.append(lemma)
-        return out
+        wnl.lemmatize("tests", "n")     # force the data load / fail now
+        return wnl
     except Exception:
-        # nltk data unavailable: crude plural/ing stripping fallback
-        out = []
-        for w in words:
-            if w.endswith("ing") and len(w) > 5:
-                w = w[:-3]
-            elif w.endswith("s") and not w.endswith("ss") and len(w) > 3:
-                w = w[:-1]
-            out.append(w)
-        return out
+        return None
+
+
+def _lemmatize(words: List[str]) -> List[str]:
+    wnl = _wnl()
+    if wnl is not None:
+        return [wnl.lemmatize(wnl.lemmatize(w, "v"), "n")
+                for w in words]
+    # nltk data unavailable: crude plural/ing stripping fallback
+    out = []
+    for w in words:
+        if w.endswith("ing") and len(w) > 5:
+            w = w[:-3]
+        elif w.endswith("s") and not w.endswith("ss") and len(w) > 3:
+            w = w[:-1]
+        out.append(w)
+    return out
 
 
 def build_tag_vocab(captions: Iterable[str], vocab_size: int = 512
@@ -73,8 +82,10 @@ def write_tag_file(path: str,
     input format)."""
     with open(path, "w") as f:
         for vid, tags in vid2tags.items():
-            if tags:
-                body = " ".join(f"{t}:{s:.4f}" for t, s in tags)
-                f.write(f"{vid}\t{body}\n")
-            else:
-                f.write(f"{vid}\n")
+            if not tags:
+                # the reference format has no tagless lines; a bare
+                # `vid\n` would hand downstream tab-splitters a
+                # one-field row
+                continue
+            body = " ".join(f"{t}:{s:.4f}" for t, s in tags)
+            f.write(f"{vid}\t{body}\n")
