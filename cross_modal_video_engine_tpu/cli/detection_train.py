@@ -68,13 +68,13 @@ from ..train.checkpoint import best_checkpoint_manager
 from ..train.resume import (latest_checkpoint, load_train_state,
                             save_train_state)
 from ..metrics.ava import make_image_key
-from .recognition_train import build_backbone
+from .recognition_train import _deep_tuple, build_backbone
 
 
 def build_detection_model(cfg: Config) -> AVAFastRCNN:
     bcfg = dict(cfg["model.backbone"])
     btype = bcfg.pop("type", "SlowOnly")
-    kw = {k: tuple(v) if isinstance(v, list) else v for k, v in bcfg.items()}
+    kw = {k: _deep_tuple(v) for k, v in bcfg.items()}
     head = AVAHeadConfig(**cfg.get("model.roi_head", {}))
     shared = None
     scfg = cfg.get("model.shared_head")

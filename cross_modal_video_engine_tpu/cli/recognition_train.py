@@ -50,6 +50,15 @@ PER_FRAME_BACKBONES = ("TANet", "TSM", "TIN", "TINExact",
                        "MobileNetV2TSM")
 
 
+def _deep_tuple(v):
+    """Recursively convert lists to tuples so nested config values
+    (e.g. the per-stage non_local bitmasks) stay hashable inside frozen
+    dataclass configs."""
+    if isinstance(v, list):
+        return tuple(_deep_tuple(x) for x in v)
+    return v
+
+
 def build_backbone(btype: str, kw: dict):
     """Backbone factory shared by the recognition and caption trainers
     (model.backbone.type registry keys)."""
@@ -107,7 +116,7 @@ def build_recognition_model(cfg: Config):
     bcfg = dict(cfg["model.backbone"])
     btype = bcfg.pop("type", "TimeSformer")
     num_classes = cfg["model.num_classes"]
-    kw = {k: tuple(v) if isinstance(v, list) else v for k, v in bcfg.items()}
+    kw = {k: _deep_tuple(v) for k, v in bcfg.items()}
     ncfg = cfg.get("model.neck")
     if ncfg and ncfg.get("type") == "TPN":
         from ..models.recognizer import TPNRecognizer

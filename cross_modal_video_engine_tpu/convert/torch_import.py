@@ -35,7 +35,7 @@ only needed to unpickle .pth files (`load_torch_checkpoint`).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -197,9 +197,7 @@ def _mha_from_inproj(sd: Dict, prefix: str) -> Dict:
     }
 
 
-def _ts_ln(sd: Dict, name: str) -> Dict:
-    return {"ln": {"scale": _np(sd[f"{name}.weight"]),
-                   "bias": _np(sd[f"{name}.bias"])}}
+# (LayerNorm split shared with _ln below; kept as one definition)
 
 
 def convert_timesformer(sd: Dict, cfg, cls_head_key: str = "cls_head.fc_cls",
@@ -312,6 +310,9 @@ def convert_swin3d(sd: Dict, cfg, backbone_prefix: str = "backbone.",
 def _ln(sd: Dict, name: str) -> Dict:
     return {"ln": {"scale": _np(sd[f"{name}.weight"]),
                    "bias": _np(sd[f"{name}.bias"])}}
+
+
+_ts_ln = _ln
 
 
 def _resblock(sd: Dict, prefix: str) -> Dict:
@@ -677,12 +678,8 @@ def _conv3d(w) -> Dict:
     return {"kernel": _np(w).transpose(2, 3, 4, 1, 0)}
 
 
-def _bn3d(sd: Dict, prefix: str) -> Tuple[Dict, Dict]:
-    """mmaction ConvModule bn -> (flax BatchNorm params, batch_stats)."""
-    return ({"scale": _np(sd[prefix + ".weight"]),
-             "bias": _np(sd[prefix + ".bias"])},
-            {"mean": _np(sd[prefix + ".running_mean"]),
-             "var": _np(sd[prefix + ".running_var"])})
+# mmaction ConvModule bn uses the same key grammar as torch BatchNorm
+_bn3d = _bn
 
 
 def convert_resnet3d(sd: Dict, cfg, backbone_prefix: str = "backbone.",
@@ -720,6 +717,13 @@ def convert_resnet3d(sd: Dict, cfg, backbone_prefix: str = "backbone.",
                     sd, src + "downsample.bn")
             params[dst] = blk
             stats[dst] = blk_stats
+            # the *_nl configs insert NonLocal3d after flagged blocks
+            # (resnet3d.py:131-133) — dropping its weights silently
+            # would import a numerically different backbone
+            if any(k.startswith(src + "non_local_block.") for k in sd):
+                nl_p, nl_s = _non_local3d(sd, src + "non_local_block.")
+                params[dst + "_nl"] = nl_p
+                stats[dst + "_nl"] = nl_s
     variables = {"params": params, "batch_stats": stats}
     if cls_head_key and cls_head_key + ".weight" in sd:
         w = _np(sd[cls_head_key + ".weight"])
@@ -732,6 +736,27 @@ def convert_resnet3d(sd: Dict, cfg, backbone_prefix: str = "backbone.",
             "batch_stats": {"backbone": stats},
         }
     return variables
+
+
+def _non_local3d(sd: Dict, p: str) -> Tuple[Dict, Dict]:
+    """mmcv NonLocal3d -> models.resnet3d.NonLocal3DBlock params.
+
+    sub_sample=True wraps g/phi in nn.Sequential(conv, maxpool), so
+    their ConvModule keys gain a '.0' (g.0.conv.weight); theta and
+    conv_out are plain.  conv_out is bias-free with a BN."""
+    def conv(name):
+        base = p + name
+        if base + ".0.conv.weight" in sd:
+            base = base + ".0"
+        return {"kernel": _np(sd[base + ".conv.weight"])
+                .transpose(2, 3, 4, 1, 0),
+                "bias": _np(sd[base + ".conv.bias"])}
+
+    params = {"g": conv("g"), "theta": conv("theta"), "phi": conv("phi"),
+              "conv_out": _conv3d(sd[p + "conv_out.conv.weight"])}
+    bn, bn_stats = _bn3d(sd, p + "conv_out.bn")
+    params["bn_out"] = bn
+    return params, {"bn_out": bn_stats}
 
 
 def _convert_bottlenecks(sd: Dict, src_prefix: str, stage_blocks,
@@ -784,11 +809,19 @@ def convert_slowfast(sd: Dict, cfg, backbone_prefix: str = "backbone.",
     params["slow_conv1"] = _conv3d(sd[p + "slow_path.conv1.conv.weight"])
     params["slow_bn1"], stats["slow_bn1"] = _bn3d(
         sd, p + "slow_path.conv1.bn")
-    params["lateral_0"] = _conv3d(
-        sd[p + "slow_path.conv1_lateral.conv.weight"])
-    for i in (1, 2, 3):
-        params[f"lateral_{i}"] = _conv3d(
-            sd[p + f"slow_path.layer{i}_lateral.conv.weight"])
+    lateral_srcs = ["slow_path.conv1_lateral"] + [
+        f"slow_path.layer{i}_lateral" for i in (1, 2, 3)]
+    has_lateral_bn = p + lateral_srcs[0] + ".bn.weight" in sd
+    if has_lateral_bn != cfg.lateral_norm:
+        raise ValueError(
+            f"checkpoint lateral BN={has_lateral_bn} but "
+            f"SlowFastConfig.lateral_norm={cfg.lateral_norm} — "
+            f"importing would silently {'drop the lateral BN+ReLU' if has_lateral_bn else 'add an untrained BN'}")
+    for i, src in enumerate(lateral_srcs):
+        params[f"lateral_{i}"] = _conv3d(sd[p + src + ".conv.weight"])
+        if has_lateral_bn:
+            params[f"lateral_bn_{i}"], stats[f"lateral_bn_{i}"] = _bn3d(
+                sd, p + src + ".bn")
     slow_params, slow_stats = _convert_bottlenecks(
         sd, p + "slow_path.", cfg.depth_blocks, "slow_l{s}_{j}")
     params.update(slow_params)
@@ -814,8 +847,12 @@ def convert_videomae(sd: Dict, prefix: str = "",
     MCT/mmaction/models/backbones/videomae.py key grammar:
     patch_embed.proj, blocks.{i}.{norm1,attn.{qkv,q_bias,v_bias,proj},
     norm2,mlp.{fc1,fc2},gamma_1,gamma_2}, fc_norm; the sinusoid
-    pos_embed is recomputed, not loaded)."""
+    pos_embed is recomputed, not loaded).  mmaction-layout checkpoints
+    (keys under `backbone.`) are auto-detected."""
     p = prefix
+    if (p + "patch_embed.proj.weight" not in sd
+            and "backbone.patch_embed.proj.weight" in sd):
+        p = "backbone."
     params: Dict = {
         "patch_embed": {
             "kernel": _np(sd[p + "patch_embed.proj.weight"])
@@ -848,13 +885,22 @@ def convert_videomae(sd: Dict, prefix: str = "",
         params[f"block_{i}"] = blk
         i += 1
     variables = {"params": params}
+    # finetuned classifier: original VideoMAE layout stores it at
+    # `head` NEXT TO the backbone keys; mmaction-layout checkpoints
+    # (backbone.* prefix) store it at top-level `cls_head.fc_cls` —
+    # joining head_key onto the backbone prefix would miss it and
+    # silently drop the trained classifier
+    head = None
     if head_key and p + head_key + ".weight" in sd:
-        # finetuned classifier: nest {backbone, cls_head} like the
-        # other converters so BackboneClassifier consumes it directly
-        # (a sibling 'head' collection would be silently dropped)
+        head = _dense(sd, p + head_key)
+    elif "cls_head.fc_cls.weight" in sd:
+        head = _dense(sd, "cls_head.fc_cls")
+    if head is not None:
+        # nest {backbone, cls_head} like the other converters so
+        # BackboneClassifier consumes it directly
         variables = {"params": {
             "backbone": params,
-            "cls_head": {"fc_cls": _dense(sd, p + head_key)},
+            "cls_head": {"fc_cls": head},
         }}
     return variables
 
@@ -906,10 +952,18 @@ def convert_x3d(sd: Dict, cfg, backbone_prefix: str = "backbone.",
             stats[dst] = blk_stats
     variables = {"params": params, "batch_stats": stats}
     if cls_head_prefix and cls_head_prefix + "fc1.weight" in sd:
+        # X3DHead builds fc1 with bias=False in every shipped mmaction
+        # x3d config (x3d_head.py fc1_bias default False) — real
+        # checkpoints have no fc1.bias key; a zero bias is equivalent
+        w1 = _np(sd[cls_head_prefix + "fc1.weight"])
+        fc1 = {"kernel": w1.T,
+               "bias": (_np(sd[cls_head_prefix + "fc1.bias"])
+                        if cls_head_prefix + "fc1.bias" in sd
+                        else np.zeros(w1.shape[0], np.float32))}
         variables = {
             "params": {"backbone": params,
                        "cls_head": {
-                           "fc1": _dense(sd, cls_head_prefix + "fc1"),
+                           "fc1": fc1,
                            "fc2": _dense(sd, cls_head_prefix + "fc2")}},
             "batch_stats": {"backbone": stats},
         }
@@ -980,12 +1034,7 @@ def _conv2d(w) -> Dict:
     return {"kernel": _np(w).transpose(2, 3, 1, 0)}
 
 
-def _bn_torch(sd: Dict, prefix: str) -> Tuple[Dict, Dict]:
-    """Plain torch BatchNorm (`prefix.weight/...`) -> flax split."""
-    return ({"scale": _np(sd[prefix + ".weight"]),
-             "bias": _np(sd[prefix + ".bias"])},
-            {"mean": _np(sd[prefix + ".running_mean"]),
-             "var": _np(sd[prefix + ".running_var"])})
+_bn_torch = _bn      # plain torch BatchNorm: identical key grammar
 
 
 def convert_tsm(sd: Dict, cfg, backbone_prefix: str = "backbone.",
@@ -1000,6 +1049,11 @@ def convert_tsm(sd: Dict, cfg, backbone_prefix: str = "backbone.",
 
     Torchvision-layout checkpoints (conv1.weight / bn1 / downsample.0)
     are auto-detected and handled too."""
+    if any(".non_local_block." in k for k in sd):
+        raise ValueError(
+            "TSM checkpoint carries non_local_block weights (a *_nl "
+            "config); TSMResNet has no non-local support yet — refusing "
+            "to import a numerically different backbone silently")
     p = backbone_prefix
     torchvision = p + "conv1.weight" in sd
 

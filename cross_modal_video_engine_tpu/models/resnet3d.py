@@ -64,6 +64,42 @@ class Bottleneck3D(nn.Module):
         return nn.relu(out + sc)
 
 
+class NonLocal3DBlock(nn.Module):
+    """mmcv NonLocal3d, embedded-gaussian mode (the slowonly_r50_nl
+    non_local_cfg: sub_sample=True, use_scale=True, BN3d on conv_out).
+    g/theta/phi are biased 1x1x1 convs to C/2; sub_sample max-pools g
+    and phi spatially by 2; the attention-weighted values project back
+    through a bias-free conv_out + BN and add residually."""
+
+    sub_sample: bool = True
+    use_scale: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        C = x.shape[-1]
+        inter = max(1, C // 2)
+        g = nn.Conv(inter, (1, 1, 1), name="g")(x)
+        theta = nn.Conv(inter, (1, 1, 1), name="theta")(x)
+        phi = nn.Conv(inter, (1, 1, 1), name="phi")(x)
+        if self.sub_sample:
+            g = nn.max_pool(g, (1, 2, 2), strides=(1, 2, 2))
+            phi = nn.max_pool(phi, (1, 2, 2), strides=(1, 2, 2))
+        B = x.shape[0]
+        tq = theta.reshape(B, -1, inter)
+        pk = phi.reshape(B, -1, inter)
+        gv = g.reshape(B, -1, inter)
+        attn = jnp.einsum("bqc,bkc->bqk", tq, pk,
+                          preferred_element_type=jnp.float32)
+        if self.use_scale:
+            attn = attn / jnp.sqrt(jnp.float32(inter))
+        attn = jax.nn.softmax(attn, axis=-1)
+        y = jnp.einsum("bqk,bkc->bqc", attn, gv.astype(jnp.float32))
+        y = y.astype(x.dtype).reshape(x.shape[:-1] + (inter,))
+        y = nn.Conv(C, (1, 1, 1), use_bias=False, name="conv_out")(y)
+        y = _bn(train, "bn_out")(y)
+        return x + y
+
+
 @dataclasses.dataclass(frozen=True)
 class ResNet3DConfig:
     stage_blocks: Tuple[int, ...] = (3, 4, 6, 3)       # depth 50
@@ -76,6 +112,11 @@ class ResNet3DConfig:
     # AVA detection keeps the last stage at stride 1 for finer RoI maps
     # (configs/detection/ava/*.py spatial_strides=(1, 2, 2, 1))
     stage_spatial_strides: Tuple[int, ...] = (1, 2, 2, 2)
+    # per-stage per-block non-local flags, e.g. the slowonly_r50_nl
+    # family's ((0,0,0), (1,0,1,0), (1,0,1,0,1,0), (0,0,0))
+    # (resnet3d.py:131-133 NonLocal3d after the flagged bottlenecks);
+    # () = none
+    non_local: Tuple[Tuple[int, ...], ...] = ()
 
 
 @BACKBONES.register("ResNet3D")
@@ -102,11 +143,13 @@ class ResNet3D(nn.Module):
         for i, (blocks, tk) in enumerate(zip(cfg.stage_blocks,
                                              cfg.stage_temporal_kernels)):
             stride = cfg.stage_spatial_strides[i]
-            x = Bottleneck3D(planes, stride, tk, name=f"layer{i+1}_0")(
-                x, train=train)
-            for j in range(1, blocks):
-                x = Bottleneck3D(planes, 1, tk, name=f"layer{i+1}_{j}")(
-                    x, train=train)
+            nl = cfg.non_local[i] if i < len(cfg.non_local) else ()
+            for j in range(blocks):
+                x = Bottleneck3D(planes, stride if j == 0 else 1, tk,
+                                 name=f"layer{i+1}_{j}")(x, train=train)
+                if j < len(nl) and nl[j]:
+                    x = NonLocal3DBlock(
+                        name=f"layer{i+1}_{j}_nl")(x, train=train)
             stages.append(x)
             planes *= 2
         if return_stages:
@@ -211,6 +254,11 @@ class SlowFastConfig:
     # configs use (1, 2, 2, 1) to keep stride-16 RoI maps
     # (configs/detection/ava/*.py spatial_strides)
     spatial_strides: Tuple[int, ...] = (1, 2, 2, 2)
+    # BN+ReLU after each lateral conv (ResNet3dPathway lateral_norm;
+    # the slowfast_r50_8x8 steplr / prebn / multigrid checkpoints all
+    # train with it — importing one without this flag would silently
+    # drop the lateral BN)
+    lateral_norm: bool = False
 
 
 @BACKBONES.register("SlowFast")
@@ -263,6 +311,8 @@ class SlowFast(nn.Module):
                 strides=(cfg.alpha, 1, 1),
                 padding=((lk // 2, lk // 2), (0, 0), (0, 0)),
                 use_bias=False, name=f"lateral_{i}")(fast_feat)
+            if cfg.lateral_norm:
+                lateral = nn.relu(_bn(train, f"lateral_bn_{i}")(lateral))
             t = min(x.shape[1], lateral.shape[1])
             x = jnp.concatenate([x[:, :t], lateral[:, :t]], axis=-1)
             x = Bottleneck3D(planes, stride, tks[i], name=f"slow_l{i+1}_0")(

@@ -156,10 +156,14 @@ def videomae_config_from_sd(sd: dict, num_frames: int = 16,
 
     num_heads cannot be read from the tensor shapes; it defaults to the
     ViT convention embed_dims // 64 (S:384/6, B:768/12, L:1024/16) and
-    can be overridden for non-standard towers."""
-    pe = sd["patch_embed.proj.weight"]              # (D, 3, t, p, p)
+    can be overridden for non-standard towers.  mmaction-layout
+    checkpoints (keys under `backbone.`) are auto-detected."""
+    p = ("backbone." if ("patch_embed.proj.weight" not in sd
+                         and "backbone.patch_embed.proj.weight" in sd)
+         else "")
+    pe = sd[p + "patch_embed.proj.weight"]          # (D, 3, t, p, p)
     n_layers = 0
-    while f"blocks.{n_layers}.attn.qkv.weight" in sd:
+    while f"{p}blocks.{n_layers}.attn.qkv.weight" in sd:
         n_layers += 1
     embed_dims = int(pe.shape[0])
     if num_heads is None:

@@ -133,3 +133,70 @@ def test_resnet3d_conversion_parity(with_head):
         model = ResNet3D(cfg)
         got = np.asarray(model.apply(variables, jnp.asarray(x)))
         np.testing.assert_allclose(got, want_feat, rtol=2e-3, atol=2e-3)
+
+
+class TNonLocal3d(tnn.Module):
+    """mmcv NonLocal3d replica: embedded_gaussian, sub_sample=True,
+    use_scale=True, BN on conv_out (the slowonly_r50_nl
+    non_local_cfg).  Key grammar matches mmcv: g/phi wrapped in
+    Sequential with the maxpool (-> g.0.conv...), theta and conv_out
+    plain ConvModules."""
+
+    def __init__(self, C):
+        super().__init__()
+        inter = C // 2
+        self.inter = inter
+
+        def conv_module(cin, cout, with_bn=False):
+            m = tnn.Module()
+            m.conv = tnn.Conv3d(cin, cout, 1, bias=not with_bn)
+            if with_bn:
+                m.bn = tnn.BatchNorm3d(cout)
+            return m
+
+        g = conv_module(C, inter)
+        phi = conv_module(C, inter)
+        pool = tnn.MaxPool3d((1, 2, 2))
+        self.g = tnn.Sequential(g, pool)
+        self.phi = tnn.Sequential(phi, pool)
+        self.theta = conv_module(C, inter)
+        self.conv_out = conv_module(inter, C, with_bn=True)
+
+    def forward(self, x):
+        B, C = x.shape[0], x.shape[1]
+        g_x = self.g[1](self.g[0].conv(x)).flatten(2)        # (B, I, K)
+        phi_x = self.phi[1](self.phi[0].conv(x)).flatten(2)
+        theta_x = self.theta.conv(x).flatten(2)              # (B, I, Q)
+        attn = torch.einsum("biq,bik->bqk", theta_x, phi_x)
+        attn = torch.softmax(attn / self.inter ** 0.5, dim=-1)
+        y = torch.einsum("bqk,bik->biq", attn, g_x)
+        y = y.reshape(B, self.inter, *x.shape[2:])
+        return x + self.conv_out.bn(self.conv_out.conv(y))
+
+
+def test_non_local3d_import_parity():
+    """_non_local3d + NonLocal3DBlock vs the mmcv-grammar torch replica
+    (the *_nl detection/recognition checkpoints carry these blocks; the
+    importer used to drop them silently)."""
+    from cross_modal_video_engine_tpu.convert.torch_import import (
+        _non_local3d)
+    from cross_modal_video_engine_tpu.models.resnet3d import (
+        NonLocal3DBlock)
+
+    C = 8
+    t = TNonLocal3d(C).eval()
+    with torch.no_grad():
+        t.conv_out.conv.weight.normal_(0, 0.2)  # zero-init in mmcv; vary
+        t.conv_out.bn.running_mean.normal_(0, 0.1)
+        t.conv_out.bn.running_var.uniform_(0.5, 1.5)
+    sd = {f"non_local_block.{k}": v for k, v in t.state_dict().items()}
+    params, stats = _non_local3d(sd, "non_local_block.")
+
+    x = np.random.default_rng(3).standard_normal(
+        (2, 4, 8, 8, C)).astype(np.float32)
+    got = np.asarray(NonLocal3DBlock().apply(
+        {"params": params, "batch_stats": stats}, jnp.asarray(x)))
+    with torch.no_grad():
+        want = t(torch.from_numpy(
+            x.transpose(0, 4, 1, 2, 3))).numpy().transpose(0, 2, 3, 4, 1)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

@@ -4,6 +4,7 @@ resnet3d_slowfast.py (two pathways, conv1_lateral + layer{1..3}_lateral
 time-strided fusion, head concat (slow, fast))."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn as tnn
 
@@ -64,43 +65,55 @@ class TSlowFast(tnn.Module):
                                            extra_in=laterals_out)
         sp = self.backbone.slow_path
         lk = cfg.lateral_kernel_t
-        sp.conv1_lateral = tnn.Module()
-        sp.conv1_lateral.conv = tnn.Conv3d(
-            fast_chans[0], laterals_out[0], (lk, 1, 1),
-            stride=(cfg.alpha, 1, 1), padding=(lk // 2, 0, 0), bias=False)
-        for i in (1, 2, 3):
+
+        def lateral(cin, cout):
             lat = tnn.Module()
-            lat.conv = tnn.Conv3d(
-                fast_chans[i], laterals_out[i], (lk, 1, 1),
-                stride=(cfg.alpha, 1, 1), padding=(lk // 2, 0, 0),
-                bias=False)
-            setattr(sp, f"layer{i}_lateral", lat)
+            lat.conv = tnn.Conv3d(cin, cout, (lk, 1, 1),
+                                  stride=(cfg.alpha, 1, 1),
+                                  padding=(lk // 2, 0, 0), bias=False)
+            if cfg.lateral_norm:
+                lat.bn = tnn.BatchNorm3d(cout)
+            return lat
+
+        sp.conv1_lateral = lateral(fast_chans[0], laterals_out[0])
+        for i in (1, 2, 3):
+            setattr(sp, f"layer{i}_lateral",
+                    lateral(fast_chans[i], laterals_out[i]))
         self.cls_head = tnn.Module()
         self.cls_head.fc_cls = tnn.Linear(sp.out_dim
                                           + self.backbone.fast_path.out_dim,
                                           num_classes)
         self.alpha = cfg.alpha
 
+    def _lateral(self, mod, x):
+        y = mod.conv(x)
+        if hasattr(mod, "bn"):
+            y = torch.relu(mod.bn(y))    # ConvModule BN+ReLU when
+        return y                          # lateral_norm=True
+
     def forward(self, x):
         x_slow = self.backbone.slow_path.stem(x[:, :, ::self.alpha])
         x_fast = self.backbone.fast_path.stem(x)
         sp, fp = self.backbone.slow_path, self.backbone.fast_path
         x_slow = torch.cat(
-            [x_slow, sp.conv1_lateral.conv(x_fast)], dim=1)
+            [x_slow, self._lateral(sp.conv1_lateral, x_fast)], dim=1)
         for i in range(4):
             x_slow = getattr(sp, f"layer{i+1}")(x_slow)
             x_fast = getattr(fp, f"layer{i+1}")(x_fast)
             if i != 3:
-                lat = getattr(sp, f"layer{i+1}_lateral").conv(x_fast)
+                lat = self._lateral(getattr(sp, f"layer{i+1}_lateral"),
+                                    x_fast)
                 x_slow = torch.cat([x_slow, lat], dim=1)
         pooled = torch.cat([x_slow.mean(dim=(2, 3, 4)),
                             x_fast.mean(dim=(2, 3, 4))], dim=1)
         return self.cls_head.fc_cls(pooled)
 
 
-def test_slowfast_conversion_parity():
+@pytest.mark.parametrize("lateral_norm", [False, True])
+def test_slowfast_conversion_parity(lateral_norm):
     cfg = SlowFastConfig(depth_blocks=(1, 1, 1, 1), alpha=4, beta_inv=8,
-                         base_channels=16, lateral_kernel_t=5)
+                         base_channels=16, lateral_kernel_t=5,
+                         lateral_norm=lateral_norm)
     tmodel = TSlowFast(cfg, num_classes=4).eval()
     with torch.no_grad():
         _randomize_bn_stats(tmodel)

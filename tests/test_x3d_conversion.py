@@ -86,7 +86,10 @@ class TX3D(tnn.Module):
             setattr(bb, f"layer{i+1}", tnn.Sequential(*layers))
         bb.conv5 = TConvModule(cin, cfg.feat_dim, 1, 1, 0)
         self.cls_head = tnn.Module()
-        self.cls_head.fc1 = tnn.Linear(cfg.feat_dim, 32)
+        # every shipped mmaction x3d config sets fc1_bias=False
+        # (x3d_head.py:31) — the replica must match the REAL key set so
+        # the importer's missing-fc1.bias path is what gets tested
+        self.cls_head.fc1 = tnn.Linear(cfg.feat_dim, 32, bias=False)
         self.cls_head.fc2 = tnn.Linear(32, num_classes)
 
     def forward(self, x):
