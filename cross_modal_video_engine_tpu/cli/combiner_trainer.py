@@ -10,6 +10,7 @@ best checkpoint by arithmetic-mean recall (combiner_train.py:427-438).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 from typing import Dict, Optional
@@ -79,18 +80,32 @@ def train_combiner(combiner: Combiner, dataset: ComposedVideoDataset,
             losses.append(float(loss))
         rec = {"epoch": epoch, "loss": float(np.mean(losses))}
         if epoch % train_cfg.validation_frequency == 0:
-            val = next(val_ds.batches(min(batch_size, len(val_ds.triplets))))
-            text = text_encode_fn(val["captions"])
-            _, metrics = composed_rank_eval(
-                combiner, state.params,
-                (jnp.asarray(val["ref_high"]),
-                 jnp.asarray(val["ref_middle"])),
-                text, index_high,
-                jnp.asarray(val["ref_rows"]), jnp.asarray(val["target_rows"]))
+            # full validation split (the reference validates the whole
+            # split, combiner_train.py:427-438 — one fixed batch was a
+            # noisy ~1% sample and could keep a far-from-best ckpt)
+            hits = {k: [] for k in (1, 5, 10, 50)}
+            for val in val_ds.batches(batch_size):
+                nv = val["n_valid"]
+                text = text_encode_fn(val["captions"])
+                order, _ = composed_rank_eval(
+                    combiner, state.params,
+                    (jnp.asarray(val["ref_high"]),
+                     jnp.asarray(val["ref_middle"])),
+                    text, index_high,
+                    jnp.asarray(val["ref_rows"]),
+                    jnp.asarray(val["target_rows"]))
+                h = order[:nv] == np.asarray(val["target_rows"])[:nv, None]
+                for k in hits:
+                    hits[k].extend(h[:, : min(k, h.shape[1])].any(1))
+            metrics = {f"recall_at{k}": float(np.mean(v) * 100)
+                       for k, v in hits.items()}
             rec.update(metrics)
-            mean_recall = float(np.mean([metrics[k] for k in metrics]))
+            mean_recall = float(np.mean(list(metrics.values())))
             rec["mean_recall"] = mean_recall
-            save_best({"params": state.params}, None, mean_recall,
+            # persist the CombinerConfig: composed_validate rebuilds
+            # the model from this checkpoint's config dict
+            save_best({"params": state.params},
+                      dataclasses.asdict(combiner.cfg), mean_recall,
                       {"epoch": epoch, **metrics})
         history.append(rec)
         print(json.dumps(rec))

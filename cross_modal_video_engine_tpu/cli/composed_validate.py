@@ -29,8 +29,7 @@ from .combiner_trainer import build_index_features, encode_texts
 def validate(combiner, comb_vars, dataset, text_encode_fn,
              batch_size: int = 64):
     index_high = jnp.asarray(build_index_features(dataset))
-    all_orders, refs, gts = [], [], []
-    metrics_accum = {}
+    all_orders, gts = [], []
     n_total = 0
     for batch in dataset.batches(batch_size):
         n = batch["n_valid"]
@@ -39,9 +38,9 @@ def validate(combiner, comb_vars, dataset, text_encode_fn,
             combiner, comb_vars["params"],
             (jnp.asarray(batch["ref_high"]), jnp.asarray(batch["ref_middle"])),
             text, index_high,
-            jnp.asarray(batch["ref_rows"]), jnp.asarray(batch["target_rows"]))
+            jnp.asarray(batch["ref_rows"]), jnp.asarray(batch["target_rows"]),
+            top_k=100)   # the reference dumps the top-100 ranking
         all_orders.append(order[:n])
-        refs.extend(batch["ref_rows"][:n])
         gts.extend(batch["target_rows"][:n])
         n_total += n
     order = np.concatenate(all_orders)
@@ -73,6 +72,11 @@ def main(argv=None):
     clip_model = CLIPModel(clip_cfg)
     tok = BPETokenizer(args.merges)
     comb_vars, comb_cfg_d, _ = load_checkpoint(args.combiner_checkpoint)
+    if not comb_cfg_d:
+        raise ValueError(
+            f"{args.combiner_checkpoint} has no CombinerConfig — "
+            "re-save with the config (combiner_trainer now embeds it); "
+            "rebuilding from defaults would silently mismatch")
     combiner = Combiner(CombinerConfig(**comb_cfg_d))
 
     dataset = ComposedVideoDataset(

@@ -48,17 +48,53 @@ def run_detection_test(cfg: Config, checkpoint: str, out_csv: str,
     stats = variables.get("batch_stats", {})
     infer = make_det_infer(model)
 
-    pipe = build_pipeline(cfg["data.pipeline"])
+    # the VAL pipeline, like the trainer's eval: SampleAVAFrames flips
+    # to test_mode (deterministic center sampling — the train pipeline
+    # would score with random per-frame jitter), data.val.pipeline
+    # overrides
+    val_pipe_cfg = cfg.get("data.val.pipeline")
+    if val_pipe_cfg is None:
+        val_pipe_cfg = [dict(op, test_mode=True)
+                        if op.get("type") == "SampleAVAFrames" else op
+                        for op in cfg["data.pipeline"]]
+    pipe = build_pipeline(val_pipe_cfg)
     val_ds = AVADataset(cfg["data.val.ann_file"], num_classes,
                         cfg.get("data.val.data_prefix"))
+    # val proposals (reference proposal_file_val) — without them the
+    # candidates are the GT person boxes and localization is perfect by
+    # construction
+    from .detection_train import _load_proposals
+    val_proposals = _load_proposals(cfg.get("data.val.proposal_file"))
+
+    # FBO/LFB checkpoints need the long-term feature bank
+    from ..models.lfb import FBOHead
+    bank = None
+    window_size = cfg.get("model.lfb.window_size", 60)
+    if isinstance(model.shared_head, FBOHead):
+        import os
+
+        from ..models.lfb import LongTermFeatureBank
+        lfb_path = cfg.get("model.lfb.path")
+        if not (lfb_path and os.path.exists(lfb_path)):
+            raise ValueError(
+                "FBO checkpoint needs the feature bank: set "
+                "model.lfb.path to the bank the trainer saved")
+        bank = LongTermFeatureBank.load(lfb_path)
 
     # per-keyframe, per-class result lists in dataset order
     results: List[List[np.ndarray]] = [None] * len(val_ds)
     order_pos = 0
     for batch in det_batches(val_ds, pipe, bs, num_classes, max_boxes,
-                             fps, ts_start, include_meta=True):
+                             fps, ts_start, val_proposals,
+                             include_meta=True):
+        lt = None
+        if bank is not None:
+            from ..train.detection_trainer import sample_lt_features
+            lt = sample_lt_features(bank, batch["video_id"],
+                                    batch["timestamp"], max_boxes,
+                                    window_size, batch["clips"].shape[0])
         scores = np.asarray(infer(params, stats, batch["clips"],
-                                  batch["rois"]))
+                                  batch["rois"], lt))
         for b in range(batch["n"]):
             sl = slice(b * max_boxes, (b + 1) * max_boxes)
             n = int(batch["valid"][sl].sum())

@@ -62,7 +62,14 @@ def explain_video(model, variables, frames_batch: jnp.ndarray,
             class_names or [str(i) for i in range(10000)], min_frames)
         out["detected_concepts"] = sorted(masked)
         if masked:
-            prep = preprocess_fn or (lambda clip: clip.astype(np.float32))
+            if preprocess_fn is None:
+                raise ValueError(
+                    "instance CTVs need preprocess_fn: the masked uint8 "
+                    "clips must go through the SAME normalization as "
+                    "frames_batch (a bare float cast would embed raw "
+                    "0-255 pixels in a different input regime than the "
+                    "gradient probe, making the CTV scores meaningless)")
+            prep = preprocess_fn
 
             def embed(stack_u8):
                 # stack_u8: (N, T, H, W, 3) uint8 clips -> layer CLS feats

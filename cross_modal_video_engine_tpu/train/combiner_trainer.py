@@ -70,12 +70,14 @@ def init_combiner_state(model: Combiner, tx, ref_feats, text_feats,
 
 def composed_rank_eval(model: Combiner, params, ref_feats, text_feats,
                        index_high: jnp.ndarray, reference_rows: jnp.ndarray,
-                       gt_rows: jnp.ndarray) -> Tuple[jnp.ndarray, dict]:
+                       gt_rows: jnp.ndarray, top_k: int = 50
+                       ) -> Tuple[jnp.ndarray, dict]:
     """Reference-video-masked recall eval (MultiFusion validate.py:76-138):
     the query's own reference video is removed from the ranking before
-    computing R@K.  Returns the top-50 ranking columns (all consumers
-    read R@<=50 / rank 1) — an exact top-k instead of a full argsort of
-    the (Q, N) matrix; large galleries use the TPU PartialReduce
+    computing R@K.  Returns the top-`top_k` ranking columns (default 50,
+    covering R@<=50; composed_validate asks for 100 to mirror the
+    reference's top-100 dump) — an exact top-k instead of a full argsort
+    of the (Q, N) matrix; large galleries use the TPU PartialReduce
     (lax.approx_max_k at recall_target=1.0 = exact, see CLAUDE.md)."""
     pred = model.apply({"params": params}, ref_feats, text_feats,
                        method="combine_features")
@@ -86,7 +88,7 @@ def composed_rank_eval(model: Combiner, params, ref_feats, text_feats,
     q = jnp.arange(dists.shape[0])
     dists = dists.at[q, reference_rows].set(jnp.inf)
     n = dists.shape[1]
-    kk = min(50, n)
+    kk = min(top_k, n)
     if n > 4096:
         _, order = jax.lax.approx_max_k(-dists, kk, recall_target=1.0)
     else:
