@@ -1,0 +1,25 @@
+# TSN-R50 1x1x3 (reference configs/recognition/tsn/
+# tsn_r50_1x1x3_100e_kinetics400_rgb.py: plain ResNet50 per-frame,
+# TSNHead mean consensus over 3 segments, SGD lr 0.01 / 100 epochs).
+_base_ = ['../_base_/default_runtime.py', '../_base_/kinetics_video.py']
+model = dict(
+    backbone=dict(type='TSN', stage_blocks=[3, 4, 6, 3],
+                  base_channels=64),
+    num_classes=400)
+data = dict(
+    pipeline=[
+        dict(type='DecordInit'),
+        # 3 uniform 1-frame segments batched as one (T=3) clip (the
+        # trainer's (B, T, H, W, C) layout; mmaction samples 1x1x3)
+        dict(type='SampleFrames', clip_len=3, frame_interval=10,
+             num_clips=1),
+        dict(type='DecordDecode'),
+        dict(type='Resize', scale=(-1, 256)),
+        dict(type='CenterCrop', crop_size=224),
+        dict(type='Normalize', mean=[123.675, 116.28, 103.53],
+             std=[58.395, 57.12, 57.375]),
+        dict(type='FormatShape', input_format='NTHWC'),
+    ])
+optimizer = dict(optimizer='sgd', learning_rate=0.01, momentum=0.9,
+                 weight_decay=1e-4, grad_clip=40.0)
+total_epochs = 100

@@ -40,10 +40,10 @@ def init_recognizer(checkpoint: str):
              for k, v in cfg_d["backbone"].items()}
     btype = bb_kw.pop("type", "TimeSformer")
     if btype != "TimeSformer":
-        from .cli.recognition_train import build_backbone
+        from .cli.recognition_train import build_caption_backbone
         from .models.recognizer import RecognizerRelseq
         assert "decoder" in cfg_d, "non-TimeSformer ckpts are caption models"
-        model = RecognizerRelseq(build_backbone(btype, bb_kw),
+        model = RecognizerRelseq(build_caption_backbone(btype, bb_kw),
                                  RNNDecoderConfig(**cfg_d["decoder"]))
         return model, variables, cfg_d
     backbone = TimeSformerConfig(**bb_kw)

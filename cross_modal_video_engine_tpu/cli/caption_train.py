@@ -81,20 +81,12 @@ def train_from_config(cfg: Config, work_dir: str,
     else:
         # any pooled-feature backbone drives the decoder (seq_generate
         # covers i3d/mvit/slowfast/videomae/x3d too); per-frame
-        # (B, T, C) backbones get a temporal mean adapter first
-        from flax import linen as nn
-
+        # (B, T, C) backbones get a temporal mean adapter inside
+        # build_caption_backbone
         from ..models.recognizer import RecognizerRelseq
-        from .recognition_train import PER_FRAME_BACKBONES, build_backbone
-        backbone = build_backbone(btype, bb_kw)
-        if btype in PER_FRAME_BACKBONES:
-            class _TemporalMean(nn.Module):
-                inner: nn.Module
-
-                def __call__(self, videos, *, train: bool = False):
-                    return self.inner(videos, train=train).mean(axis=1)
-            backbone = _TemporalMean(backbone)
-        model = RecognizerRelseq(backbone, RNNDecoderConfig(**dec_kw))
+        from .recognition_train import build_caption_backbone
+        model = RecognizerRelseq(build_caption_backbone(btype, bb_kw),
+                                 RNNDecoderConfig(**dec_kw))
         saved_bb = dict(bb_kw, type=btype)
 
     pipe = build_pipeline(cfg["data.pipeline"])

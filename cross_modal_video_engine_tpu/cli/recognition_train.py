@@ -46,8 +46,44 @@ from ..train.resume import (latest_checkpoint, load_train_state,
 
 # backbones emitting PER-FRAME (B, T, C) features: they pair with
 # Recognizer2D + TSNHead segment consensus, not the pooled classifier
-PER_FRAME_BACKBONES = ("TANet", "TSM", "TIN", "TINExact",
+PER_FRAME_BACKBONES = ("TANet", "TSM", "TSN", "TIN", "TINExact",
                        "MobileNetV2TSM")
+
+
+def build_caption_backbone(btype: str, kw: dict):
+    """Backbone for the caption (Relseq) trainer: pooled (B, C) feature.
+    Per-frame (B, T, C) backbones get a temporal mean adapter (the
+    reference seq_generate configs' CNN encoder pooling).  Shared by
+    cli/caption_train and api.init_recognizer so per-frame caption
+    checkpoints rebuild with the same param tree they trained with."""
+    from flax import linen as nn
+    backbone = build_backbone(btype, kw)
+    if btype in PER_FRAME_BACKBONES:
+        class _TemporalMean(nn.Module):
+            inner: nn.Module
+
+            def __call__(self, videos, *, train: bool = False):
+                return self.inner(videos, train=train).mean(axis=1)
+        backbone = _TemporalMean(backbone)
+    return backbone
+
+
+class _VideoCLIPPooled:
+    """Lazy factory: returns a flax module exposing the backbone
+    contract (videos -> pooled (B, C)) over VideoCLIP.encode_video."""
+
+    def __new__(cls, vcfg):
+        from flax import linen as nn
+
+        from ..models.videoclip import VideoCLIP
+
+        class _Pooled(nn.Module):
+            @nn.compact
+            def __call__(self, videos, *, train: bool = False):
+                return VideoCLIP(vcfg, name="videoclip"
+                                 ).encode_video(videos)
+
+        return _Pooled()
 
 
 def _deep_tuple(v):
@@ -87,6 +123,12 @@ def build_backbone(btype: str, kw: dict):
     if btype == "TSM":
         from ..models.backbones2d import TSMConfig, TSMResNet
         return TSMResNet(TSMConfig(**kw))
+    if btype == "TSN":
+        # plain per-frame ResNet = TSM with the shift disabled
+        # (reference configs/recognition/tsn/*: ResNet backbone +
+        # TSNHead segment consensus)
+        from ..models.backbones2d import TSMConfig, TSMResNet
+        return TSMResNet(TSMConfig(**dict(kw, shift_div=0)))
     if btype == "TIN":
         from ..models.tin_mobilenet import TINConfig, TINResNet
         return TINResNet(TINConfig(**kw))
@@ -129,13 +171,33 @@ def build_recognition_model(cfg: Config):
     if btype == "TimeSformer":
         return Recognizer3D(TimeSformerConfig(**kw),
                             num_classes=num_classes)
+    if btype == "CLIP":
+        # reference configs/recognition/clip/clip_mean_pooling_*.py:
+        # Recognizer3D_CLIP over a frozen-ish CLIP vision tower with a
+        # linear head over the time-mean of frame features
+        from ..models.clip import CLIPConfig, VisionTower
+        from ..models.recognizer import Recognizer3DCLIP
+        return Recognizer3DCLIP(VisionTower(CLIPConfig(**kw)), num_classes)
+    if btype == "VideoCLIP":
+        # reference configs/recognition/videoclip/ctv_extraction.py:
+        # Recognizer3D over the VideoCLIP video encoder's pooled output
+        from ..models.videoclip import VideoCLIPConfig
+        return BackboneClassifier(
+            _VideoCLIPPooled(VideoCLIPConfig(**kw)), num_classes=num_classes)
     if btype in PER_FRAME_BACKBONES:
-        # (B, T, C) per-frame features -> TSNHead segment consensus
-        # (Recognizer2D), NOT the pooled classifier
+        # (B, T, C) per-frame features -> segment-consensus head:
+        # TSNHead by default, or the multi-scale relation TRNHead when
+        # model.head selects it (reference configs/recognition/trn/*)
         from ..models.heads import TSNHead
         from ..models.recognizer import Recognizer2D
-        return Recognizer2D(build_backbone(btype, kw),
-                            TSNHead(num_classes))
+        hcfg = cfg.get("model.head")
+        if hcfg and hcfg.get("type") in ("TRN", "TRNHead"):
+            from ..models.heads import TRNHead
+            hkw = {k: v for k, v in dict(hcfg).items() if k != "type"}
+            head = TRNHead(num_classes=num_classes, **hkw)
+        else:
+            head = TSNHead(num_classes)
+        return Recognizer2D(build_backbone(btype, kw), head)
     return BackboneClassifier(build_backbone(btype, kw),
                               num_classes=num_classes)
 
@@ -161,6 +223,9 @@ def train_from_config(cfg: Config, work_dir: str,
 
     tcfg = RecognitionTrainConfig(**cfg.get("optimizer", {}))
 
+    if cfg.get("omnisource"):
+        return _train_omnisource_from_config(cfg, model, train_ds, val_ds,
+                                             bs, tcfg, work_dir, num_epochs)
     if cfg.get("multigrid"):
         return _train_multigrid_from_config(cfg, model, train_ds, bs, tcfg,
                                             work_dir, num_epochs)
@@ -241,6 +306,57 @@ def train_from_config(cfg: Config, work_dir: str,
         history.append(rec)
         print(json.dumps(rec))
     return state, history
+
+
+def _train_omnisource_from_config(cfg, model, train_ds, val_ds, bs, tcfg,
+                                  work_dir, num_epochs):
+    """OmniSource joint training (reference configs/recognition/
+    omnisource/*: `omnisource = True` + web/insta/kraw aux sources,
+    apis/train.py train_ratio alternation).  Config shape:
+
+        omnisource = dict(
+            train_ratio=[2, 1, ...],       # [main niter, aux0 times, ..]
+            aux=[dict(ann_file=..., data_prefix=..., pipeline=[...])])
+
+    Aux sources reuse data.pipeline unless they carry their own."""
+    from ..train.recognition_trainer import train_omnisource
+    oms = dict(cfg["omnisource"])
+    sampler = ShardedSampler(len(train_ds), shuffle=True)
+    epochs = num_epochs or cfg.get("total_epochs", tcfg.num_epochs)
+
+    def main_batches(epoch):
+        for clips, labels, n in _label_batches(train_ds, bs,
+                                               sampler.indices(epoch)):
+            yield clips[:n], labels[:n]
+
+    aux_sources = []
+    for acfg in oms.get("aux", []):
+        pipe = build_pipeline(acfg.get("pipeline", cfg["data.pipeline"]))
+        ads = VideoDataset(acfg["ann_file"], pipe, acfg.get("data_prefix"))
+
+        def source(ads=ads):
+            for clips, labels, n in _label_batches(ads, bs):
+                yield clips[:n], labels[:n]
+        aux_sources.append(source)
+
+    clips0, _, _ = next(_label_batches(train_ds, bs))
+    variables = model.init(jax.random.key(0), clips0)
+    train_ratio = tuple(oms.get("train_ratio", (2,) + (1,) * len(aux_sources)))
+    variables, history = train_omnisource(
+        model, variables, tcfg, main_batches, aux_sources,
+        train_ratio=train_ratio, total_epochs=epochs,
+        total_steps=epochs * max(1, (len(train_ds) + bs - 1) // bs))
+    report = evaluate_classification(
+        model, variables["params"], _label_batches(val_ds, bs),
+        stats=variables.get("batch_stats"))
+    save_checkpoint(os.path.join(work_dir, "omnisource_final"), variables,
+                    {"backbone": cfg["model.backbone"],
+                     "num_classes": cfg["model.num_classes"]},
+                    {"epochs": epochs, "omnisource": True, **report})
+    for rec in history:
+        print(json.dumps(rec))
+    print(json.dumps(report))
+    return variables, history
 
 
 def _train_multigrid_from_config(cfg, model, train_ds, bs, tcfg, work_dir,

@@ -109,8 +109,12 @@ class YoloDetectionDataset:
             if path.endswith(".npy"):
                 shapes.append(np.load(path, mmap_mode="r").shape[:2])
             else:
-                import cv2
-                shapes.append(cv2.imread(path).shape[:2])
+                # header-only read (PIL is lazy): AutoAnchor calls this
+                # for the whole dataset, so full decodes are O(dataset)
+                from PIL import Image
+                with Image.open(path) as im:
+                    w, h = im.size
+                shapes.append((h, w))
             labels.append(self.labels(i))
         return np.asarray(shapes, np.float64), labels
 
@@ -481,7 +485,8 @@ def train_from_config(cfg: Config, work_dir: str,
                     yolo_batches(val_ds, bs, img_size, max_t))
                 rec["map50"] = report["map50"]
                 rec["map"] = report["map"]
-                score = report["map50"]
+                # train.py fitness: 0.1*mAP@0.5 + 0.9*mAP@0.5:0.95
+                score = 0.1 * report["map50"] + 0.9 * report["map"]
             if score > best:
                 best = score
                 save_train_state(os.path.join(work_dir, "best"),

@@ -49,8 +49,10 @@ class TSMBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        """x: (B, T, H, W, C)."""
-        h = temporal_shift(x, self.shift_div)
+        """x: (B, T, H, W, C).  shift_div=0 disables the shift — the
+        block degrades to a plain per-frame bottleneck, which is exactly
+        mmaction's TSN ResNet (the TSM paper's ablation baseline)."""
+        h = temporal_shift(x, self.shift_div) if self.shift_div else x
         B, T = h.shape[:2]
         h2 = h.reshape((B * T,) + h.shape[2:])
         out = nn.relu(_bn(train, "bn1")(

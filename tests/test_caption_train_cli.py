@@ -77,6 +77,36 @@ def test_caption_train_cli(tmp_path):
     assert [h["epoch"] for h in history2] == [6]
 
 
+def test_caption_train_per_frame_backbone(tmp_path):
+    """Per-frame (B, T, C) caption backbone (configs/seq_generate/
+    tsm_relseq.py family): the trainer's temporal-mean adapter pools
+    TSM frame features to the (B, C) decoder input, loss decreases,
+    and the checkpoint round-trips through caption_test."""
+    cfg = _fixture(tmp_path)
+    with open(cfg) as f:
+        body = f.read()
+    body = body.replace(
+        "backbone=dict(num_frames=4, img_size=16, patch_size=8, "
+        "embed_dims=16,\n                  num_heads=2, num_layers=1, "
+        "drop_path_max=0.0),",
+        "backbone=dict(type='TSM', stage_blocks=[1, 1],\n"
+        "                  base_channels=4, shift_div=2),")
+    body = body.replace("in_channels=16", "in_channels=32")
+    cfg2 = str(tmp_path / "config_tsm.py")
+    with open(cfg2, "w") as f:
+        f.write(body)
+    work = str(tmp_path / "work_tsm")
+    history = caption_train.main([cfg2, "--work_dir", work,
+                                  "--total_epochs", "4"])
+    assert len(history) == 4
+    assert history[-1]["loss"] < history[0]["loss"]
+    best = [f for f in os.listdir(work) if f.startswith("model_best")]
+    assert best
+    report = caption_test.main([cfg2, "--checkpoint",
+                                os.path.join(work, best[0])])
+    assert 0.0 <= report["seq_mAP"] <= 1.0
+
+
 def test_caption_train_conv_backbone(tmp_path):
     """Non-TimeSformer caption training (the reference seq_generate
     family spans i3d/slowfast/x3d/... backbones): SlowOnly backbone ->

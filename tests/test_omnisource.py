@@ -1,5 +1,8 @@
 """OmniSource runner: alternating-source training with per-source logs."""
 
+import json
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -60,3 +63,65 @@ def test_omnisource_trains_both_sources():
     # train_ratio=(2,1): aux fires on every 2nd main step -> 1/epoch;
     # the 1-batch aux source was cycled (re-created) across epochs
     assert aux_calls["n"] >= 5
+
+
+def test_omnisource_config_cli(tmp_path):
+    """The `omnisource = dict(...)` config block routes the recognition
+    train CLI through train_omnisource (reference configs/recognition/
+    omnisource/* `omnisource = True` + apis/train.py train_ratio)."""
+    from cross_modal_video_engine_tpu.cli import recognition_train
+    from cross_modal_video_engine_tpu.io.video_decode import write_test_video
+
+    r = np.random.default_rng(991)
+
+    def make_split(name, n):
+        vdir = tmp_path / name
+        vdir.mkdir()
+        lines = []
+        for i in range(n):
+            label = i % 2
+            base = 40 if label == 0 else 215
+            frames = np.clip(base + r.integers(-20, 20, (8, 32, 32, 3)),
+                             0, 255).astype(np.uint8)
+            write_test_video(str(vdir / f"v{i}.mp4"), frames)
+            lines.append(f"v{i}.mp4 {label}")
+        ann = tmp_path / f"{name}.txt"
+        ann.write_text("\n".join(lines))
+        return ann, vdir
+
+    main_ann, main_dir = make_split("main", 6)
+    aux_ann, aux_dir = make_split("aux", 4)
+
+    cfg = tmp_path / "config.py"
+    cfg.write_text(f"""
+model = dict(
+    backbone=dict(type='TSN', stage_blocks=[1, 1], base_channels=4),
+    num_classes=2)
+data = dict(
+    train=dict(ann_file=r'{main_ann}', data_prefix=r'{main_dir}'),
+    val=dict(ann_file=r'{main_ann}', data_prefix=r'{main_dir}'),
+    pipeline=[
+        dict(type='DecordInit'),
+        dict(type='SampleFrames', clip_len=4, frame_interval=2,
+             num_clips=1, test_mode=True),
+        dict(type='DecordDecode'),
+        dict(type='Resize', scale=(16, 16), keep_ratio=False),
+        dict(type='Normalize', mean=[127.5]*3, std=[127.5]*3),
+        dict(type='FormatShape', input_format='NTHWC'),
+    ],
+    videos_per_gpu=3)
+omnisource = dict(
+    train_ratio=[2, 1],
+    aux=[dict(ann_file=r'{aux_ann}', data_prefix=r'{aux_dir}')])
+optimizer = dict(optimizer='adamw', learning_rate=3e-3, grad_clip=1.0)
+total_epochs = 3
+eval_interval = 1
+""")
+    work = str(tmp_path / "work")
+    history = recognition_train.main([str(cfg), "--work_dir", work])
+    assert len(history) == 3
+    # both sources stepped and logged
+    assert "loss" in history[0] and "loss/aux0" in history[0]
+    assert np.isfinite([h["loss"] for h in history]).all()
+    ck = os.path.join(work, "omnisource_final")
+    assert os.path.exists(ck)

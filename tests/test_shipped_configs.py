@@ -17,7 +17,10 @@ RECOGNITION = sorted(glob.glob(os.path.join(REPO, "configs/recognition",
 
 
 def test_found_configs():
-    assert len(RECOGNITION) >= 9
+    # the 21 reference configs/recognition model families each ship
+    # >=1 recipe (tsn/i3d/c3d/r2plus1d/trn/videomae/videoclip/clip/
+    # omnisource joined in r4)
+    assert len(RECOGNITION) >= 20
 
 
 @pytest.mark.parametrize("path", RECOGNITION,
@@ -26,9 +29,11 @@ def test_recognition_config_builds(path):
     cfg = Config.fromfile(path)
     # _base_ inheritance delivered runtime + data defaults
     assert cfg.get("eval_interval") == 1
-    # k400 recipes carry 400 classes; sthv1/v2 recipes 174 (the
-    # reference's dataset-matched head sizes)
-    expect = 174 if "sth" in os.path.basename(path) else 400
+    # dataset-matched head sizes (the reference's recipes): k400=400,
+    # sthv1/v2=174, ucf101=101, mini-kinetics=200
+    name = os.path.basename(path)
+    expect = (174 if "sth" in name else 101 if "ucf101" in name
+              else 200 if "minikinetics" in name else 400)
     assert cfg["model.num_classes"] == expect
     pipe = build_pipeline(cfg["data.pipeline"])
     assert pipe.ops
@@ -58,6 +63,81 @@ def test_seq_generate_config_parses():
         REPO, "configs/seq_generate/timesformer_relseq.py"))
     assert cfg["model.decoder.num_classes"] == 36
     assert cfg["model.backbone.num_layers"] == 12
+
+
+SEQ_GENERATE = sorted(glob.glob(os.path.join(REPO, "configs/seq_generate",
+                                             "*.py")))
+
+
+def test_found_seq_generate_configs():
+    # the reference's 6 seq_generate families (i3d/mvit/slowfast/
+    # timesformer/videomae/x3d) + the per-frame tsm adapter recipe
+    assert len(SEQ_GENERATE) >= 7
+
+
+@pytest.mark.parametrize("path", SEQ_GENERATE,
+                         ids=[os.path.basename(p) for p in SEQ_GENERATE])
+def test_seq_generate_config_builds(path):
+    """Every caption recipe constructs its model through the caption
+    trainer's builder (backbone registry + RNNDecoderConfig)."""
+    from cross_modal_video_engine_tpu.models.decoder_head import (
+        RNNDecoderConfig)
+    cfg = Config.fromfile(path)
+    dec = RNNDecoderConfig(**dict(cfg["model.decoder"]))
+    assert dec.max_len == 5
+    btype = cfg["model.backbone"].get("type", "TimeSformer")
+    if btype != "TimeSformer":
+        from cross_modal_video_engine_tpu.cli.recognition_train import (
+            build_backbone)
+        bb_kw = {k: tuple(v) if isinstance(v, list) else v
+                 for k, v in cfg["model.backbone"].items() if k != "type"}
+        assert build_backbone(btype, bb_kw) is not None
+    assert build_pipeline(cfg["data.pipeline"]).ops
+
+
+def test_omnisource_config_routes():
+    cfg = Config.fromfile(os.path.join(
+        REPO, "configs/recognition/tsn_r50_1x1x8_minikinetics_omnisource.py"))
+    oms = cfg["omnisource"]
+    assert list(oms["train_ratio"]) == [2, 1, 1]
+    assert len(oms["aux"]) == 2
+    assert cfg["model.backbone.type"] == "TSN"
+
+
+def test_clip_and_videoclip_recognizers_forward():
+    """The CLIP / VideoCLIP recognition routes (reference configs/
+    recognition/{clip,videoclip}) build and run at tiny shapes."""
+    import jax
+    import jax.numpy as jnp
+    v = jnp.zeros((2, 8, 16, 16, 3), jnp.float32)
+    cfg = Config.fromfile(os.path.join(
+        REPO, "configs/recognition/videoclip_ctv_extraction_k400.py")
+    ).merge_from_options([
+        "model.backbone.fps=2", "model.backbone.s3d_channels=4",
+        "model.backbone.width=8", "model.backbone.layers=1",
+        "model.backbone.heads=2", "model.backbone.max_video_len=8",
+        "model.num_classes=3"])
+    m = build_recognition_model(cfg)
+    assert m.apply(m.init(jax.random.key(0), v), v).shape == (2, 3)
+
+    cfg2 = Config.fromfile(os.path.join(
+        REPO, "configs/recognition/clip_mean_pooling_8x32_k400.py")
+    ).merge_from_options([
+        "model.backbone.embed_dim=8", "model.backbone.image_resolution=16",
+        "model.backbone.vision_width=8", "model.backbone.vision_layers=1",
+        "model.backbone.vision_heads=2", "model.backbone.patch_size=8",
+        "model.num_classes=3"])
+    m2 = build_recognition_model(cfg2)
+    assert m2.apply(m2.init(jax.random.key(0), v), v).shape == (2, 3)
+
+
+def test_trn_config_selects_trn_head():
+    from cross_modal_video_engine_tpu.models.heads import TRNHead
+    cfg = Config.fromfile(os.path.join(
+        REPO, "configs/recognition/trn_r50_1x1x8_sthv1.py"))
+    model = build_recognition_model(cfg)
+    assert isinstance(model.cls_head, TRNHead)
+    assert model.cls_head.relation_type == "TRNMultiScale"
 
 
 def test_recognition_audio_config_parses():
