@@ -35,34 +35,45 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
 
 
 def make_multislice_mesh(n_model: int = 1,
-                         devices: Optional[Sequence[jax.Device]] = None
-                         ) -> Mesh:
+                         devices: Optional[Sequence[jax.Device]] = None,
+                         slice_index_fn=None) -> Mesh:
     """(dcn, data, model) mesh for multi-slice pods: the leading axis maps
     across slices (DCN) so data parallelism's gradient psum crosses DCN
     once while tensor collectives stay on ICI within a slice.  Slice count
-    is discovered from device.slice_index (1 on single-slice/CPU)."""
+    is discovered from device.slice_index (1 on single-slice/CPU).
+
+    ``slice_index_fn(device) -> int`` overrides the discovery — used by
+    the CPU-mesh dryrun/tests to fake a slice partition on virtual
+    devices (which have no slice_index).  Batches shard over
+    ('dcn', 'data') jointly (shardings.batch_spec / mesh.data_sharding
+    handle this), so the gradient all-reduce XLA inserts is hierarchical:
+    ICI within each slice row, one DCN hop across rows."""
     devices = list(devices if devices is not None else jax.devices())
-    slice_ids = sorted({getattr(d, "slice_index", 0) for d in devices})
+    get_slice = slice_index_fn or (lambda d: getattr(d, "slice_index", 0))
+    slice_ids = sorted({get_slice(d) for d in devices})
     n_slices = len(slice_ids)
-    counts = {s: sum(1 for d in devices
-                     if getattr(d, "slice_index", 0) == s)
+    counts = {s: sum(1 for d in devices if get_slice(d) == s)
               for s in slice_ids}
     assert len(set(counts.values())) == 1, (
         f"uneven devices per slice {counts}: the (dcn, data, model) "
         f"reshape would put devices in the wrong slice row and ICI "
         f"collectives would silently cross DCN")
     per_slice = len(devices) // n_slices
-    order = sorted(devices, key=lambda d: (getattr(d, "slice_index", 0),
-                                           d.id))
+    order = sorted(devices, key=lambda d: (get_slice(d), d.id))
     n_data = per_slice // n_model
+    assert n_data >= 1, (
+        f"n_model={n_model} exceeds the {per_slice} devices available "
+        f"per slice; tensor parallelism cannot cross DCN")
     dev_array = np.asarray(order[: n_slices * n_data * n_model]).reshape(
         n_slices, n_data, n_model)
     return Mesh(dev_array, ("dcn", "data", "model"))
 
 
 def data_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
-    """Shard the leading axis over 'data', replicate the rest."""
-    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+    """Shard the leading axis over 'data' (jointly over ('dcn', 'data')
+    on a multi-slice mesh), replicate the rest."""
+    lead = ("dcn", "data") if "dcn" in mesh.axis_names else "data"
+    return NamedSharding(mesh, P(lead, *([None] * (ndim - 1))))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -73,7 +84,7 @@ def shard_rows(mesh: Mesh, x: jax.Array | np.ndarray, pad_value: float = 0.0):
     """Pad the leading axis to a multiple of the data-axis size and place
     the array row-sharded across the mesh.  Returns (sharded_array, n_valid)."""
     n = x.shape[0]
-    d = mesh.shape["data"]
+    d = mesh.shape["data"] * mesh.shape.get("dcn", 1)
     pad = (-n) % d
     if pad:
         widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)

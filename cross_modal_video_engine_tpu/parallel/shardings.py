@@ -62,6 +62,12 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
 
 
 def batch_spec(mesh: Mesh):
+    """Leading-axis batch sharding; on a multi-slice (dcn, data, model)
+    mesh the batch shards jointly over ('dcn', 'data') so each slice
+    row holds a contiguous sub-batch and the gradient all-reduce is
+    hierarchical (ICI within a slice, one DCN hop across)."""
+    if "dcn" in mesh.axis_names:
+        return NamedSharding(mesh, P(("dcn", "data")))
     return NamedSharding(mesh, P("data"))
 
 
