@@ -51,8 +51,9 @@ from ..data.yolo_aug import (YoloAugHyp, augment_sample,
                              augment_seg_sample, segments2boxes)
 from ..losses.yolo import YoloHyp
 from ..metrics.detection import detection_map, segmentation_map
-from ..models.yolo import (YoloConfig, YoloV5, decode_predictions,
-                           postprocess, postprocess_seg)
+from ..models.yolo import (TTA_SCALES, YoloConfig, YoloV5, clip_augmented,
+                           decode_predictions, descale_pred, postprocess,
+                           postprocess_seg, scale_img)
 from ..train.resume import (latest_checkpoint, load_train_state,
                             save_train_state)
 from ..train.yolo_trainer import (
@@ -287,6 +288,28 @@ def _det_infer(model: YoloV5):
 
 
 @functools.lru_cache(maxsize=8)
+def _det_infer_tta(model: YoloV5):
+    """Augmented inference (reference models/yolo.py:212-223
+    _forward_augment behind val.py --augment): 3 scale/flip passes, each
+    decoded on its own grid, de-scaled to the original frame, tails
+    clipped, concatenated.  One jit serves all passes (3 cached shapes)."""
+    fwd = _det_infer(model)
+    size = model.cfg.img_size
+
+    def infer(p, s, images):
+        images = jnp.asarray(images)
+        ys = []
+        for ratio, flip in TTA_SCALES:
+            xi = images[:, :, ::-1, :] if flip == 3 else images
+            xi = scale_img(xi, ratio)
+            yi = fwd(p, s, xi)
+            ys.append(descale_pred(yi, flip, ratio, (size, size)))
+        return jnp.concatenate(clip_augmented(ys), axis=1)
+
+    return infer
+
+
+@functools.lru_cache(maxsize=8)
 def _seg_infer(model: YoloV5):
     def fwd(p, s, x):
         maps, proto = model.apply({"params": p, "batch_stats": s}, x,
@@ -297,9 +320,10 @@ def _seg_infer(model: YoloV5):
 
 def evaluate_detector(model: YoloV5, params, stats,
                       batches: Iterator, conf_thres: float = 0.001,
-                      iou_thres: float = 0.6) -> Dict:
-    """val.py-equivalent: decode + NMS the (EMA) detector, COCO mAP."""
-    infer = _det_infer(model)
+                      iou_thres: float = 0.6, augment: bool = False) -> Dict:
+    """val.py-equivalent: decode + NMS the (EMA) detector, COCO mAP.
+    augment=True runs scale/flip TTA (val.py --augment)."""
+    infer = _det_infer_tta(model) if augment else _det_infer(model)
     preds_all: List[Dict] = []
     gts_all: List[Dict] = []
     size = float(model.cfg.img_size)

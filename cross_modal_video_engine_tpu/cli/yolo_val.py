@@ -35,6 +35,9 @@ def main(argv=None):
     parser.add_argument("--checkpoint", required=True)
     parser.add_argument("--conf", type=float, default=0.001)
     parser.add_argument("--iou", type=float, default=0.6)
+    parser.add_argument("--augment", action="store_true",
+                        help="scale/flip test-time augmentation "
+                             "(val.py --augment; detection models only)")
     parser.add_argument("--cfg-options", nargs="*", default=[])
     args = parser.parse_args(argv)
     cfg = Config.fromfile(args.config)
@@ -70,6 +73,10 @@ def main(argv=None):
     bs = cfg.get("data.batch_size", 16)
     max_t = cfg.get("data.max_targets", 64)
     if model.cfg.masks > 0:   # segment/val.py route: box + mask mAP
+        if args.augment:
+            raise SystemExit("--augment supports detection models only "
+                             "(the reference Segment head has no TTA "
+                             "mask merge either)")
         mask_ratio = cfg.get("data.mask_ratio", 4)
         seg_ds = YoloSegDataset(cfg["data.val.img_dir"],
                                 cfg["data.val.label_dir"])
@@ -84,7 +91,8 @@ def main(argv=None):
         report = evaluate_detector(
             model, payload["params"], payload["batch_stats"],
             yolo_batches(ds, bs, img_size, max_t),
-            conf_thres=args.conf, iou_thres=args.iou)
+            conf_thres=args.conf, iou_thres=args.iou,
+            augment=args.augment)
     print(json.dumps(report))
     return report
 

@@ -15,6 +15,7 @@ Activation is SiLU; detection decode follows yolov5's
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import List, Sequence, Tuple
 
 import jax
@@ -288,6 +289,63 @@ def process_mask(proto: np.ndarray, coefs: np.ndarray, boxes_xyxy: np.ndarray,
     if upsample and (Hm, Wm) != (ih, iw):
         masks = jax.image.resize(masks, (masks.shape[0], ih, iw), "bilinear")
     return np.asarray(masks > 0.5)
+
+
+# -- test-time augmentation (reference models/yolo.py:206-251 ---------------
+# _forward_augment: scales (1, .83, .67) x flips (none, lr, none),
+# predictions de-scaled back to the original frame, per-pass tails
+# clipped, then concatenated into one (B, N_tta, 5+nc) tensor that
+# feeds the ordinary NMS.
+
+TTA_SCALES = ((1.0, 0), (0.83, 3), (0.67, 0))   # (ratio, flip axis: 3=lr)
+
+
+def scale_img(images: jnp.ndarray, ratio: float, gs: int = 32,
+              pad_value: float = 0.447) -> jnp.ndarray:
+    """(B, H, W, 3): bilinear resize by `ratio`, bottom/right-pad with
+    the imagenet mean to the next gs multiple (utils/torch_utils.py:
+    297-306 scale_img; F.interpolate align_corners=False == jax
+    half-pixel 'bilinear')."""
+    if ratio == 1.0:
+        return images
+    B, H, W, C = images.shape
+    nh, nw = int(H * ratio), int(W * ratio)
+    # antialias=False: F.interpolate(mode='bilinear') does not smooth on
+    # downscale; jax.image.resize antialiases by default and diverges
+    out = jax.image.resize(images, (B, nh, nw, C), "bilinear",
+                           antialias=False)
+    ph = int(math.ceil(H * ratio / gs) * gs) - nh
+    pw = int(math.ceil(W * ratio / gs) * gs) - nw
+    return jnp.pad(out, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                   constant_values=pad_value)
+
+
+def descale_pred(p: jnp.ndarray, flip: int, scale: float,
+                 img_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Undo one TTA pass's geometry on decoded preds (B, N, 5+nc):
+    xywh back to original pixels, flipped x (or y) mirrored
+    (models/yolo.py:225-240 _descale_pred)."""
+    x = p[..., 0:1] / scale
+    y = p[..., 1:2] / scale
+    wh = p[..., 2:4] / scale
+    if flip == 2:
+        y = img_hw[0] - y
+    elif flip == 3:
+        x = img_hw[1] - x
+    return jnp.concatenate([x, y, wh, p[..., 4:]], -1)
+
+
+def clip_augmented(ys: list, nl: int = 3) -> list:
+    """Drop the first pass's coarsest-layer tail and the last pass's
+    finest-layer head (models/yolo.py:242-251 _clip_augmented — large
+    objects come from the downscaled passes, small ones from full res).
+    Assumes decode order P3..P5 with 4x grid-count ratios."""
+    g = sum(4 ** k for k in range(nl))
+    i = (ys[0].shape[1] // g) * 1
+    ys[0] = ys[0][:, :-i]
+    i = (ys[-1].shape[1] // g) * 4 ** (nl - 1)
+    ys[-1] = ys[-1][:, i:]
+    return ys
 
 
 def nms(boxes_xywh: np.ndarray, scores: np.ndarray, classes: np.ndarray,

@@ -107,3 +107,9 @@ def test_yolo_val_cli(tmp_path):
     report = yolo_val.main([str(cfg_py), "--checkpoint",
                             os.path.join(work, "best")])
     assert set(report) >= {"map50", "map", "precision", "recall"}
+
+    # --augment (val.py TTA) runs end-to-end and reports the same schema
+    report_tta = yolo_val.main([str(cfg_py), "--checkpoint",
+                                os.path.join(work, "best"), "--augment"])
+    assert set(report_tta) >= {"map50", "map", "precision", "recall"}
+    assert 0.0 <= report_tta["map50"] <= 1.0
