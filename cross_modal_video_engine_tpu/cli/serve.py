@@ -364,12 +364,18 @@ def main(argv=None):
     parser.add_argument("--concept_banks", default=None)
     parser.add_argument("--target_layer", type=int, default=10)
     parser.add_argument("--label_names", default=None)
+    parser.add_argument("--demo", action="store_true",
+                        help="also serve the static demo UI at /demo "
+                             "(live Video-engine-web equivalent)")
     args = parser.parse_args(argv)
 
     service = build_service(args)
-    server = create_server(service, args.host, args.port)
+    from ..service.app import DEMO_DIR
+    server = create_server(service, args.host, args.port,
+                           demo_dir=DEMO_DIR if args.demo else None)
     print(f"serving on http://{args.host}:{server.server_address[1]} "
-          f"routes={sorted(service.handlers)}")
+          f"routes={sorted(service.handlers)}"
+          + (" demo=/demo" if args.demo else ""))
     server.serve_forever()
 
 

@@ -18,6 +18,7 @@ of which models are loaded (see cli/serve.py for wiring).
 from __future__ import annotations
 
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Callable, Dict, Optional
@@ -89,8 +90,20 @@ class EngineService:
         return out
 
 
+DEMO_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "demo")
+_DEMO_TYPES = {".html": "text/html; charset=utf-8",
+               ".css": "text/css; charset=utf-8",
+               ".js": "application/javascript; charset=utf-8"}
+
+
 def create_server(service: EngineService, host: str = "127.0.0.1",
-                  port: int = 8765) -> ThreadingHTTPServer:
+                  port: int = 8765,
+                  demo_dir: Optional[str] = None) -> ThreadingHTTPServer:
+    """HTTP server over the service routes.  With ``demo_dir`` set
+    (cli/serve.py --demo), GET /demo/<page> serves the static UI pages
+    that drive the JSON routes — the live counterpart of the
+    reference's Video-engine-web/{retrieval,composed_retrieval,caption,
+    explainable}.html mocks."""
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, obj: dict):
             body = json.dumps(obj).encode()
@@ -100,10 +113,36 @@ def create_server(service: EngineService, host: str = "127.0.0.1",
             self.end_headers()
             self.wfile.write(body)
 
+        def _send_file(self, name: str):
+            # flat directory only: a separator or updir in the name is
+            # a traversal attempt, not a page
+            if "/" in name or "\\" in name or ".." in name:
+                self._send(404, {"error": "not found"})
+                return
+            ext = os.path.splitext(name)[1]
+            path = os.path.join(demo_dir, name)
+            if ext not in _DEMO_TYPES or not os.path.isfile(path):
+                self._send(404, {"error": f"no demo page {name}"})
+                return
+            with open(path, "rb") as f:
+                body = f.read()
+            self.send_response(200)
+            self.send_header("Content-Type", _DEMO_TYPES[ext])
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
-            route = self.path.strip("/")
+            route = self.path.split("?", 1)[0].strip("/")
             if route in ("health", "metrics"):
                 self._send(200, service.dispatch(route, {}))
+            elif demo_dir and route in ("", "demo"):
+                self._send_file("index.html")
+            elif demo_dir and route.startswith("demo/"):
+                self._send_file(route[len("demo/"):])
+            elif demo_dir and route.endswith((".html", ".css", ".js")):
+                # pages cross-link relatively (retrieval.html etc.)
+                self._send_file(route)
             else:
                 self._send(404, {"error": f"unknown route {self.path}"})
 
@@ -127,8 +166,8 @@ def create_server(service: EngineService, host: str = "127.0.0.1",
 
 
 def serve_in_thread(service: EngineService, host: str = "127.0.0.1",
-                    port: int = 8765):
-    server = create_server(service, host, port)
+                    port: int = 8765, demo_dir: Optional[str] = None):
+    server = create_server(service, host, port, demo_dir=demo_dir)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server, t
