@@ -18,6 +18,7 @@ utils/profiling.device_time).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -184,6 +185,102 @@ def bench_u8_ingest(batch=32, frames=8, steps=20):
         "value": round(vps, 1), "unit": "videos/sec/chip",
         "vs_baseline": round(vps / 350.0, 3),
     }))
+
+
+def bench_host_feed(n_videos=96, frames=8, batch=32, src_hw=(480, 640),
+                    workers_sweep=(1, 2, 4)):
+    """End-to-end host->device pipeline: mp4 decode (DecodePrefetcher
+    over the native libav batch decoder) -> device uint8 ingest ->
+    flagship tower embed.  This measures whether ONE host can actually
+    feed the chip at the headline rate (the reference delegates ingest
+    to decord DataLoader workers, MultiFusion/src/utils.py:22-29).
+    Emits one decode-only row per worker count (the scaling curve) and
+    one overlapped end-to-end row.  NOTE: this box has a single CPU
+    core, so the worker curve here is a lower bound — production TPU
+    hosts have dozens."""
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    from cross_modal_video_engine_tpu.io.pipeline import (DecodePrefetcher,
+                                                          uniform_indices)
+    from cross_modal_video_engine_tpu.io.video_decode import write_test_video
+    from cross_modal_video_engine_tpu.models.clip import (CLIPConfig,
+                                                          CLIPModel)
+
+    rng = np.random.default_rng(9)
+    tmp = tempfile.mkdtemp(prefix="hostfeed_")
+    try:
+        # a handful of distinct source files, referenced round-robin so
+        # decode cost is real but fixture time stays bounded
+        n_src = 12
+        srcs = []
+        for i in range(n_src):
+            fr = rng.integers(0, 256, (frames * 4,) + src_hw + (3,),
+                              dtype=np.uint8)
+            p = os.path.join(tmp, f"s{i}.mp4")
+            write_test_video(p, fr)
+            srcs.append(p)
+        paths = [srcs[i % n_src] for i in range(n_videos)]
+        idx = uniform_indices(n_videos, frames * 4, frames)
+
+        # decode-only scaling curve
+        for nw in workers_sweep:
+            pf = DecodePrefetcher(paths, idx, out_hw=(224, 224),
+                                  batch_size=batch, n_workers=nw)
+            t0 = time.perf_counter()
+            tot = sum(b.shape[0] for b, _ in pf)
+            dt = time.perf_counter() - t0
+            assert tot == n_videos
+            print(json.dumps({
+                "metric": f"host_decode_480p_to_224_w{nw}",
+                "value": round(n_videos / dt, 1),
+                "unit": "videos/sec/host", "vs_baseline": None,
+            }))
+
+        # overlapped end-to-end: decode prefetch + device embed
+        cfg = CLIPConfig(dtype="bfloat16")
+        model = CLIPModel(cfg)
+        shapes = jax.eval_shape(
+            lambda k: model.init(k, jnp.zeros((1, 224, 224, 3),
+                                              jnp.float32),
+                                 jnp.zeros((1, 77), jnp.int32)),
+            jax.random.key(0))
+        variables = jax.tree.map(
+            lambda s: jnp.asarray(
+                rng.standard_normal(s.shape).astype(np.float32) * 0.02,
+                s.dtype), shapes)
+        embed = jax.jit(
+            lambda v, x: model.apply(v, x, method="encode_video_u8")[0])
+        # warm the compile outside the timed loop
+        warm = jnp.zeros((batch, frames, 224, 224, 3), jnp.uint8)
+        np.asarray(embed(variables, warm))
+
+        pf = DecodePrefetcher(paths, idx, out_hw=(224, 224),
+                              batch_size=batch, n_workers=2)
+        t0 = time.perf_counter()
+        out = None
+        done = 0
+        for frames_u8, _ in pf:
+            b = frames_u8.shape[0]
+            if b != batch:           # pad tail to the compiled shape
+                pad = np.zeros((batch - b,) + frames_u8.shape[1:],
+                               np.uint8)
+                frames_u8 = np.concatenate([frames_u8, pad], 0)
+            out = embed(variables, jnp.asarray(frames_u8))
+            done += b
+        np.asarray(out)              # drain the last dispatch
+        dt = time.perf_counter() - t0
+        assert done == n_videos
+        vps = n_videos / dt
+        print(json.dumps({
+            "metric": "host_feed_e2e_decode_embed_vitb32_bf16",
+            "value": round(vps, 1), "unit": "videos/sec",
+            "vs_baseline": round(vps / 350.0, 3),
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _flops_per_step(jitted, *args):
@@ -443,6 +540,7 @@ def main():
     bench_flash_sweep()
     bench_text_tower()
     bench_u8_ingest()
+    bench_host_feed()
     bench_train_step_timesformer()
     bench_train_step_slowfast()
     bench_train_step_yolov5()
