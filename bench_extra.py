@@ -79,6 +79,54 @@ def bench_retrieval_p50(n_rows=1_000_000, dim=512, n_queries=64, k=10,
     return p50
 
 
+def bench_int8_capacity(n_rows=4_000_000, dim=512, n_queries=64, k=10,
+                        trials=5, steps=10):
+    """int8 index AT THE CAPACITY THE FEATURE EXISTS FOR: a >=4M-row
+    index (4x what bf16 fits in the same HBM) built on chip, p50 search
+    latency and recall@k against a bf16 index over the same rows.
+    Substantiates the ~28M-clip single-chip ceiling claim (README /
+    docs/PERF.md) with a measured multi-million-row point."""
+    import jax.numpy as jnp
+    from cross_modal_video_engine_tpu.retrieval.index import RetrievalIndex
+    from cross_modal_video_engine_tpu.utils.profiling import device_time
+
+    rng = np.random.default_rng(4)
+    # generate in chunks to bound peak host RAM
+    emb = np.empty((n_rows, dim), np.float32)
+    for i in range(0, n_rows, 500_000):
+        emb[i: i + 500_000] = rng.standard_normal(
+            (min(500_000, n_rows - i), dim)).astype(np.float32)
+    q = rng.standard_normal((n_queries, dim)).astype(np.float32)
+    qn = jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True))
+
+    idx8 = RetrievalIndex(emb, capacity=n_rows, dtype=jnp.int8)
+    search8 = idx8._search
+    times8 = [device_time(lambda e, s, v, qq: search8(e, s, v, qq, k),
+                          idx8.emb, idx8.scales, idx8.valid, qn,
+                          steps=steps, perturb_argnums=(3,))
+              for _ in range(trials)]
+    p50_8 = float(np.percentile(times8, 50)) * 1e3
+    _, ids_8 = idx8.search(q, k=k)
+    hbm8 = int(np.asarray(idx8.emb).nbytes
+               + np.asarray(idx8.scales).nbytes)
+    del search8
+
+    # bf16 ground truth over the same rows (recall target)
+    ref = RetrievalIndex(emb, capacity=n_rows, dtype=jnp.bfloat16)
+    _, ids_ref = ref.search(q, k=k)
+    hbm16 = int(np.asarray(ref.emb).nbytes)
+    recall = float(np.mean([len(set(a) & set(b)) / k
+                            for a, b in zip(ids_ref, ids_8)]))
+    print(json.dumps({
+        "metric": f"int8_index_p50_{n_rows//1_000_000}M_rows_q{n_queries}",
+        "value": round(p50_8, 3), "unit": "ms/device",
+        "vs_baseline": round(20.0 / p50_8, 3),
+        "recall_at_k_vs_bf16": round(recall, 4),
+        "hbm_bytes_int8": hbm8, "hbm_bytes_bf16": hbm16,
+    }))
+    return p50_8
+
+
 def bench_flash_sweep(batch=4, heads=8, head_dim=128,
                       seq_lens=(512, 1024, 2048, 4096, 8192), steps=10):
     import jax
@@ -537,6 +585,7 @@ def bench_train_step_yolov5_seg(batch=16, img=640, max_targets=32,
 
 def main():
     bench_retrieval_p50()
+    bench_int8_capacity()
     bench_flash_sweep()
     bench_text_tower()
     bench_u8_ingest()
