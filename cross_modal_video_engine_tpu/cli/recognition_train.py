@@ -30,6 +30,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import linen
 
 from ..config import Config
 from ..data.datasets import ShardedSampler, VideoDataset
@@ -68,22 +69,18 @@ def build_caption_backbone(btype: str, kw: dict):
     return backbone
 
 
-class _VideoCLIPPooled:
-    """Lazy factory: returns a flax module exposing the backbone
-    contract (videos -> pooled (B, C)) over VideoCLIP.encode_video."""
+class _VideoCLIPPooled(linen.Module):
+    """Backbone contract (videos -> pooled (B, C)) over
+    VideoCLIP.encode_video.  Module-scope class with a config field so
+    equal configs build equal (hashable) modules — the instance-keyed
+    jit caches rely on that."""
 
-    def __new__(cls, vcfg):
-        from flax import linen as nn
+    vcfg: "object"    # VideoCLIPConfig
 
+    @linen.compact
+    def __call__(self, videos, *, train: bool = False):
         from ..models.videoclip import VideoCLIP
-
-        class _Pooled(nn.Module):
-            @nn.compact
-            def __call__(self, videos, *, train: bool = False):
-                return VideoCLIP(vcfg, name="videoclip"
-                                 ).encode_video(videos)
-
-        return _Pooled()
+        return VideoCLIP(self.vcfg, name="videoclip").encode_video(videos)
 
 
 def _deep_tuple(v):
@@ -225,7 +222,8 @@ def train_from_config(cfg: Config, work_dir: str,
 
     if cfg.get("omnisource"):
         return _train_omnisource_from_config(cfg, model, train_ds, val_ds,
-                                             bs, tcfg, work_dir, num_epochs)
+                                             bs, tcfg, work_dir, num_epochs,
+                                             resume=resume)
     if cfg.get("multigrid"):
         return _train_multigrid_from_config(cfg, model, train_ds, bs, tcfg,
                                             work_dir, num_epochs)
@@ -308,8 +306,20 @@ def train_from_config(cfg: Config, work_dir: str,
     return state, history
 
 
+def _omnisource_total_steps(n_main: int, bs: int, epochs: int,
+                            train_ratio) -> int:
+    """LR-schedule step count for train_omnisource: every aux batch is
+    an optimizer step too, so the schedule must cover main steps PLUS
+    the aux waves (one wave of sum(train_ratio[1:]) steps per
+    train_ratio[0] main steps)."""
+    main_steps = max(1, (n_main + bs - 1) // bs)
+    waves_per_epoch = -(-main_steps // max(1, train_ratio[0]))
+    aux_per_wave = sum(train_ratio[1:])
+    return epochs * (main_steps + waves_per_epoch * aux_per_wave)
+
+
 def _train_omnisource_from_config(cfg, model, train_ds, val_ds, bs, tcfg,
-                                  work_dir, num_epochs):
+                                  work_dir, num_epochs, resume=None):
     """OmniSource joint training (reference configs/recognition/
     omnisource/*: `omnisource = True` + web/insta/kraw aux sources,
     apis/train.py train_ratio alternation).  Config shape:
@@ -318,7 +328,9 @@ def _train_omnisource_from_config(cfg, model, train_ds, val_ds, bs, tcfg,
             train_ratio=[2, 1, ...],       # [main niter, aux0 times, ..]
             aux=[dict(ann_file=..., data_prefix=..., pipeline=[...])])
 
-    Aux sources reuse data.pipeline unless they carry their own."""
+    Aux sources reuse data.pipeline unless they carry their own.
+    Per-epoch train state (params/stats/opt_state/it) is checkpointed
+    and --resume continues from it."""
     from ..train.recognition_trainer import train_omnisource
     oms = dict(cfg["omnisource"])
     sampler = ShardedSampler(len(train_ds), shuffle=True)
@@ -342,10 +354,37 @@ def _train_omnisource_from_config(cfg, model, train_ds, val_ds, bs, tcfg,
     clips0, _, _ = next(_label_batches(train_ds, bs))
     variables = model.init(jax.random.key(0), clips0)
     train_ratio = tuple(oms.get("train_ratio", (2,) + (1,) * len(aux_sources)))
+    total_steps = _omnisource_total_steps(len(train_ds), bs, epochs,
+                                          train_ratio)
+
+    from ..train.recognition_trainer import make_rec_optimizer
+    start_epoch, init_opt, init_it = 0, None, 0
+    if resume:
+        tx0 = make_rec_optimizer(tcfg, total_steps=total_steps)
+        template = {"params": variables["params"],
+                    "batch_stats": variables.get("batch_stats", {}),
+                    "opt_state": tx0.init(variables["params"])}
+        payload, loop = load_train_state(resume, template)
+        variables = {"params": payload["params"]}
+        if payload["batch_stats"]:
+            variables["batch_stats"] = payload["batch_stats"]
+        init_opt = payload["opt_state"]
+        start_epoch = int(loop.get("epoch", -1)) + 1
+        init_it = int(loop.get("it", 0))
+
+    def save_epoch(epoch, state):
+        save_train_state(os.path.join(work_dir, f"epoch_{epoch}"),
+                         {"params": state["params"],
+                          "batch_stats": state["batch_stats"],
+                          "opt_state": state["opt_state"]},
+                         {"epoch": epoch, "it": state["it"]})
+
     variables, history = train_omnisource(
         model, variables, tcfg, main_batches, aux_sources,
         train_ratio=train_ratio, total_epochs=epochs,
-        total_steps=epochs * max(1, (len(train_ds) + bs - 1) // bs))
+        total_steps=total_steps, start_epoch=start_epoch,
+        init_opt_state=init_opt, init_it=init_it,
+        epoch_callback=save_epoch)
     report = evaluate_classification(
         model, variables["params"], _label_batches(val_ds, bs),
         stats=variables.get("batch_stats"))

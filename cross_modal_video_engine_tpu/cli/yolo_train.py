@@ -111,10 +111,19 @@ class YoloDetectionDataset:
                 shapes.append(np.load(path, mmap_mode="r").shape[:2])
             else:
                 # header-only read (PIL is lazy): AutoAnchor calls this
-                # for the whole dataset, so full decodes are O(dataset)
+                # for the whole dataset, so full decodes are O(dataset).
+                # EXIF rotation 6/8 swaps w/h to match what cv2.imread
+                # (orientation-applied) hands the trainer — the
+                # reference's exif_size (utils/dataloaders.py:60-67)
                 from PIL import Image
                 with Image.open(path) as im:
                     w, h = im.size
+                    try:
+                        rot = (im.getexif() or {}).get(274)  # Orientation
+                    except Exception:
+                        rot = None
+                    if rot in (6, 8):
+                        w, h = h, w
                 shapes.append((h, w))
             labels.append(self.labels(i))
         return np.asarray(shapes, np.float64), labels

@@ -108,12 +108,18 @@ class DecodePrefetcher:
                 yield val, self._batches[bi][0]
         finally:
             stop.set()
+            # unblock producers parked in sem.acquire() (they re-check
+            # `stop` after waking; the extra tokens are then inert)
+            for _ in threads:
+                sem.release()
             # unblock any producer stuck on a full slot
             for q in slots:
                 try:
                     q.get_nowait()
                 except queue.Empty:
                     pass
+            for t in threads:
+                t.join(timeout=5.0)
 
 
 def uniform_indices(n_clips: int, total_frames: int, clip_len: int

@@ -68,7 +68,13 @@ class RetrievalIndex:
         self.dim = emb.shape[1]
         self.ids = list(ids) if ids is not None else None
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.n_shards = self.mesh.shape["data"]
+        # on a multi-slice (dcn, data, model) mesh rows shard jointly
+        # over ('dcn', 'data') — matching mesh.data_sharding — so the
+        # shard count and in-shard base offsets must span both axes
+        self.lead_axes = (("dcn", "data")
+                          if "dcn" in self.mesh.axis_names else ("data",))
+        self.n_shards = int(np.prod([self.mesh.shape[a]
+                                     for a in self.lead_axes]))
         self.dtype = jnp.dtype(dtype)
         self.int8 = self.dtype == jnp.dtype(jnp.int8)
         self.normalize = normalize
@@ -117,6 +123,8 @@ class RetrievalIndex:
         rows = self.rows_per_shard
         dtype = self.dtype
         int8 = self.int8
+        lead_axes = self.lead_axes
+        axis_sizes = tuple(mesh.shape[a] for a in lead_axes)
 
         recall_target = self.recall_target
 
@@ -133,7 +141,11 @@ class RetrievalIndex:
             else:
                 sims = jnp.dot(q, emb_shard.T,
                                preferred_element_type=jnp.float32)
-            shard = jax.lax.axis_index("data")
+            # linear shard id over the (possibly joint) leading axes,
+            # mesh-major — the same order device_put splits rows in
+            shard = 0
+            for ax, size in zip(lead_axes, axis_sizes):
+                shard = shard * size + jax.lax.axis_index(ax)
             base = shard * rows
             sims = jnp.where(valid_shard[None, :] > 0, sims, -jnp.inf)
             # TPU PartialReduce top-k (lax.approx_max_k).  With
@@ -165,11 +177,12 @@ class RetrievalIndex:
             else:
                 qq = q.astype(dtype)
                 qscale = jnp.ones((q.shape[0], 1), jnp.float32)
+            lead = lead_axes if len(lead_axes) > 1 else lead_axes[0]
             f = shard_map(
                 functools.partial(local_topk, kk),
                 mesh=mesh,
-                in_specs=(P(), P(), P("data", None), P("data"), P("data")),
-                out_specs=(P(None, "data"), P(None, "data")),
+                in_specs=(P(), P(), P(lead, None), P(lead), P(lead)),
+                out_specs=(P(None, lead), P(None, lead)),
                 check_vma=False,
             )
             vals, idx = f(qq, qscale, emb, scales, valid)  # (Q, kk*shards)

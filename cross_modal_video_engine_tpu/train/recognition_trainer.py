@@ -67,6 +67,16 @@ def _cast_tree(tree, dtype):
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, tree)
 
 
+def _train_rngs(rng):
+    """Per-step rng streams: dropout everywhere, plus 'relation' for
+    TRNHead's random tuple subsampling (heads.py TRNMultiScale — without
+    this stream the head silently falls back to fixed evenly-spaced
+    tuples every step).  Flax ignores streams a model doesn't use.
+    fold_in (not split) keeps the dropout stream bit-identical to the
+    pre-'relation' trainers, so existing seeds reproduce."""
+    return {"dropout": rng, "relation": jax.random.fold_in(rng, 1)}
+
+
 def make_cls_train_step(model, tx, blending=None, bf16: bool = False):
     """`blending` (optional): a data/blending.make_blending callable — the
     mmaction `train_cfg=dict(blending=...)` path.  Blended batches train
@@ -86,7 +96,7 @@ def make_cls_train_step(model, tx, blending=None, bf16: bool = False):
             rng, brng = jax.random.split(rng)
             videos, soft = blending(brng, videos, labels)
         scores = model.apply({"params": params}, videos, train=True,
-                             rngs={"dropout": rng})
+                             rngs=_train_rngs(rng))
         scores = scores.astype(jnp.float32)
         if blending is not None:
             loss = optax.softmax_cross_entropy(scores, soft).mean()
@@ -123,7 +133,7 @@ def make_cls_train_step_stats(model, tx, blending=None, bf16: bool = False):
             videos, soft = blending(brng, videos, labels)
         scores, new = model.apply(
             {"params": params, "batch_stats": stats}, videos, train=True,
-            rngs={"dropout": rng}, mutable=["batch_stats"])
+            rngs=_train_rngs(rng), mutable=["batch_stats"])
         scores = scores.astype(jnp.float32)
         if blending is not None:
             loss = optax.softmax_cross_entropy(scores, soft).mean()
@@ -151,7 +161,7 @@ def make_cls_train_step_stats(model, tx, blending=None, bf16: bool = False):
 def make_seq_train_step(model, tx):
     def loss_fn(params, videos, targets_emb, mask, rng):
         return model.apply({"params": params}, videos, targets_emb, mask,
-                           method="forward_train", rngs={"dropout": rng})
+                           method="forward_train", rngs=_train_rngs(rng))
 
     def step(state: RecTrainState, videos, targets_emb, mask, rng):
         loss, grads = jax.value_and_grad(loss_fn)(
@@ -171,7 +181,7 @@ def make_seq_train_step_stats(model, tx):
     def loss_fn(params, stats, videos, targets_emb, mask, rng):
         loss, new = model.apply(
             {"params": params, "batch_stats": stats}, videos, targets_emb,
-            mask, method="forward_train", rngs={"dropout": rng},
+            mask, method="forward_train", rngs=_train_rngs(rng),
             mutable=["batch_stats"])
         return loss, new["batch_stats"]
 
@@ -264,11 +274,11 @@ def make_multigrid_train_step(model, tx, lr_scale: float,
             variables["batch_stats"] = stats
             scores, new_vars = model.apply(
                 variables, videos, train=True, mutable=["batch_stats"],
-                rngs={"dropout": rng})
+                rngs=_train_rngs(rng))
             new_stats = new_vars["batch_stats"]
         else:
             scores = model.apply(variables, videos, train=True,
-                                 rngs={"dropout": rng})
+                                 rngs=_train_rngs(rng))
             new_stats = stats
         loss = optax.softmax_cross_entropy_with_integer_labels(
             scores, labels).mean()
@@ -405,7 +415,9 @@ def train_omnisource(model, variables, tcfg: RecognitionTrainConfig,
                      main_batches: Callable[[int], Any],
                      aux_batches: Sequence[Callable[[], Any]],
                      train_ratio: Sequence[int], total_epochs: int,
-                     rng=None, total_steps: Optional[int] = None):
+                     rng=None, total_steps: Optional[int] = None,
+                     start_epoch: int = 0, init_opt_state=None,
+                     init_it: int = 0, epoch_callback=None):
     """Alternating-source training: the main source drives the epoch;
     every `train_ratio[0]` main steps, `train_ratio[1+i]` batches are
     drawn from each (endlessly cycled) auxiliary source and stepped with
@@ -416,13 +428,21 @@ def train_omnisource(model, variables, tcfg: RecognitionTrainConfig,
     aux_batches[i]() -> a fresh iterable of (clips, labels) (re-created
     when exhausted — the runner's itertools.cycle).
     Returns (trained variables, per-epoch history).
+
+    NOTE: `total_steps` sizes the LR schedule and must count the aux
+    steps too (each aux batch is an optimizer step) — see
+    cli/recognition_train._omnisource_total_steps.
+    Resume: pass start_epoch/init_opt_state/init_it saved by
+    `epoch_callback(epoch, state_dict)`, which fires after every epoch
+    with {"params", "batch_stats", "opt_state", "it"}.
     """
     rng = jax.random.key(0) if rng is None else rng
     tx = (make_rec_optimizer(tcfg, total_steps=total_steps)
           if total_steps else make_rec_optimizer(tcfg))
     params = variables["params"]
     stats = variables.get("batch_stats", {})
-    opt_state = tx.init(params)
+    opt_state = (init_opt_state if init_opt_state is not None
+                 else tx.init(params))
     step_fn = make_multigrid_train_step(model, tx, lr_scale=1.0,
                                         has_batch_stats=bool(stats))
     use_aux_per_niter = train_ratio[0]
@@ -431,8 +451,8 @@ def train_omnisource(model, variables, tcfg: RecognitionTrainConfig,
     aux_iters = [_cycle(fn) for fn in aux_batches]
 
     history = []
-    it = 0
-    for epoch in range(total_epochs):
+    it = init_it
+    for epoch in range(start_epoch, total_epochs):
         logs_sum: dict = {}
         counts: dict = {}
 
@@ -463,6 +483,9 @@ def train_omnisource(model, variables, tcfg: RecognitionTrainConfig,
             it += 1
         history.append({"epoch": epoch,
                         **{k: v / counts[k] for k, v in logs_sum.items()}})
+        if epoch_callback is not None:
+            epoch_callback(epoch, {"params": params, "batch_stats": stats,
+                                   "opt_state": opt_state, "it": it})
     out = {"params": params}
     if stats:
         out["batch_stats"] = stats
@@ -500,7 +523,7 @@ def make_tpn_train_step_stats(model, tx, bf16: bool = False):
             videos = videos.astype(jnp.bfloat16)
         (scores, aux), new = model.apply(
             {"params": params, "batch_stats": stats}, videos, train=True,
-            target=labels, rngs={"dropout": rng}, mutable=["batch_stats"])
+            target=labels, rngs=_train_rngs(rng), mutable=["batch_stats"])
         scores = scores.astype(jnp.float32)
         loss_cls = optax.softmax_cross_entropy_with_integer_labels(
             scores, labels).mean()

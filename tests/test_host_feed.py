@@ -58,6 +58,20 @@ def test_prefetcher_single_worker_and_empty(videos):
     assert list(empty) == []
 
 
+def test_prefetcher_early_exit_reaps_workers(videos):
+    """Abandoning the iterator mid-stream must not leak worker threads
+    (long-lived consumers break out of epochs / raise in device steps)."""
+    import threading
+    before = threading.active_count()
+    idx = uniform_indices(len(videos), 10, 2)
+    pf = DecodePrefetcher(videos, idx, out_hw=(16, 16), batch_size=2,
+                          n_workers=2, depth=1)
+    it = iter(pf)
+    next(it)
+    it.close()          # generator finally runs: stop + release + join
+    assert threading.active_count() <= before
+
+
 def test_prefetcher_decode_error_surfaces(tmp_path, videos):
     bad = str(tmp_path / "missing.mp4")
     idx = uniform_indices(2, 10, 2)

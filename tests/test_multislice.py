@@ -60,6 +60,23 @@ def test_multislice_batch_spec_and_shard_rows():
     assert data_sharding(mesh, 2).spec[0] == ("dcn", "data")
 
 
+def test_multislice_retrieval_index_self_hits():
+    """RetrievalIndex on a (dcn, data, model) mesh: rows shard jointly
+    over both leading axes and per-shard base offsets stay correct
+    (regression: base used axis_index('data') only, returning wrong
+    global row ids on multi-slice meshes)."""
+    from cross_modal_video_engine_tpu.retrieval.index import RetrievalIndex
+    mesh = make_multislice_mesh(slice_index_fn=_fake_slices(4))
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((256, 32)).astype(np.float32)
+    idx = RetrievalIndex(base, mesh=mesh, capacity=256)
+    assert idx.n_shards == 8
+    q_rows = [0, 31, 128, 255]         # spread across both slices
+    scores, ids = idx.search(base[q_rows], k=5)
+    assert [int(i[0]) for i in ids] == q_rows
+    assert np.isfinite(scores).all()
+
+
 def test_multislice_dp_train_step_matches_single_device():
     """One dp-over-dcn train step: gradients psum across both ('dcn',
     'data') — i.e. one DCN crossing — and the update matches the

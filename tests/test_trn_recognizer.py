@@ -12,6 +12,41 @@ from cross_modal_video_engine_tpu.models.recognizer import Recognizer2D
 rng = np.random.default_rng(653)
 
 
+def test_trainer_feeds_relation_rng():
+    """The shared train steps must pass the 'relation' rng stream so
+    TRNMultiScale subsamples different tuples per step (regression:
+    dropout-only rngs silently pinned the eval fallback tuples)."""
+    from cross_modal_video_engine_tpu.models.heads import TRNHead
+    from cross_modal_video_engine_tpu.train.recognition_trainer import (
+        make_cls_train_step_stats)
+
+    T = 6
+    backbone = TSMResNet(TSMConfig(stage_blocks=(1,), base_channels=8))
+    head = TRNHead(num_classes=3, num_segments=T, hidden_dim=8,
+                   bottleneck_dim=8, dropout_ratio=0.0, max_subsample=1)
+    model = Recognizer2D(backbone, head)
+    clips = jnp.asarray(rng.standard_normal((2, T, 16, 16, 3)),
+                        jnp.float32)
+    labels = jnp.zeros((2,), jnp.int32)
+    variables = model.init(jax.random.key(0), clips)
+
+    step = make_cls_train_step_stats(model, optax.sgd(0.0))
+    from cross_modal_video_engine_tpu.train.recognition_trainer import (
+        RecTrainState)
+    state = RecTrainState(variables["params"],
+                          optax.sgd(0.0).init(variables["params"]),
+                          jnp.zeros((), jnp.int32))
+    losses = set()
+    for i in range(6):
+        _, _, logs = step(state, variables["batch_stats"], clips, labels,
+                          jax.random.key(i))
+        losses.add(round(float(logs["loss"]), 8))
+    # with max_subsample=1 and lr=0 the only step-to-step variation is
+    # the relation tuple draw — several distinct losses proves the
+    # stream reaches the head
+    assert len(losses) > 1
+
+
 def test_recognizer2d_with_trn_head_trains():
     T = 4
     backbone = TSMResNet(TSMConfig(stage_blocks=(1, 1), base_channels=8))
