@@ -1,0 +1,230 @@
+"""Conv-family training residual attribution (VERDICT r3 weak #4).
+
+Answers, with measurements rather than assertions, where the non-MXU
+time goes in the SlowFast and YOLOv5 train steps (single-digit MFU in
+docs/PERF.md).  Three instruments:
+
+1. `jax.profiler.trace` (if the axon relay supports device profiling —
+   falls back gracefully if the trace comes back empty);
+2. phase splits: fwd vs fwd+bwd vs full step (optimizer tax), train-BN
+   vs frozen-BN forward (BN stat-update tax);
+3. width A/Bs: the narrow-channel hypothesis predicts MFU rises with
+   channel width at fixed FLOP utilization overheads — measured by
+   widening the fast pathway (beta_inv) and the YOLO width multiple.
+
+Prints one JSON line per measurement; summarize into docs/PERF.md.
+Run on the real chip: `python bench_profile.py [--quick]`.
+"""
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def _flops(jitted, *args):
+    try:
+        an = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(an, (list, tuple)):
+            an = an[0]
+        return float(an.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def _row(metric, value, unit, **extra):
+    print(json.dumps({"metric": metric, "value": round(value, 2),
+                      "unit": unit, **extra}))
+
+
+def profile_slowfast(batch=32, frames=32, steps=8, quick=False):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from cross_modal_video_engine_tpu.models.recognizer import (
+        BackboneClassifier)
+    from cross_modal_video_engine_tpu.models.resnet3d import (SlowFast,
+                                                              SlowFastConfig)
+    from cross_modal_video_engine_tpu.train.recognition_trainer import (
+        RecTrainState, make_cls_train_step_stats)
+    from cross_modal_video_engine_tpu.utils.profiling import device_time
+
+    rng = np.random.default_rng(0)
+    clips = jnp.asarray(rng.standard_normal(
+        (batch, frames, 224, 224, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 400, (batch,)), jnp.int32)
+
+    def build(beta_inv):
+        # 4x16x1 recipe: alpha=8 (bench_extra parity); params via
+        # eval_shape + random fill (no init compile on the relay)
+        model = BackboneClassifier(
+            SlowFast(SlowFastConfig(alpha=8, beta_inv=beta_inv)),
+            num_classes=400)
+        shapes = jax.eval_shape(lambda k: model.init(k, clips),
+                                jax.random.key(0))
+        variables = jax.tree.map(
+            lambda s: jnp.asarray(
+                rng.standard_normal(s.shape).astype(np.float32) * 0.02,
+                s.dtype), shapes)
+        return model, variables
+
+    model, variables = build(8)
+    tx = optax.sgd(0.01, momentum=0.9)
+    state = RecTrainState(variables["params"],
+                          tx.init(variables["params"]),
+                          jnp.zeros((), jnp.int32))
+    stats = variables["batch_stats"]
+    step = make_cls_train_step_stats(model, tx, bf16=True)
+
+    # -- phase splits --------------------------------------------------
+    def fwd_train(p, s, x):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": s}, x.astype(jnp.bfloat16),
+            train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.key(0)})
+        return out
+
+    def fwd_frozen(p, s, x):
+        return model.apply({"params": p, "batch_stats": s},
+                           x.astype(jnp.bfloat16), train=False)
+
+    def fwd_bwd(p, s, x, y):
+        def loss(p):
+            out, _ = model.apply(
+                {"params": p, "batch_stats": s}, x.astype(jnp.bfloat16),
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.key(0)})
+            import optax as _o
+            return _o.softmax_cross_entropy_with_integer_labels(
+                out.astype(jnp.float32), y).mean()
+        return jax.grad(loss)(p)
+
+    t_fwd = device_time(fwd_train, state.params, stats, clips,
+                        steps=steps, perturb_argnums=(2,))
+    t_frozen = device_time(fwd_frozen, state.params, stats, clips,
+                           steps=steps, perturb_argnums=(2,))
+    t_fwdbwd = device_time(fwd_bwd, state.params, stats, clips, labels,
+                           steps=max(2, steps // 2), perturb_argnums=(2,))
+    t_step = device_time(
+        lambda st, s, x, y: step(st, s, x, y, jax.random.key(0))[0].params,
+        state, stats, clips, labels, steps=max(2, steps // 2),
+        perturb_argnums=(2,))
+    _row("slowfast_fwd_train_bf16_B32", t_fwd * 1e3, "ms")
+    _row("slowfast_fwd_frozenBN_bf16_B32", t_frozen * 1e3, "ms",
+         bn_stat_tax_ms=round((t_fwd - t_frozen) * 1e3, 2))
+    _row("slowfast_fwd_bwd_bf16_B32", t_fwdbwd * 1e3, "ms",
+         bwd_over_fwd=round(t_fwdbwd / t_fwd, 2))
+    _row("slowfast_full_step_bf16_B32", t_step * 1e3, "ms",
+         videos_per_s=round(batch / t_step, 1),
+         opt_tax_ms=round((t_step - t_fwdbwd) * 1e3, 2))
+
+    # -- width A/B: fast pathway 2x/4x wider ---------------------------
+    if not quick:
+        for beta_inv in (4, 2):
+            m2, v2 = build(beta_inv)
+            st2 = RecTrainState(v2["params"], tx.init(v2["params"]),
+                                jnp.zeros((), jnp.int32))
+            step2 = make_cls_train_step_stats(m2, tx, bf16=True)
+            jstep2 = lambda st, s, x, y: step2(  # noqa: E731
+                st, s, x, y, jax.random.key(0))[0].params
+            t2 = device_time(jstep2, st2, v2["batch_stats"], clips,
+                             labels, steps=max(2, steps // 2),
+                             perturb_argnums=(2,))
+            fl = _flops(jax.jit(jstep2), st2, v2["batch_stats"], clips,
+                        labels)
+            _row(f"slowfast_step_beta_inv{beta_inv}_bf16_B32",
+                 t2 * 1e3, "ms", videos_per_s=round(batch / t2, 1),
+                 tflops=round(fl / t2 / 1e12, 1) if fl else None)
+
+
+def profile_yolo(batch=16, img=640, max_targets=32, steps=6, quick=False):
+    import jax
+    import jax.numpy as jnp
+    from cross_modal_video_engine_tpu.losses.yolo import YoloHyp
+    from cross_modal_video_engine_tpu.models.yolo import YoloConfig, YoloV5
+    from cross_modal_video_engine_tpu.train.yolo_trainer import (
+        YoloOptHyp, init_yolo_train_state, make_yolo_train_step,
+        scaled_weight_decay)
+    from cross_modal_video_engine_tpu.utils.profiling import device_time
+
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.random((batch, img, img, 3), np.float32))
+    cxy = rng.random((batch, max_targets, 2)) * 0.8 + 0.1
+    wh = rng.random((batch, max_targets, 2)) * 0.2 + 0.02
+    cls = rng.integers(0, 80, (batch, max_targets, 1))
+    targets = jnp.asarray(np.concatenate([cls, cxy, wh], -1).astype(
+        np.float32))
+    valid = jnp.asarray(np.ones((batch, max_targets), bool))
+    lr, mom = jnp.float32(0.01), jnp.float32(0.937)
+
+    def run(wm, tag):
+        cfg = YoloConfig(num_classes=80, width_multiple=wm,
+                         depth_multiple=0.33, img_size=img)
+        model = YoloV5(cfg)
+        opt = YoloOptHyp()
+        state = init_yolo_train_state(model, jax.random.key(0), img,
+                                      batch_size=2)
+        step = make_yolo_train_step(model, YoloHyp(), opt,
+                                    scaled_weight_decay(opt, batch),
+                                    bf16=True)
+
+        def jstep(st, x, t, v):
+            new, metrics = step(st, x, t, v, lr, lr, mom)
+            return new, metrics["loss"]
+        t = device_time(jstep, state, images, targets, valid,
+                        steps=steps, perturb_argnums=(1,))
+        fl = _flops(jax.jit(jstep), state, images, targets, valid)
+        _row(f"yolov5_step_{tag}_bf16_B{batch}", t * 1e3, "ms",
+             imgs_per_s=round(batch / t, 1),
+             tflops=round(fl / t / 1e12, 1) if fl else None)
+
+        def fwd(p, s, x):
+            out = model.apply({"params": p, "batch_stats": s},
+                              x.astype(jnp.bfloat16), train=False)
+            return out[0] if isinstance(out, tuple) else out
+        t_fwd = device_time(fwd, state.params, state.batch_stats, images,
+                            steps=steps, perturb_argnums=(2,))
+        _row(f"yolov5_fwd_{tag}_bf16_B{batch}", t_fwd * 1e3, "ms",
+             step_over_fwd=round(t / t_fwd, 2))
+
+    run(0.5, "s")                     # yolov5s
+    if not quick:
+        run(1.0, "l_width")           # 2x channels: narrow-GEMM probe
+
+
+def try_profiler_trace(out_dir="/tmp/cmve_trace"):
+    """Attempt a real device trace (works on local TPU; the axon relay
+    may not export profiler endpoints — report which)."""
+    import jax
+    import jax.numpy as jnp
+    os.makedirs(out_dir, exist_ok=True)
+    x = jnp.ones((4096, 4096), jnp.bfloat16)
+    f = jax.jit(lambda a: a @ a)
+    np.asarray(f(x))
+    try:
+        with jax.profiler.trace(out_dir):
+            np.asarray(f(x))
+        files = [os.path.join(dp, fn) for dp, _, fns in os.walk(out_dir)
+                 for fn in fns]
+        ok = any(fn.endswith((".pb", ".json.gz", ".xplane.pb"))
+                 for fn in files)
+        _row("profiler_trace_available", 1.0 if ok else 0.0, "bool",
+             dir=out_dir, n_files=len(files))
+    except Exception as exc:
+        _row("profiler_trace_available", 0.0, "bool", error=str(exc)[:200])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--skip-trace", action="store_true")
+    args = ap.parse_args()
+    if not args.skip_trace:
+        try_profiler_trace()
+    profile_slowfast(quick=args.quick)
+    profile_yolo(quick=args.quick)
+
+
+if __name__ == "__main__":
+    main()

@@ -10,6 +10,7 @@ import numpy as np
 from cross_modal_video_engine_tpu.cli import ava_proposals, detection_train
 from cross_modal_video_engine_tpu.data.datasets_extra import AVADataset
 from cross_modal_video_engine_tpu.io.video_decode import write_test_video
+import pytest
 
 
 def _fixture(tmp_path):
@@ -45,6 +46,7 @@ def test_build_proposals_person_filter_and_norm(tmp_path):
                                    atol=1e-6)
 
 
+@pytest.mark.full    # full lane: integration re-run of detection training; proposal building + yolo path stay default
 def test_proposals_feed_detection_training(tmp_path):
     ann, vdir = _fixture(tmp_path)
     ds = AVADataset(ann, num_classes=4, data_prefix=vdir)

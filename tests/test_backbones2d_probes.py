@@ -1,5 +1,6 @@
 """TSM/C3D/R2+1D backbones, interventions, precise BN, concept tags."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,7 @@ def test_temporal_shift_semantics():
     np.testing.assert_array_equal(y[..., 2:], np.asarray(x)[..., 2:])
 
 
+@pytest.mark.full    # full lane: shape probes; the TSM/C3D/R2+1D importers + caption/recognition consumers stay default
 def test_tsm_c3d_r2plus1d_shapes():
     v = jnp.asarray(rng.standard_normal((1, 4, 32, 32, 3)), jnp.float32)
     tsm = TSMResNet(TSMConfig(stage_blocks=(1, 1), base_channels=8))

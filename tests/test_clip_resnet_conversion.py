@@ -6,6 +6,7 @@ combiner_arithmetic.pt, :218-223) are built fresh here, randomly initialized,
 converted, and compared numerically against the flax towers.
 """
 
+import pytest
 from collections import OrderedDict
 
 import numpy as np
@@ -163,6 +164,7 @@ class TCLIPRN(tnn.Module):
         return x[torch.arange(x.shape[0]), eot] @ self.text_projection
 
 
+@pytest.mark.full    # full lane: importer parity; RN50x4 middle-stage behavior stays default in test_clip_resnet
 def test_clip_resnet_conversion_parity():
     torch.manual_seed(3)
     tm = TCLIPRN(CFG).eval()

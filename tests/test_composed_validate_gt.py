@@ -1,5 +1,6 @@
 """composed_validate flow + GT-style LINAS training coverage."""
 
+import pytest
 import os
 
 import numpy as np
@@ -59,6 +60,7 @@ def test_composed_validate_flow(tmp_path):
     assert report["recall_at10"] == 100.0       # 10 candidates total
 
 
+@pytest.mark.full    # full lane: GT-replica trainer parity; test_composed_validate_flow keeps the eval default
 def test_gt_style_training(tmp_path):
     """style='GT': plain triplet training (trainer GT branch)."""
     info = make_collection(str(tmp_path), n_videos=6, caps_per_video=2)

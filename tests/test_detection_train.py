@@ -2,6 +2,7 @@
 config-driven CLI (cli/detection_train), loss decreases, AVA-protocol
 frame-mAP evaluation runs, and resume restores batch_stats."""
 
+import pytest
 import os
 
 import numpy as np
@@ -142,6 +143,7 @@ def test_pack_detection_batch_static_layout():
     assert rois[0, 0] == 0                          # batch index
 
 
+@pytest.mark.full    # full lane: backbone variant; the slowonly detection CLI e2e keeps the trainer default
 def test_slowfast_detection_backbone(tmp_path):
     """Dual-pathway SlowFast drives the AVA RoI head: return_stages
     temporal-pools each pathway and concats channels

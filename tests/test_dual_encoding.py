@@ -88,6 +88,7 @@ def _batches(cfg, B=3, T=10, L=6, S=2):
     return videos, text, support
 
 
+@pytest.mark.full    # full lane: shape probe; BiGRU torch parity + the LINAS train loop stay default
 def test_dual_encoding_de_map_shapes():
     cfg = _tiny_cfg()  # style distill, teacher GT, student de+map
     model = DualEncoding(cfg)

@@ -1,6 +1,7 @@
 """Inventory-tail models: CSN, TPN neck, TRN head, AVA RoI head,
 VideoCLIP — shape/behavior/gradient tests."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -14,6 +15,7 @@ from cross_modal_video_engine_tpu.models import (
 rng = np.random.default_rng(271)
 
 
+@pytest.mark.full    # full lane: shape probe; the CSN importer parity test stays default
 def test_csn_shapes_and_modes():
     videos = jnp.asarray(rng.standard_normal((2, 4, 32, 32, 3)), jnp.float32)
     for mode in ("ir", "ip"):
@@ -32,6 +34,7 @@ def test_csn_shapes_and_modes():
     assert "conv2_point" in variables["params"]["layer1_0"]
 
 
+@pytest.mark.full    # full lane: shape probe; the TPN recipe train e2e stays default
 def test_tpn_neck_shapes_and_aux_loss():
     cfg = TPNConfig(in_channels=(16, 32), out_channels=16, mid_channels=16,
                     lf_out_channels=32, fusion_channels=32,
@@ -63,6 +66,7 @@ def test_tpn_neck_shapes_and_aux_loss():
     assert f.shape == feat.shape
 
 
+@pytest.mark.full    # full lane: shape probe; test_trn_recognizer trains the head default
 def test_trn_head_shapes_and_scales():
     head = TRNHead(num_classes=7, num_segments=4, hidden_dim=16,
                    bottleneck_dim=8)
@@ -106,6 +110,7 @@ def test_roi_align_golden():
                                rtol=1e-5)
 
 
+@pytest.mark.full    # full lane: head-level train probe; the detection CLI e2e trains the same head default
 def test_ava_roi_head_trains():
     cfg = AVAHeadConfig(num_classes=6, in_channels=8, roi_size=4)
     head = AVARoIHead(cfg)
@@ -143,6 +148,7 @@ def test_ava_roi_head_trains():
     assert losses[-1] < losses[0] * 0.7, losses[::8]
 
 
+@pytest.mark.full    # full lane: full-width contract probe; tiny-shape VideoCLIP forward runs default in test_shipped_configs
 def test_videoclip_contract():
     cfg = VideoCLIPConfig(fps=2, s3d_channels=4, width=16, layers=1,
                           heads=2, vocab_size=50, max_text_len=8,

@@ -71,6 +71,7 @@ def test_lfb_sample_batch_vmaps():
         lt[0], np.asarray(bank.sample_window(0, 901, 4)))
 
 
+@pytest.mark.full    # full lane: shapes/grad probe; the LFB recipe e2e trains the same FBO default
 def test_fbo_nonlocal_shapes_and_grad():
     m = FBONonLocal(latent_channels=8, num_non_local_layers=2)
     st = jnp.asarray(rng.normal(size=(3, 1, 16)), jnp.float32)

@@ -117,6 +117,7 @@ def test_export_model_roundtrip(tmp_path):
     np.testing.assert_allclose(y, np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.full    # full lane: detector artifact packing; export_model_roundtrip keeps StableHLO export default
 def test_export_yolo_roundtrip(tmp_path):
     """export_yolo: deserialized StableHLO artifact reproduces the
     jitted forward+decode (weights ride as a call argument so serving

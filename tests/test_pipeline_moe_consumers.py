@@ -44,6 +44,7 @@ def test_pipelined_tower_matches_single_chip():
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.full    # full lane: layout variant; matches_single_chip keeps pp parity default
 def test_pipelined_tower_multiple_blocks_per_stage():
     model = Recognizer3D(TimeSformerConfig(**TS_KW), num_classes=5)
     videos = jnp.asarray(rng.standard_normal((4, 4, 16, 16, 3)),
@@ -57,6 +58,7 @@ def test_pipelined_tower_multiple_blocks_per_stage():
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.full    # full lane: pp grad correctness; the driver dryrun differentiates the same pipelined loss every round
 def test_pipelined_loss_differentiates():
     # 2 layers over 2 stages: smallest program that still sends
     # gradients through a ppermute hop (1-cpu box: keep compiles lean)
@@ -88,6 +90,7 @@ def _expert_mesh(n):
     return Mesh(np.asarray(jax.devices()[:n]), ("expert",))
 
 
+@pytest.mark.full    # full lane: MoE train loop; the dryrun trains a MoE step every round and test_moe_expert_parallel covers dispatch
 def test_moe_classifier_trains_and_balances():
     mesh = _expert_mesh(4)
     cfg = MoEVideoConfig(num_classes=2, width=16, num_heads=2,
@@ -115,6 +118,7 @@ def test_moe_classifier_trains_and_balances():
     assert float(logs["load_balance_loss"]) > 0
 
 
+@pytest.mark.full    # full lane: sharding probe; test_moe_expert_parallel + the dryrun MoE stage stay default
 def test_moe_param_shardings_shard_expert_axis():
     mesh = _expert_mesh(4)
     cfg = MoEVideoConfig(num_classes=2, width=16, num_heads=2,

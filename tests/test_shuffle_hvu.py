@@ -14,6 +14,7 @@ from cross_modal_video_engine_tpu.losses.shuffle import (
 from cross_modal_video_engine_tpu.models.recognizer import (
     Recognizer3DShuffleEmb, Recognizer3DShuffleExtra, Recognizer3DShuffleSoft)
 from cross_modal_video_engine_tpu.models.timesformer import TimeSformerConfig
+import pytest
 
 rng = np.random.default_rng(419)
 
@@ -68,6 +69,7 @@ def _train(model, init_args, step_args, steps=15):
     return hist
 
 
+@pytest.mark.full    # full lane: 3-recognizer train loop; shuffle losses + api shuffle_idx stay default
 def test_shuffle_recognizers_train():
     videos = jnp.asarray(rng.standard_normal((4, 4, 16, 16, 3)), jnp.float32)
     shuffled = videos[:, ::-1]

@@ -1,6 +1,7 @@
 """Video Swin weight-conversion parity: a tiny torch model with mmaction's
 swin_transformer.py state-dict naming vs the converted flax Swin3D."""
 
+import pytest
 import numpy as np
 import torch
 import torch.nn as tnn
@@ -134,6 +135,7 @@ class TSwin(tnn.Module):
         return x.mean((1, 2, 3))
 
 
+@pytest.mark.full    # full lane: importer parity; Swin3D window math stays default in test_swin3d
 def test_swin3d_conversion_parity():
     torch.manual_seed(29)
     tm = TSwin(CFG).eval()

@@ -14,6 +14,7 @@ from cross_modal_video_engine_tpu.convert.torch_import import convert_tanet
 from cross_modal_video_engine_tpu.models.heads import TSNHead
 from cross_modal_video_engine_tpu.models.recognizer import Recognizer2D
 from cross_modal_video_engine_tpu.models.tanet import TANet, TANetConfig
+import pytest
 
 torch.manual_seed(27)
 
@@ -112,6 +113,7 @@ class TTANet(tnn.Module):
         return self.cls_head.fc_cls(x)
 
 
+@pytest.mark.full    # full lane: importer parity; TANet behavior stays default in test_tanet_prefetch
 def test_tanet_conversion_parity():
     cfg = TANetConfig(stage_blocks=(1, 1), base_channels=8)
     T = 4

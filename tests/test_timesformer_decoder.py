@@ -137,6 +137,7 @@ def test_recognizer_relseq_train_loss_and_decode():
     assert probs.shape == (2, 3, 6)
 
 
+@pytest.mark.full    # full lane: remat numeric identity probe; the model itself stays covered default
 def test_remat_flag_preserves_params_and_outputs():
     """cfg.remat rematerializes blocks (jax.checkpoint) without
     changing the parameter tree or the forward/backward math."""

@@ -2,6 +2,7 @@
 convert_tin) against a torch replica of resnet_tin.py: OffsetNet /
 WeightNet / linear_sampler over tin_shift, CombineNet-wrapped conv1."""
 
+import pytest
 import numpy as np
 import torch
 import torch.nn as tnn
@@ -201,6 +202,7 @@ class TTIN(tnn.Module):
         return sd
 
 
+@pytest.mark.full    # full lane: slowest importer parity; TIN behavior stays default in test_tin_mobilenet_bsn
 def test_tin_conversion_parity():
     cfg = TINExactConfig(stage_blocks=(1, 1, 1, 1), base_channels=16,
                          num_segments=4, shift_div=4)

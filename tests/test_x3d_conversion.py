@@ -4,6 +4,7 @@ MCT/mmaction/models/backbones/x3d.py (norm-free spatial stem + depthwise
 temporal stem, expanded depthwise bottlenecks with half-style SE and
 swish, conv5, two-layer head)."""
 
+import pytest
 import numpy as np
 import torch
 import torch.nn as tnn
@@ -102,6 +103,7 @@ class TX3D(tnn.Module):
         return self.cls_head.fc2(torch.relu(self.cls_head.fc1(x)))
 
 
+@pytest.mark.full    # full lane: importer parity; X3D behavior stays default (recognizers/caption consumers)
 def test_x3d_conversion_parity():
     cfg = X3DConfig(stage_blocks=(1, 2, 1, 1),
                     stage_channels=(8, 16, 24, 32), expansion=2.25,

@@ -98,6 +98,7 @@ def test_letterbox_box_geometry():
     assert mapped[0, 4] == pytest.approx(0.25)      # h: 16px / 64
 
 
+@pytest.mark.full    # full lane: step-level; the det CLI e2e drives the same step default
 def test_train_step_decreases_loss_and_updates_ema():
     model = YoloV5(YoloConfig(**TINY))
     state = init_yolo_train_state(model, jax.random.key(0), 64, 2)
@@ -129,6 +130,7 @@ def test_train_step_decreases_loss_and_updates_ema():
     assert d0 > 0.0
 
 
+@pytest.mark.full    # full lane: bf16 A/B probe; CLI e2es drive the train step default and recognition bf16 numerics are pinned in test_bf16_train_step
 def test_train_step_bf16_mixed_precision():
     """bf16=True: fwd+bwd in bfloat16, master weights stay f32, loss
     still decreases (the production setting benched in bench_extra)."""
@@ -204,6 +206,7 @@ def test_dataset_reads_yolov5_layout(tmp_path):
     assert targets.shape == (2, 4, 5) and valid.shape == (2, 4)
 
 
+@pytest.mark.full    # full lane: step-level; the seg CLI e2e drives the same step default
 def test_seg_train_step_decreases_loss():
     """Segment variant (cfg.masks>0): step takes gt_masks, the seg item
     is live, loss decreases (segment/train.py surface)."""
@@ -313,6 +316,7 @@ def test_seg_cli_e2e_loss_decreases_and_mask_map(tmp_path):
     assert os.path.isdir(os.path.join(work, "epoch_7"))
 
 
+@pytest.mark.full    # full lane: step-level; the cls CLI e2e drives the same step default
 def test_cls_train_step_decreases_loss():
     """yolov5-cls: YoloClassifier + label-smoothed CE step learns a
     trivial brightness rule (classify/train.py surface)."""
