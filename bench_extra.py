@@ -107,14 +107,21 @@ def bench_int8_capacity(n_rows=4_000_000, dim=512, n_queries=64, k=10,
               for _ in range(trials)]
     p50_8 = float(np.percentile(times8, 50)) * 1e3
     _, ids_8 = idx8.search(q, k=k)
-    hbm8 = int(np.asarray(idx8.emb).nbytes
-               + np.asarray(idx8.scales).nbytes)
-    del search8
+    hbm8 = int(idx8.emb.nbytes + idx8.scales.nbytes)
+    # free the int8 index BEFORE building the bf16 reference: holding
+    # both (plus the 8GB host matrix) nearly triples peak HBM and can
+    # OOM the bench on a 16GB chip
+    for buf in (idx8.emb, idx8.scales, idx8.valid):
+        try:
+            buf.delete()
+        except Exception:
+            pass
+    del search8, idx8
 
     # bf16 ground truth over the same rows (recall target)
     ref = RetrievalIndex(emb, capacity=n_rows, dtype=jnp.bfloat16)
     _, ids_ref = ref.search(q, k=k)
-    hbm16 = int(np.asarray(ref.emb).nbytes)
+    hbm16 = int(ref.emb.nbytes)
     recall = float(np.mean([len(set(a) & set(b)) / k
                             for a, b in zip(ids_ref, ids_8)]))
     print(json.dumps({

@@ -24,13 +24,10 @@ import numpy as np
 
 
 def _flops(jitted, *args):
-    try:
-        an = jitted.lower(*args).compile().cost_analysis()
-        if isinstance(an, (list, tuple)):
-            an = an[0]
-        return float(an.get("flops", 0.0))
-    except Exception:
-        return 0.0
+    """bench_extra's cost-analysis helper, normalized to 0.0 (the MFU
+    rows here divide-guard on falsy) instead of its None."""
+    from bench_extra import _flops_per_step
+    return _flops_per_step(jitted, *args) or 0.0
 
 
 def _row(metric, value, unit, **extra):

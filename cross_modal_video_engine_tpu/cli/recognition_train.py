@@ -51,20 +51,27 @@ PER_FRAME_BACKBONES = ("TANet", "TSM", "TSN", "TIN", "TINExact",
                        "MobileNetV2TSM")
 
 
+class _TemporalMean(linen.Module):
+    """Pool a per-frame (B, T, C) backbone to (B, C).  Module-scope
+    class (like _VideoCLIPPooled below) so two build_caption_backbone
+    calls with equal configs produce EQUAL modules — a function-local
+    class would mint a fresh type per call and defeat every
+    instance-keyed jit/lru cache (20s-9min recompile via the relay)."""
+
+    inner: linen.Module
+
+    def __call__(self, videos, *, train: bool = False):
+        return self.inner(videos, train=train).mean(axis=1)
+
+
 def build_caption_backbone(btype: str, kw: dict):
     """Backbone for the caption (Relseq) trainer: pooled (B, C) feature.
     Per-frame (B, T, C) backbones get a temporal mean adapter (the
     reference seq_generate configs' CNN encoder pooling).  Shared by
     cli/caption_train and api.init_recognizer so per-frame caption
     checkpoints rebuild with the same param tree they trained with."""
-    from flax import linen as nn
     backbone = build_backbone(btype, kw)
     if btype in PER_FRAME_BACKBONES:
-        class _TemporalMean(nn.Module):
-            inner: nn.Module
-
-            def __call__(self, videos, *, train: bool = False):
-                return self.inner(videos, train=train).mean(axis=1)
         backbone = _TemporalMean(backbone)
     return backbone
 
@@ -336,10 +343,14 @@ def _train_omnisource_from_config(cfg, model, train_ds, val_ds, bs, tcfg,
     sampler = ShardedSampler(len(train_ds), shuffle=True)
     epochs = num_epochs or cfg.get("total_epochs", tcfg.num_epochs)
 
+    # feed FULL padded batches (ds.batches pads tails by repeating real
+    # samples, the reference sampler's wrap-around): slicing to [:n]
+    # would hand the jitted step a second tail shape -> an extra XLA
+    # compile per data source through the remote relay
     def main_batches(epoch):
-        for clips, labels, n in _label_batches(train_ds, bs,
+        for clips, labels, _ in _label_batches(train_ds, bs,
                                                sampler.indices(epoch)):
-            yield clips[:n], labels[:n]
+            yield clips, labels
 
     aux_sources = []
     for acfg in oms.get("aux", []):
@@ -347,8 +358,8 @@ def _train_omnisource_from_config(cfg, model, train_ds, val_ds, bs, tcfg,
         ads = VideoDataset(acfg["ann_file"], pipe, acfg.get("data_prefix"))
 
         def source(ads=ads):
-            for clips, labels, n in _label_batches(ads, bs):
-                yield clips[:n], labels[:n]
+            for clips, labels, _ in _label_batches(ads, bs):
+                yield clips, labels
         aux_sources.append(source)
 
     clips0, _, _ = next(_label_batches(train_ds, bs))
@@ -411,9 +422,10 @@ def _train_multigrid_from_config(cfg, model, train_ds, bs, tcfg, work_dir,
     epochs = num_epochs or cfg.get("total_epochs", tcfg.num_epochs)
 
     def epoch_batches(epoch):
-        for clips, labels, n in _label_batches(train_ds, bs,
+        # full padded batches: see _train_omnisource_from_config note
+        for clips, labels, _ in _label_batches(train_ds, bs,
                                                sampler.indices(epoch)):
-            yield clips[:n], labels[:n]
+            yield clips, labels
 
     clips0, _, _ = next(_label_batches(train_ds, bs))
     variables = model.init(jax.random.key(0), clips0)

@@ -112,9 +112,10 @@ class YoloDetectionDataset:
             else:
                 # header-only read (PIL is lazy): AutoAnchor calls this
                 # for the whole dataset, so full decodes are O(dataset).
-                # EXIF rotation 6/8 swaps w/h to match what cv2.imread
-                # (orientation-applied) hands the trainer — the
-                # reference's exif_size (utils/dataloaders.py:60-67)
+                # EXIF orientations 5-8 all transpose the delivered
+                # pixels, and cv2.imread applies EVERY orientation —
+                # so swap w/h for all four, not just the 6/8 pair the
+                # reference's exif_size handles (dataloaders.py:60-67)
                 from PIL import Image
                 with Image.open(path) as im:
                     w, h = im.size
@@ -122,7 +123,7 @@ class YoloDetectionDataset:
                         rot = (im.getexif() or {}).get(274)  # Orientation
                     except Exception:
                         rot = None
-                    if rot in (6, 8):
+                    if rot in (5, 6, 7, 8):
                         w, h = h, w
                 shapes.append((h, w))
             labels.append(self.labels(i))
@@ -301,21 +302,24 @@ def _det_infer_tta(model: YoloV5):
     """Augmented inference (reference models/yolo.py:212-223
     _forward_augment behind val.py --augment): 3 scale/flip passes, each
     decoded on its own grid, de-scaled to the original frame, tails
-    clipped, concatenated.  One jit serves all passes (3 cached shapes)."""
-    fwd = _det_infer(model)
+    clipped, concatenated.  The scale ratios/flips are Python constants,
+    so ONE jit traces all three passes plus the descale/clip/concat tail
+    into a single compiled program — running the tail eagerly would cost
+    ~25-30 relay dispatches (~30ms each) per eval batch."""
     size = model.cfg.img_size
 
     def infer(p, s, images):
-        images = jnp.asarray(images)
         ys = []
         for ratio, flip in TTA_SCALES:
             xi = images[:, :, ::-1, :] if flip == 3 else images
             xi = scale_img(xi, ratio)
-            yi = fwd(p, s, xi)
+            yi = decode_predictions(
+                model.apply({"params": p, "batch_stats": s}, xi,
+                            train=False), model.cfg)
             ys.append(descale_pred(yi, flip, ratio, (size, size)))
         return jnp.concatenate(clip_augmented(ys), axis=1)
 
-    return infer
+    return jax.jit(infer)
 
 
 @functools.lru_cache(maxsize=8)

@@ -71,14 +71,21 @@ class DecodePrefetcher:
         n = len(self._batches)
         if n == 0:
             return
-        # one queue per batch slot keeps output ordered while workers
-        # race; bounded per-worker inflight gives the lookahead
+        # One queue per batch slot keeps output ordered while workers
+        # race.  The inflight bound must be PER WORKER: a shared token
+        # pool lets a fast worker exhaust every token on later batches
+        # while the worker owning the next in-order batch starves in
+        # acquire() -> consumer waits on slots[bi] forever (deadlock).
+        # Each slot receives at most one put (maxsize=1), so producers
+        # never block on the slot itself.
         slots: List[queue.Queue] = [queue.Queue(maxsize=1)
                                     for _ in range(n)]
-        sem = threading.Semaphore(self.n_workers * self.depth)
+        sems = [threading.Semaphore(self.depth)
+                for _ in range(self.n_workers)]
         stop = threading.Event()
 
         def worker(worker_id: int):
+            sem = sems[worker_id]
             for bi in range(worker_id, n, self.n_workers):
                 if stop.is_set():
                     return
@@ -102,7 +109,7 @@ class DecodePrefetcher:
         try:
             for bi in range(n):
                 kind, val = slots[bi].get()
-                sem.release()
+                sems[bi % self.n_workers].release()
                 if kind == "err":
                     raise val
                 yield val, self._batches[bi][0]
@@ -110,14 +117,8 @@ class DecodePrefetcher:
             stop.set()
             # unblock producers parked in sem.acquire() (they re-check
             # `stop` after waking; the extra tokens are then inert)
-            for _ in threads:
+            for sem in sems:
                 sem.release()
-            # unblock any producer stuck on a full slot
-            for q in slots:
-                try:
-                    q.get_nowait()
-                except queue.Empty:
-                    pass
             for t in threads:
                 t.join(timeout=5.0)
 

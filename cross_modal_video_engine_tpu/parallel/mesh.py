@@ -64,8 +64,12 @@ def make_multislice_mesh(n_model: int = 1,
     assert n_data >= 1, (
         f"n_model={n_model} exceeds the {per_slice} devices available "
         f"per slice; tensor parallelism cannot cross DCN")
-    dev_array = np.asarray(order[: n_slices * n_data * n_model]).reshape(
-        n_slices, n_data, n_model)
+    assert per_slice % n_model == 0, (
+        f"n_model={n_model} does not divide the {per_slice} devices per "
+        f"slice: truncating to {n_data}x{n_model} would pull devices "
+        f"from the next slice into the previous dcn row and 'model' "
+        f"collectives would silently cross DCN")
+    dev_array = np.asarray(order).reshape(n_slices, n_data, n_model)
     return Mesh(dev_array, ("dcn", "data", "model"))
 
 

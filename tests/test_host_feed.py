@@ -72,6 +72,49 @@ def test_prefetcher_early_exit_reaps_workers(videos):
     assert threading.active_count() <= before
 
 
+def test_prefetcher_inflight_bound_is_per_worker(monkeypatch):
+    """The lookahead bound must apply per worker, not as a shared pool:
+    with a shared pool a fast worker exhausts every token on later
+    batches while the worker owning the next in-order batch starves in
+    acquire() -> consumer waits on its slot forever (r4 deadlock fix)."""
+    import threading
+    import time
+    from cross_modal_video_engine_tpu.io import pipeline as pl
+
+    n_batches, depth = 10, 2
+    started, lock = set(), threading.Lock()
+    release_b0 = threading.Event()
+
+    def fake_decode(bpaths, bidx, out_w, out_h, n_threads=4):
+        bi = int(bpaths[0].split("_")[-1])
+        with lock:
+            started.add(bi)
+        if bi == 0:
+            release_b0.wait(timeout=10.0)
+        return np.zeros((len(bpaths), 2, out_h, out_w, 3), np.uint8)
+
+    monkeypatch.setattr(pl, "decode_videos_batch", fake_decode)
+    paths = [f"b_{i}" for i in range(n_batches)]
+    pf = pl.DecodePrefetcher(paths, np.zeros((n_batches, 2), np.int64),
+                             out_hw=(4, 4), batch_size=1,
+                             n_workers=2, depth=depth)
+    got = []
+    consumer = threading.Thread(
+        target=lambda: got.extend(p for _, ps in pf for p in ps),
+        daemon=True)
+    consumer.start()
+    time.sleep(0.5)       # let worker 1 race as far as tokens allow
+    with lock:
+        racing = sorted(started)
+    # worker 0 parked in batch 0; worker 1 may hold at most `depth`
+    # undelivered batches (shared-pool bug: it would start 1,3,5,7)
+    assert racing == [0] + list(range(1, 1 + 2 * depth, 2)), racing
+    release_b0.set()
+    consumer.join(timeout=10.0)
+    assert not consumer.is_alive(), "prefetcher deadlocked"
+    assert got == paths   # ordered + complete after the stall clears
+
+
 def test_prefetcher_decode_error_surfaces(tmp_path, videos):
     bad = str(tmp_path / "missing.mp4")
     idx = uniform_indices(2, 10, 2)

@@ -50,6 +50,14 @@ def test_multislice_model_axis_too_wide_rejected():
         make_multislice_mesh(n_model=8, slice_index_fn=_fake_slices(4))
 
 
+def test_multislice_model_axis_indivisible_rejected():
+    """n_model=3 on 4-device slices: silently truncating to 1x3 per dcn
+    row would pull slice-1 devices into row 0 and 'model' collectives
+    would straddle DCN (r4 review fix)."""
+    with pytest.raises(AssertionError, match="does not divide"):
+        make_multislice_mesh(n_model=3, slice_index_fn=_fake_slices(4))
+
+
 def test_multislice_batch_spec_and_shard_rows():
     mesh = make_multislice_mesh(slice_index_fn=_fake_slices(4))
     spec = batch_spec(mesh)
