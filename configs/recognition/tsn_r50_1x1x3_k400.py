@@ -9,16 +9,18 @@ model = dict(
 data = dict(
     pipeline=[
         dict(type='DecordInit'),
-        # 3 uniform 1-frame segments batched as one (T=3) clip (the
-        # trainer's (B, T, H, W, C) layout; mmaction samples 1x1x3)
-        dict(type='SampleFrames', clip_len=3, frame_interval=10,
-             num_clips=1),
+        # the reference 1x1x3 segment protocol: one frame per uniform
+        # video segment; MergeClips folds the 3 segments into the
+        # trainer's static (B, T=3, H, W, C) temporal axis
+        dict(type='SampleFrames', clip_len=1, frame_interval=1,
+             num_clips=3),
         dict(type='DecordDecode'),
         dict(type='Resize', scale=(-1, 256)),
         dict(type='CenterCrop', crop_size=224),
         dict(type='Normalize', mean=[123.675, 116.28, 103.53],
              std=[58.395, 57.12, 57.375]),
         dict(type='FormatShape', input_format='NTHWC'),
+        dict(type='MergeClips'),
     ])
 optimizer = dict(optimizer='sgd', learning_rate=0.01, momentum=0.9,
                  weight_decay=1e-4, grad_clip=40.0)

@@ -17,14 +17,17 @@ data = dict(
              data_prefix='data/omnisource/k200_val'),
     pipeline=[
         dict(type='DecordInit'),
-        dict(type='SampleFrames', clip_len=8, frame_interval=4,
-             num_clips=1),
+        # the reference 1x1x8 segment protocol (one frame per uniform
+        # segment), folded into the temporal axis by MergeClips
+        dict(type='SampleFrames', clip_len=1, frame_interval=1,
+             num_clips=8),
         dict(type='DecordDecode'),
         dict(type='Resize', scale=(-1, 256)),
         dict(type='CenterCrop', crop_size=224),
         dict(type='Normalize', mean=[123.675, 116.28, 103.53],
              std=[58.395, 57.12, 57.375]),
         dict(type='FormatShape', input_format='NTHWC'),
+        dict(type='MergeClips'),
     ],
     videos_per_gpu=8)
 # 2 main steps per aux wave, 1 batch per aux source per wave

@@ -564,6 +564,32 @@ class FormatShape:
         return results
 
 
+@PIPELINES.register("MergeClips")
+class MergeClips:
+    """Fold the clip axis into time: (N, T, H, W, C) -> (1, N*T, H, W, C).
+
+    The reference 2D families (TSN/TSM/TRN/TIN) train on the 1x1xN
+    segment protocol: SampleFrames(clip_len=1, num_clips=N) draws one
+    frame per uniform video segment and Recognizer2D folds the segments
+    into the batch axis (recognizer2d.py reshape).  The TPU trainer
+    keeps one static (B, T, H, W, C) layout instead, so segment frames
+    ride the temporal axis — TSNHead consensus and the TSM/TIN shifts
+    consume them identically (num_segments == N*T) and the per-sample
+    shape stays constant.  Place after FormatShape('NTHWC')."""
+
+    def __call__(self, results: Dict) -> Dict:
+        imgs = results["imgs"]
+        assert getattr(imgs, "ndim", 0) == 5, (
+            "MergeClips expects (N, T, H, W, C); run "
+            "FormatShape('NTHWC') first")
+        n, t = imgs.shape[:2]
+        results["imgs"] = imgs.reshape((1, n * t) + imgs.shape[2:])
+        results["clip_len"] = n * t
+        results["num_clips"] = 1
+        results["input_shape"] = results["imgs"].shape
+        return results
+
+
 class Compose:
     def __init__(self, ops: Sequence):
         self.ops = list(ops)

@@ -92,6 +92,28 @@ def test_normalize_and_format():
     assert rf2["imgs"].shape == (2, 4, 16, 16, 3)
 
 
+def test_merge_clips_folds_segments_into_time():
+    """The 1x1xN segment protocol (TSN/TSM/TRN/TIN recipes): N one-frame
+    clips fold into a single (1, N, H, W, C) sample so the trainer's
+    static layout carries the segments on the temporal axis."""
+    from cross_modal_video_engine_tpu.data.pipelines import MergeClips
+    imgs = _imgs(n=8, h=16, w=16)
+    r = FormatShape("NTHWC")({"imgs": imgs, "num_clips": 8, "clip_len": 1})
+    assert r["imgs"].shape == (8, 1, 16, 16, 3)
+    m = MergeClips()(r)
+    assert m["imgs"].shape == (1, 8, 16, 16, 3)
+    assert m["num_clips"] == 1 and m["clip_len"] == 8
+    # frames keep segment order
+    np.testing.assert_array_equal(m["imgs"][0], np.stack(imgs))
+
+    # segment sampling spreads one frame per uniform segment: offsets
+    # must land in strictly increasing segments across the whole video
+    op = SampleFrames(clip_len=1, frame_interval=1, num_clips=8, seed=0)
+    inds = op({"total_frames": 80})["frame_inds"]
+    assert len(inds) == 8
+    assert all(10 * i <= f < 10 * (i + 1) for i, f in enumerate(inds))
+
+
 def test_build_pipeline_from_config():
     p = build_pipeline([
         dict(type="SampleFrames", clip_len=4, frame_interval=2, num_clips=1,
