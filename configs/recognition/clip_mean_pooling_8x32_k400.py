@@ -20,6 +20,6 @@ data = dict(
         dict(type='Normalize', mean=[127.5] * 3, std=[127.5] * 3),
         dict(type='FormatShape', input_format='NTHWC'),
     ])
-optimizer = dict(optimizer='sgd', learning_rate=0.005, momentum=0.9,
+optimizer = dict(optimizer='sgd', learning_rate=0.01, momentum=0.9,
                  weight_decay=1e-4, grad_clip=40.0)
 total_epochs = 15

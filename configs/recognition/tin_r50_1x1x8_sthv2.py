@@ -21,7 +21,8 @@ data = dict(
              std=[58.395, 57.12, 57.375]),
         dict(type='FormatShape', input_format='NTHWC'),
         dict(type='MergeClips'),
-    ])
+    ],
+    videos_per_gpu=6)
 optimizer = dict(optimizer='sgd', learning_rate=0.02, momentum=0.9,
                  weight_decay=5e-4, grad_clip=20.0)
 total_epochs = 40

@@ -28,7 +28,7 @@ data = dict(
         dict(type='FormatShape', input_format='NTHWC'),
         dict(type='MergeClips'),
     ],
-    videos_per_gpu=8)
+    videos_per_gpu=16)
 optimizer = dict(optimizer='sgd', learning_rate=0.002, momentum=0.9,
                  weight_decay=5e-4, grad_clip=40.0)
 total_epochs = 50

@@ -21,7 +21,8 @@ data = dict(
              std=[58.395, 57.12, 57.375]),
         dict(type='FormatShape', input_format='NTHWC'),
         dict(type='MergeClips'),
-    ])
+    ],
+    videos_per_gpu=32)
 optimizer = dict(optimizer='sgd', learning_rate=0.01, momentum=0.9,
                  weight_decay=1e-4, grad_clip=40.0)
 total_epochs = 100
