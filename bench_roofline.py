@@ -1,0 +1,185 @@
+"""Analytic step-time roofline for the train benchmarks — no device.
+
+Shape-only tracing (jax.make_jaxpr over ShapeDtypeStructs) of the SAME
+train steps bench_extra measures, costed by utils/roofline: per-GEMM
+MXU tile efficiency (the narrow-channel padding tax) and the
+fused/unfused HBM byte bounds.  This demonstrates — from the shapes
+alone — how much MFU the conv families structurally forfeit, the half
+of the VERDICT-r3 profiling ask that does not need the chip
+(bench_profile.py covers the measured half when the tunnel is up).
+
+Run anywhere: `python bench_roofline.py` (forces CPU; tracing only).
+Prints one JSON line per model plus the top bound-time offenders.
+"""
+
+import json
+import os
+import sys
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+
+import numpy as np
+
+# v5e-class chip: bf16 peak and HBM bandwidth used across docs/PERF.md
+PEAK_TFLOPS = 197.0
+HBM_GBPS = 819.0
+
+
+def _structs(tree):
+    import jax
+    return jax.tree.map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype), tree)
+
+
+def _report(name, costs, batch, measured_vps=None):
+    from cross_modal_video_engine_tpu.utils.roofline import (
+        speed_of_light, worst_offenders)
+    sol = speed_of_light(costs, PEAK_TFLOPS, HBM_GBPS)
+    row = {
+        "metric": f"roofline_{name}",
+        "value": round(sol["mfu_ceiling"], 4),
+        "unit": "structural_mfu_ceiling",
+        "tile_efficiency": round(sol["tile_efficiency"], 4),
+        "tflops_per_step": round(sol["flops"] / 1e12, 3),
+        "t_compute_tiled_ms": round(sol["t_compute_tiled_s"] * 1e3, 2),
+        "t_mem_fused_ms": round(sol["t_mem_fused_s"] * 1e3, 2),
+        "t_mem_unfused_ms": round(sol["t_mem_unfused_s"] * 1e3, 2),
+        "sol_videos_per_sec": round(
+            batch / max(sol["t_compute_tiled_s"], sol["t_mem_fused_s"]), 1),
+    }
+    if measured_vps:
+        row["measured_videos_per_sec"] = measured_vps
+        row["pct_of_sol"] = round(
+            measured_vps / row["sol_videos_per_sec"], 3)
+    print(json.dumps(row))
+    for label, t, util in worst_offenders(costs, PEAK_TFLOPS, HBM_GBPS, 8):
+        print(json.dumps({"metric": f"roofline_{name}_offender",
+                          "value": round(t * 1e3, 3), "unit": "ms_bound",
+                          "op": label, "mxu_util": round(util, 3)}))
+    return row
+
+
+def roofline_slowfast(batch=32, frames=32, measured_vps=95.3):
+    """bench_extra.bench_train_step_slowfast's exact step, traced."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from cross_modal_video_engine_tpu.models.recognizer import (
+        BackboneClassifier)
+    from cross_modal_video_engine_tpu.models.resnet3d import (SlowFast,
+                                                              SlowFastConfig)
+    from cross_modal_video_engine_tpu.utils.roofline import op_costs
+
+    model = BackboneClassifier(SlowFast(SlowFastConfig(alpha=8)),
+                               num_classes=400)
+    clips = jax.ShapeDtypeStruct((batch, frames, 224, 224, 3), jnp.float32)
+    labels = jax.ShapeDtypeStruct((batch,), jnp.int32)
+    variables = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros(clips.shape, clips.dtype)),
+        jax.random.key(0))
+    tx = optax.sgd(0.005, momentum=0.9)
+    opt_state = jax.eval_shape(tx.init, variables["params"])
+    stats0 = variables.get("batch_stats", {})
+
+    def step(params, stats, opt_state, clips, labels):
+        def loss_fn(p):
+            p = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, p)
+            scores, new = model.apply(
+                {"params": p, "batch_stats": stats},
+                clips.astype(jnp.bfloat16), train=True,
+                rngs={"dropout": jax.random.key(0)},
+                mutable=["batch_stats"])
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                scores.astype(jnp.float32), labels).mean()
+            return loss, new["batch_stats"]
+        (loss, stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), stats, opt_state, loss
+
+    costs = op_costs(step, variables["params"], _structs(stats0),
+                     opt_state, clips, labels)
+    return _report(f"slowfast_bf16_b{batch}", costs, batch, measured_vps)
+
+
+def roofline_yolov5s(batch=16, img=640, max_targets=32, measured_ips=446.0):
+    """bench_extra.bench_train_step_yolov5's exact step, traced."""
+    import jax
+    import jax.numpy as jnp
+    from cross_modal_video_engine_tpu.losses.yolo import YoloHyp
+    from cross_modal_video_engine_tpu.models.yolo import YoloConfig, YoloV5
+    from cross_modal_video_engine_tpu.train.yolo_trainer import (
+        YoloOptHyp, init_yolo_train_state, make_yolo_train_step,
+        scaled_weight_decay)
+    from cross_modal_video_engine_tpu.utils.roofline import op_costs
+
+    model = YoloV5(YoloConfig(depth_multiple=0.33, width_multiple=0.50,
+                              img_size=img))
+    opt = YoloOptHyp()
+    state = jax.eval_shape(
+        lambda k: init_yolo_train_state(model, k, img, batch_size=2),
+        jax.random.key(0))
+    step = make_yolo_train_step(model, YoloHyp(), opt,
+                                scaled_weight_decay(opt, batch), bf16=True)
+    images = jax.ShapeDtypeStruct((batch, img, img, 3), jnp.float32)
+    targets = jax.ShapeDtypeStruct((batch, max_targets, 5), jnp.float32)
+    valid = jax.ShapeDtypeStruct((batch, max_targets), jnp.bool_)
+    lr = jax.ShapeDtypeStruct((), jnp.float32)
+
+    costs = op_costs(lambda s, i, t, v, l: step(s, i, t, v, l, l,
+                                                jnp.float32(0.937)),
+                     state, images, targets, valid, lr)
+    return _report(f"yolov5s_640_bf16_b{batch}", costs, batch, measured_ips)
+
+
+def roofline_timesformer(batch=4, measured_vps=58.1):
+    """bench_extra.bench_train_step_timesformer's exact step, traced —
+    the transformer calibration point (measured ~35-43% MFU band)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from cross_modal_video_engine_tpu.models.recognizer import Recognizer3D
+    from cross_modal_video_engine_tpu.models.timesformer import (
+        TimeSformerConfig)
+    from cross_modal_video_engine_tpu.utils.roofline import op_costs
+
+    cfg = TimeSformerConfig(num_frames=8, img_size=224, patch_size=16,
+                            embed_dims=768, num_heads=12, num_layers=12,
+                            drop_path_max=0.0, dropout_ratio=0.0,
+                            dtype="bfloat16")
+    model = Recognizer3D(cfg, num_classes=400)
+    clips = jax.ShapeDtypeStruct((batch, 8, 224, 224, 3), jnp.float32)
+    labels = jax.ShapeDtypeStruct((batch,), jnp.int32)
+    variables = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros(clips.shape, clips.dtype)),
+        jax.random.key(0))
+    tx = optax.sgd(0.005, momentum=0.9)
+    opt_state = jax.eval_shape(tx.init, variables["params"])
+
+    def step(params, opt_state, clips, labels):
+        def loss_fn(p):
+            scores = model.apply({"params": p}, clips)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                scores, labels).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    costs = op_costs(step, variables["params"], opt_state, clips, labels)
+    return _report(f"timesformer_divst_8x224_b{batch}", costs, batch,
+                   measured_vps)
+
+
+def main():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    roofline_timesformer()
+    roofline_slowfast()
+    roofline_yolov5s()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
