@@ -350,23 +350,44 @@ def _flops_per_step(jitted, *args):
         return None
 
 
-def bench_train_step_timesformer(batch=4, steps=10):
-    """Recognition TRAIN throughput: TimeSformer divST 8x224 (the
-    production recognition flagship, configs/recognition/timesformer),
-    full fwd+bwd+SGD step on one chip, bf16 compute."""
+def build_timesformer_train():
+    """Model + optimizer + the exact step bench_train_step_timesformer
+    times.  Shared with bench_roofline.py so the analytically-costed
+    program IS the measured one (they must not drift apart)."""
     import jax
-    import jax.numpy as jnp
     import optax
     from cross_modal_video_engine_tpu.models.recognizer import Recognizer3D
     from cross_modal_video_engine_tpu.models.timesformer import (
         TimeSformerConfig)
-    from cross_modal_video_engine_tpu.utils.profiling import device_time
 
     cfg = TimeSformerConfig(num_frames=8, img_size=224, patch_size=16,
                             embed_dims=768, num_heads=12, num_layers=12,
                             drop_path_max=0.0, dropout_ratio=0.0,
                             dtype="bfloat16")
     model = Recognizer3D(cfg, num_classes=400)
+    tx = optax.sgd(0.005, momentum=0.9)
+
+    def step(params, opt_state, clips, labels):
+        def loss_fn(p):
+            scores = model.apply({"params": p}, clips)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                scores, labels).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return model, tx, step
+
+
+def bench_train_step_timesformer(batch=4, steps=10):
+    """Recognition TRAIN throughput: TimeSformer divST 8x224 (the
+    production recognition flagship, configs/recognition/timesformer),
+    full fwd+bwd+SGD step on one chip, bf16 compute."""
+    import jax
+    import jax.numpy as jnp
+    from cross_modal_video_engine_tpu.utils.profiling import device_time
+
+    model, tx, step = build_timesformer_train()
     rng = np.random.default_rng(5)
     clips = jnp.asarray(rng.standard_normal(
         (batch, 8, 224, 224, 3)).astype(np.float32))
@@ -377,17 +398,7 @@ def bench_train_step_timesformer(batch=4, steps=10):
         lambda s: jnp.asarray(
             rng.standard_normal(s.shape).astype(np.float32) * 0.02,
             s.dtype), shapes)
-    tx = optax.sgd(0.005, momentum=0.9)
     opt_state = tx.init(variables["params"])
-
-    def step(params, opt_state, clips, labels):
-        def loss_fn(p):
-            scores = model.apply({"params": p}, clips)
-            return optax.softmax_cross_entropy_with_integer_labels(
-                scores, labels).mean()
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
 
     flops = _flops_per_step(jax.jit(step), variables["params"], opt_state,
                             clips, labels)
@@ -403,11 +414,11 @@ def bench_train_step_timesformer(batch=4, steps=10):
     return vps
 
 
-def bench_train_step_slowfast(batch=32, frames=32, steps=8):
-    """Recognition TRAIN throughput: SlowFast-R50 4x16 (BatchNorm path),
-    fwd+bwd+SGD with the production bf16 mixed-precision step
-    (make_cls_train_step_stats(bf16=True) — the A/B in docs/PERF.md
-    measured f32 B=8 at 37.9 videos/s vs bf16 B=16/32 at 78.7/95.3)."""
+def build_slowfast_train():
+    """Model + optimizer + the exact bf16 mixed-precision step
+    bench_train_step_slowfast times (4x16x1 recipe: fast sees 32
+    frames, slow every 8th).  Shared with bench_roofline.py so the
+    analytically-costed program IS the measured one."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -415,24 +426,10 @@ def bench_train_step_slowfast(batch=32, frames=32, steps=8):
         BackboneClassifier)
     from cross_modal_video_engine_tpu.models.resnet3d import (
         SlowFast, SlowFastConfig)
-    from cross_modal_video_engine_tpu.utils.profiling import device_time
 
-    # 4x16x1 recipe: fast sees 32 frames, slow every 8th (4 frames)
     model = BackboneClassifier(SlowFast(SlowFastConfig(alpha=8)),
                                num_classes=400)
-    rng = np.random.default_rng(6)
-    clips = jnp.asarray(rng.standard_normal(
-        (batch, frames, 224, 224, 3)).astype(np.float32))
-    labels = jnp.asarray(rng.integers(0, 400, (batch,)), jnp.int32)
-    shapes = jax.eval_shape(lambda k: model.init(k, clips),
-                            jax.random.key(0))
-    variables = jax.tree.map(
-        lambda s: jnp.asarray(
-            rng.standard_normal(s.shape).astype(np.float32) * 0.02,
-            s.dtype), shapes)
     tx = optax.sgd(0.005, momentum=0.9)
-    opt_state = tx.init(variables["params"])
-    stats0 = variables.get("batch_stats", {})
 
     def step(params, stats, opt_state, clips, labels):
         def loss_fn(p):
@@ -452,6 +449,32 @@ def bench_train_step_slowfast(batch=32, frames=32, steps=8):
         grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), stats, opt_state, loss
+
+    return model, tx, step
+
+
+def bench_train_step_slowfast(batch=32, frames=32, steps=8):
+    """Recognition TRAIN throughput: SlowFast-R50 4x16 (BatchNorm path),
+    fwd+bwd+SGD with the production bf16 mixed-precision step
+    (make_cls_train_step_stats(bf16=True) — the A/B in docs/PERF.md
+    measured f32 B=8 at 37.9 videos/s vs bf16 B=16/32 at 78.7/95.3)."""
+    import jax
+    import jax.numpy as jnp
+    from cross_modal_video_engine_tpu.utils.profiling import device_time
+
+    model, tx, step = build_slowfast_train()
+    rng = np.random.default_rng(6)
+    clips = jnp.asarray(rng.standard_normal(
+        (batch, frames, 224, 224, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 400, (batch,)), jnp.int32)
+    shapes = jax.eval_shape(lambda k: model.init(k, clips),
+                            jax.random.key(0))
+    variables = jax.tree.map(
+        lambda s: jnp.asarray(
+            rng.standard_normal(s.shape).astype(np.float32) * 0.02,
+            s.dtype), shapes)
+    opt_state = tx.init(variables["params"])
+    stats0 = variables.get("batch_stats", {})
 
     flops = _flops_per_step(jax.jit(step), variables["params"], stats0,
                             opt_state, clips, labels)

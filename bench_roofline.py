@@ -60,45 +60,21 @@ def _report(name, costs, batch, measured_vps=None):
 
 
 def roofline_slowfast(batch=32, frames=32, measured_vps=95.3):
-    """bench_extra.bench_train_step_slowfast's exact step, traced."""
+    """bench_extra.bench_train_step_slowfast's exact step (shared
+    builder — the traced program IS the measured one), traced."""
     import jax
     import jax.numpy as jnp
-    import optax
-    from cross_modal_video_engine_tpu.models.recognizer import (
-        BackboneClassifier)
-    from cross_modal_video_engine_tpu.models.resnet3d import (SlowFast,
-                                                              SlowFastConfig)
+    from bench_extra import build_slowfast_train
     from cross_modal_video_engine_tpu.utils.roofline import op_costs
 
-    model = BackboneClassifier(SlowFast(SlowFastConfig(alpha=8)),
-                               num_classes=400)
+    model, tx, step = build_slowfast_train()
     clips = jax.ShapeDtypeStruct((batch, frames, 224, 224, 3), jnp.float32)
     labels = jax.ShapeDtypeStruct((batch,), jnp.int32)
     variables = jax.eval_shape(
         lambda k: model.init(k, jnp.zeros(clips.shape, clips.dtype)),
         jax.random.key(0))
-    tx = optax.sgd(0.005, momentum=0.9)
     opt_state = jax.eval_shape(tx.init, variables["params"])
     stats0 = variables.get("batch_stats", {})
-
-    def step(params, stats, opt_state, clips, labels):
-        def loss_fn(p):
-            p = jax.tree.map(
-                lambda x: x.astype(jnp.bfloat16)
-                if x.dtype == jnp.float32 else x, p)
-            scores, new = model.apply(
-                {"params": p, "batch_stats": stats},
-                clips.astype(jnp.bfloat16), train=True,
-                rngs={"dropout": jax.random.key(0)},
-                mutable=["batch_stats"])
-            loss = optax.softmax_cross_entropy_with_integer_labels(
-                scores.astype(jnp.float32), labels).mean()
-            return loss, new["batch_stats"]
-        (loss, stats), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), stats, opt_state, loss
 
     costs = op_costs(step, variables["params"], _structs(stats0),
                      opt_state, clips, labels)
@@ -136,37 +112,21 @@ def roofline_yolov5s(batch=16, img=640, max_targets=32, measured_ips=446.0):
 
 
 def roofline_timesformer(batch=4, measured_vps=58.1):
-    """bench_extra.bench_train_step_timesformer's exact step, traced —
-    the transformer calibration point (measured ~35-43% MFU band)."""
+    """bench_extra.bench_train_step_timesformer's exact step (shared
+    builder), traced — the transformer calibration point (measured
+    ~35-43% MFU band)."""
     import jax
     import jax.numpy as jnp
-    import optax
-    from cross_modal_video_engine_tpu.models.recognizer import Recognizer3D
-    from cross_modal_video_engine_tpu.models.timesformer import (
-        TimeSformerConfig)
+    from bench_extra import build_timesformer_train
     from cross_modal_video_engine_tpu.utils.roofline import op_costs
 
-    cfg = TimeSformerConfig(num_frames=8, img_size=224, patch_size=16,
-                            embed_dims=768, num_heads=12, num_layers=12,
-                            drop_path_max=0.0, dropout_ratio=0.0,
-                            dtype="bfloat16")
-    model = Recognizer3D(cfg, num_classes=400)
+    model, tx, step = build_timesformer_train()
     clips = jax.ShapeDtypeStruct((batch, 8, 224, 224, 3), jnp.float32)
     labels = jax.ShapeDtypeStruct((batch,), jnp.int32)
     variables = jax.eval_shape(
         lambda k: model.init(k, jnp.zeros(clips.shape, clips.dtype)),
         jax.random.key(0))
-    tx = optax.sgd(0.005, momentum=0.9)
     opt_state = jax.eval_shape(tx.init, variables["params"])
-
-    def step(params, opt_state, clips, labels):
-        def loss_fn(p):
-            scores = model.apply({"params": p}, clips)
-            return optax.softmax_cross_entropy_with_integer_labels(
-                scores, labels).mean()
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
 
     costs = op_costs(step, variables["params"], opt_state, clips, labels)
     return _report(f"timesformer_divst_8x224_b{batch}", costs, batch,

@@ -34,7 +34,7 @@ from typing import Callable, Dict, List, Tuple
 
 import jax
 import numpy as np
-from jax._src.core import ClosedJaxpr, Jaxpr
+from jax.extend.core import ClosedJaxpr, Jaxpr
 
 # TPU v5e-class tile geometry: 128-wide lanes (MXU edge) and 8-deep
 # sublanes.  K and N pad to the 128 tile, M to the sublane depth.
@@ -116,9 +116,26 @@ def _walk(jaxpr: Jaxpr, mult: int, out: List[OpCost]) -> None:
         inner_mult = mult
         if name == "scan":
             inner_mult = mult * int(eq.params.get("length", 1))
+        if name == "cond" and isinstance(eq.params.get("branches"),
+                                         (tuple, list)):
+            # only ONE branch executes: cost the most expensive one
+            # (summing all branches would overstate every step that
+            # carries a cond, e.g. conditional EMA/multigrid switches)
+            best: List[OpCost] = []
+            for br in eq.params["branches"]:
+                cur: List[OpCost] = []
+                _walk(br.jaxpr if isinstance(br, ClosedJaxpr) else br,
+                      inner_mult, cur)
+                if (sum(c.flops for c in cur), sum(c.bytes for c in cur)) \
+                        > (sum(c.flops for c in best),
+                           sum(c.bytes for c in best)):
+                    best = cur
+            out.extend(best)
+            continue
         sub = [p for p in eq.params.values()
                if isinstance(p, (ClosedJaxpr, Jaxpr))]
-        # cond/while carry branch/body+cond jaxprs; branches is a tuple
+        # while carries body+cond jaxprs (both walked: cond runs every
+        # trip); other call-like primitives carry one jaxpr param
         for p in eq.params.values():
             if isinstance(p, (tuple, list)):
                 sub.extend(x for x in p

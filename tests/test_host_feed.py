@@ -103,9 +103,17 @@ def test_prefetcher_inflight_bound_is_per_worker(monkeypatch):
         target=lambda: got.extend(p for _, ps in pf for p in ps),
         daemon=True)
     consumer.start()
-    time.sleep(0.5)       # let worker 1 race as far as tokens allow
-    with lock:
-        racing = sorted(started)
+    # let worker 1 race as far as its tokens allow: poll until the
+    # started set is stable (fixed sleeps flake on this 1-core box
+    # when another job holds the CPU during the window)
+    prev, stable, deadline = None, 0, time.monotonic() + 20.0
+    while stable < 3 and time.monotonic() < deadline:
+        time.sleep(0.2)
+        with lock:
+            cur = sorted(started)
+        stable = stable + 1 if cur == prev and len(cur) >= 2 else 0
+        prev = cur
+    racing = prev
     # worker 0 parked in batch 0; worker 1 may hold at most `depth`
     # undelivered batches (shared-pool bug: it would start 1,3,5,7)
     assert racing == [0] + list(range(1, 1 + 2 * depth, 2)), racing

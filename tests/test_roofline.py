@@ -65,6 +65,23 @@ def test_scan_multiplies_inner_costs():
     assert dots[0].flops == 5 * 2 * 4 * 16 * 16
 
 
+def test_cond_costs_max_branch_not_sum():
+    """lax.cond: only one branch executes, so the analyzer must charge
+    the most expensive branch, not every branch (r4 review fix)."""
+    w = jnp.zeros((64, 64), jnp.float32)
+
+    def fn(p, x):
+        return jax.lax.cond(p, lambda v: (v @ w) @ w, lambda v: v,
+                            x).sum()
+
+    dots = [c for c in op_costs(fn, True, jnp.zeros((8, 64)))
+            if c.kind == "dot"]
+    # heavy branch has exactly 2 GEMMs; a sum-over-branches walker
+    # would also have counted the identity branch's zero and doubled
+    # nothing here, but the flop total pins the heavy branch choice
+    assert sum(c.flops for c in dots) == 2 * (2 * 8 * 64 * 64)
+
+
 def test_grad_step_counts_backward_flops():
     w = jnp.zeros((32, 32), jnp.float32)
 
