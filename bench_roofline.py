@@ -133,9 +133,43 @@ def roofline_timesformer(batch=4, measured_vps=58.1):
                    measured_vps)
 
 
+def roofline_vit_flagship(batch=32, frames=8, measured_vps=1213.9):
+    """The headline bench.py program (CLIP ViT-B/32 vision tower, bf16,
+    B=32 x 8 frames): the '~43% MFU is structural at L=50' claim from
+    docs/PERF.md, derived analytically.  Traces ONE encode_video call
+    (bench.py loops the same program STEPS times device-side)."""
+    import jax
+    import jax.numpy as jnp
+    from cross_modal_video_engine_tpu.models.clip import (CLIPConfig,
+                                                          CLIPModel)
+    from cross_modal_video_engine_tpu.utils.roofline import op_costs
+
+    cfg = CLIPConfig(
+        embed_dim=512, image_resolution=224, vision_width=768,
+        vision_layers=12, vision_heads=12, patch_size=32,
+        context_length=77, vocab_size=49408, text_width=512,
+        text_heads=8, text_layers=12, dtype="bfloat16")
+    model = CLIPModel(cfg)
+    frames_s = jax.ShapeDtypeStruct((batch, frames, 224, 224, 3),
+                                    jnp.bfloat16)
+    variables = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 224, 224, 3), jnp.float32),
+                             jnp.zeros((1, 77), jnp.int32)),
+        jax.random.key(0))
+
+    def embed(v, f):
+        high, _ = model.apply(v, f, method="encode_video")
+        return high
+
+    costs = op_costs(embed, variables, frames_s)
+    return _report(f"vitb32_embed_bf16_b{batch}x{frames}f", costs, batch,
+                   measured_vps)
+
+
 def main():
     import jax
     jax.config.update("jax_platforms", "cpu")
+    roofline_vit_flagship()
     roofline_timesformer()
     roofline_slowfast()
     roofline_yolov5s()
