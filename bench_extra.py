@@ -175,6 +175,54 @@ def bench_flash_sweep(batch=4, heads=8, head_dim=128,
             }))
 
 
+def bench_flatten_tokens_ab(batch=32, frames=8, steps=20):
+    """A/B the headline embed with CLIPConfig.flatten_tokens: the
+    analytic roofline (bench_roofline.py, docs/PERF.md r4) says the
+    bf16 rank-3 layout pads L=50 -> 64 (+28% elementwise bytes) on a
+    fusion/bandwidth-limited tower; the flat layout is exact math
+    (tests/test_clip_flatten_tokens.py).  Two rows: baseline + flat.
+    Flip the production default only if flat measures faster."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from cross_modal_video_engine_tpu.models.clip import (CLIPConfig,
+                                                          CLIPModel)
+    from cross_modal_video_engine_tpu.utils.profiling import device_time
+
+    rng = np.random.default_rng(3)
+    frames_arr = jnp.asarray(
+        rng.standard_normal((batch, frames, 224, 224, 3)), jnp.bfloat16)
+    base_cfg = CLIPConfig(dtype="bfloat16")
+    shapes = jax.eval_shape(
+        lambda k: CLIPModel(base_cfg).init(
+            k, jnp.zeros((1, 224, 224, 3), jnp.float32),
+            jnp.zeros((1, 77), jnp.int32)),
+        jax.random.key(0))
+    variables = jax.tree.map(
+        lambda s: jnp.asarray(
+            rng.standard_normal(s.shape).astype(np.float32) * 0.02, s.dtype),
+        shapes)
+    out = {}
+    for tag, flat in (("rank3", False), ("flat", True)):
+        model = CLIPModel(dataclasses.replace(base_cfg,
+                                              flatten_tokens=flat))
+        dt = device_time(
+            lambda v, f, m=model: m.apply(v, f, method="encode_video")[0],
+            variables, frames_arr, steps=steps, perturb_argnums=(1,))
+        out[tag] = batch / dt
+        print(json.dumps({
+            "metric": f"video_embed_vitb32_bf16_8f224_{tag}_layout",
+            "value": round(out[tag], 1), "unit": "videos/sec/chip",
+            "vs_baseline": round(out[tag] / 350.0, 3),
+        }))
+    print(json.dumps({
+        "metric": "flatten_tokens_speedup",
+        "value": round(out["flat"] / out["rank3"], 4), "unit": "x",
+        "vs_baseline": 1.0,
+    }))
+    return out
+
+
 def bench_text_tower(batch=256, steps=20):
     import jax
     import jax.numpy as jnp
@@ -617,6 +665,7 @@ def main():
     bench_retrieval_p50()
     bench_int8_capacity()
     bench_flash_sweep()
+    bench_flatten_tokens_ab()
     bench_text_tower()
     bench_u8_ingest()
     bench_host_feed()

@@ -46,6 +46,14 @@ class CLIPConfig:
     text_heads: int = 8
     text_layers: int = 12
     dtype: str = "float32"    # 'bfloat16' for TPU production
+    # run per-token ops (LN/MLP/residual) on (B*L, D) instead of
+    # (B, L, D): bf16 tiles are (16, 128) over the last two dims, so a
+    # rank-3 L=50 layout pads every elementwise op and its stored bytes
+    # to L=64 (+28% traffic on a tower bench_roofline shows is
+    # fusion/bandwidth-limited).  Exact math — attention reshapes from
+    # flat cost the same moves as from rank-3.  Off by default pending
+    # the on-chip A/B (docs/PERF.md).
+    flatten_tokens: bool = False
 
     @property
     def grid(self) -> int:
@@ -85,18 +93,27 @@ class MHA(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None,
-                 kv: Optional[jnp.ndarray] = None):
+                 kv: Optional[jnp.ndarray] = None,
+                 tokens: Optional[Tuple[int, int]] = None):
         """x: (B, L, D) queries; kv: optional (B, S, D) keys/values for
-        cross attention. mask: (L, S) additive (-inf) mask."""
+        cross attention. mask: (L, S) additive (-inf) mask.
+        tokens: static (B, L) when x arrives FLATTENED as (B*L, D)
+        (self-attention only) — the CLIPConfig.flatten_tokens layout."""
         D, H = self.width, self.heads
         hd = D // H
         is_self = kv is None
+        assert tokens is None or (is_self and x.ndim == 2), \
+            "flattened MHA supports self-attention only"
         kv = x if kv is None else kv
         q = nn.Dense(D, dtype=self.dtype, name="q_proj")(x)
         k = nn.Dense(D, dtype=self.dtype, name="k_proj")(kv)
         v = nn.Dense(D, dtype=self.dtype, name="v_proj")(kv)
-        B, L, _ = q.shape
-        S = k.shape[1]
+        if tokens is not None:
+            B, L = tokens
+            S = L
+        else:
+            B, L = q.shape[0], q.shape[1]
+            S = k.shape[1]
         q = q.reshape(B, L, H, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
@@ -104,7 +121,9 @@ class MHA(nn.Module):
         if self.use_flash and is_self and mask is None:
             from ..ops.flash_attention import flash_attention
             out = flash_attention(q, k, v, scale)
-            out = out.transpose(0, 2, 1, 3).reshape(B, L, D).astype(self.dtype)
+            out = out.transpose(0, 2, 1, 3).astype(self.dtype)
+            out = out.reshape(B * L, D) if tokens is not None \
+                else out.reshape(B, L, D)
             return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
         logits = jnp.einsum("bhld,bhsd->bhls", q, k,
                             preferred_element_type=jnp.float32) * scale
@@ -113,7 +132,9 @@ class MHA(nn.Module):
         w = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhls,bhsd->bhld", w, v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+        out = out.transpose(0, 2, 1, 3)
+        out = out.reshape(B * L, D) if tokens is not None \
+            else out.reshape(B, L, D)
         return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
 
 
@@ -123,9 +144,9 @@ class ResidualAttentionBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, tokens=None):
         x = x + MHA(self.width, self.heads, self.dtype, name="attn")(
-            LayerNormF32(name="ln_1")(x), mask)
+            LayerNormF32(name="ln_1")(x), mask, tokens=tokens)
         h = LayerNormF32(name="ln_2")(x)
         h = nn.Dense(self.width * 4, dtype=self.dtype, name="c_fc")(h)
         h = quick_gelu(h)
@@ -140,11 +161,24 @@ class Transformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, flatten: bool = False):
+        """flatten=True runs the per-token ops on (B*L, D) so the bf16
+        (16, 128) tile never pads the token dim (L=50 -> 64 on the
+        rank-3 layout); attention reshapes from flat at the same cost.
+        Param tree is identical either way."""
+        if not flatten:
+            for i in range(self.layers):
+                x = ResidualAttentionBlock(self.width, self.heads,
+                                           self.dtype,
+                                           name=f"resblock_{i}")(x, mask)
+            return x
+        B, L, D = x.shape
+        x = x.reshape(B * L, D)
         for i in range(self.layers):
             x = ResidualAttentionBlock(self.width, self.heads, self.dtype,
-                                       name=f"resblock_{i}")(x, mask)
-        return x
+                                       name=f"resblock_{i}")(
+                x, mask, tokens=(B, L))
+        return x.reshape(B, L, D)
 
 
 class PatchEmbed(nn.Module):
@@ -200,7 +234,8 @@ class VisionTower(nn.Module):
         x = x + pos.astype(dt)
         x = LayerNormF32(name="ln_pre")(x)
         x = Transformer(cfg.vision_width, cfg.vision_layers, cfg.vision_heads,
-                        dt, name="transformer")(x)
+                        dt, name="transformer")(
+            x, flatten=cfg.flatten_tokens)
         middle_fea = x[:, 1:, :]
         pooled = LayerNormF32(name="ln_post")(x[:, 0, :])
         proj = self.param("proj",
@@ -246,7 +281,8 @@ class TextTower(nn.Module):
         x = x + pos[:L].astype(dt)
         causal = jnp.triu(jnp.full((L, L), -jnp.inf, jnp.float32), k=1)
         x = Transformer(cfg.text_width, cfg.text_layers, cfg.text_heads, dt,
-                        name="transformer")(x, causal)
+                        name="transformer")(x, causal,
+                                            flatten=cfg.flatten_tokens)
         x = LayerNormF32(name="ln_final")(x)
         eot = jnp.argmax(text_ids, axis=-1)
         pooled = x[jnp.arange(x.shape[0]), eot]
