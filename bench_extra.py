@@ -176,12 +176,13 @@ def bench_flash_sweep(batch=4, heads=8, head_dim=128,
 
 
 def bench_flatten_tokens_ab(batch=32, frames=8, steps=20):
-    """A/B the headline embed with CLIPConfig.flatten_tokens: the
-    analytic roofline (bench_roofline.py, docs/PERF.md r4) says the
-    bf16 rank-3 layout pads L=50 -> 64 (+28% elementwise bytes) on a
-    fusion/bandwidth-limited tower; the flat layout is exact math
-    (tests/test_clip_flatten_tokens.py).  Two rows: baseline + flat.
-    Flip the production default only if flat measures faster."""
+    """A/B/C the headline embed across the three tower layouts the r4
+    roofline motivated (docs/PERF.md): rank-3 baseline; flatten_tokens
+    (per-token ops on (B*L, D) — kills the L=50->64 tile-padding bytes,
+    tests/test_clip_flatten_tokens.py); fused_attn (Pallas VMEM-resident
+    attention sublayer — kills the per-layer LN/qkv/attention HBM
+    materialization, tests/test_clip_fused_attn.py).  Flip the
+    production default only to a measured winner."""
     import dataclasses
     import jax
     import jax.numpy as jnp
@@ -203,9 +204,11 @@ def bench_flatten_tokens_ab(batch=32, frames=8, steps=20):
             rng.standard_normal(s.shape).astype(np.float32) * 0.02, s.dtype),
         shapes)
     out = {}
-    for tag, flat in (("rank3", False), ("flat", True)):
-        model = CLIPModel(dataclasses.replace(base_cfg,
-                                              flatten_tokens=flat))
+    variants = (("rank3", {}),
+                ("flat", {"flatten_tokens": True}),
+                ("fused_attn", {"fused_attn": True}))
+    for tag, kw in variants:
+        model = CLIPModel(dataclasses.replace(base_cfg, **kw))
         dt = device_time(
             lambda v, f, m=model: m.apply(v, f, method="encode_video")[0],
             variables, frames_arr, steps=steps, perturb_argnums=(1,))
@@ -215,11 +218,12 @@ def bench_flatten_tokens_ab(batch=32, frames=8, steps=20):
             "value": round(out[tag], 1), "unit": "videos/sec/chip",
             "vs_baseline": round(out[tag] / 350.0, 3),
         }))
-    print(json.dumps({
-        "metric": "flatten_tokens_speedup",
-        "value": round(out["flat"] / out["rank3"], 4), "unit": "x",
-        "vs_baseline": 1.0,
-    }))
+    for tag in ("flat", "fused_attn"):
+        print(json.dumps({
+            "metric": f"{tag}_speedup_vs_rank3",
+            "value": round(out[tag] / out["rank3"], 4), "unit": "x",
+            "vs_baseline": 1.0,
+        }))
     return out
 
 

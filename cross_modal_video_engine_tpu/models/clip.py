@@ -54,6 +54,14 @@ class CLIPConfig:
     # flat cost the same moves as from rank-3.  Off by default pending
     # the on-chip A/B (docs/PERF.md).
     flatten_tokens: bool = False
+    # route each block's attention half through the Pallas fused
+    # sublayer (ops/attention_sublayer.py): LN -> qkv -> attention ->
+    # proj -> residual in one VMEM-resident pass, eliminating the
+    # per-layer HBM materialization the roofline identifies as the
+    # flagship's bottleneck.  Identical param tree; sequences pad to
+    # the 16-row tile with pad keys masked.  Off by default pending the
+    # on-chip A/B; mutually exclusive with flatten_tokens.
+    fused_attn: bool = False
 
     @property
     def grid(self) -> int:
@@ -138,15 +146,71 @@ class MHA(nn.Module):
         return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
 
 
+class _DenseParams(nn.Module):
+    """nn.Dense's params (kernel lecun_normal + bias zeros) without a
+    forward pass — lets the fused-attention branch own the SAME param
+    tree as the unfused MHA (attn/{q,k,v,out}_proj/{kernel,bias})."""
+
+    in_features: int
+    features: int
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.in_features, self.features))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+
+
+class _MHAParams(nn.Module):
+    width: int
+
+    def setup(self):
+        self.q_proj = _DenseParams(self.width, self.width)
+        self.k_proj = _DenseParams(self.width, self.width)
+        self.v_proj = _DenseParams(self.width, self.width)
+        self.out_proj = _DenseParams(self.width, self.width)
+
+
+class _LNParamsInner(nn.Module):
+    dim: int
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones, (self.dim,))
+        self.bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+
+
+class _LNParams(nn.Module):
+    """LayerNormF32's param tree (<name>/ln/{scale,bias}) sans forward."""
+
+    dim: int
+
+    def setup(self):
+        self.ln = _LNParamsInner(self.dim)
+
+
 class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
     dtype: jnp.dtype = jnp.float32
+    fused_attn: bool = False
 
     @nn.compact
-    def __call__(self, x, mask=None, tokens=None):
-        x = x + MHA(self.width, self.heads, self.dtype, name="attn")(
-            LayerNormF32(name="ln_1")(x), mask, tokens=tokens)
+    def __call__(self, x, mask=None, tokens=None, valid_len=None,
+                 causal=False):
+        if self.fused_attn:
+            from ..ops.attention_sublayer import fused_attention_sublayer
+            ln = _LNParams(self.width, name="ln_1")
+            at = _MHAParams(self.width, name="attn")
+            x = fused_attention_sublayer(
+                x, ln.ln.scale, ln.ln.bias,
+                at.q_proj.kernel, at.q_proj.bias,
+                at.k_proj.kernel, at.k_proj.bias,
+                at.v_proj.kernel, at.v_proj.bias,
+                at.out_proj.kernel, at.out_proj.bias,
+                heads=self.heads, valid_len=valid_len, causal=causal)
+        else:
+            x = x + MHA(self.width, self.heads, self.dtype, name="attn")(
+                LayerNormF32(name="ln_1")(x), mask, tokens=tokens)
         h = LayerNormF32(name="ln_2")(x)
         h = nn.Dense(self.width * 4, dtype=self.dtype, name="c_fc")(h)
         h = quick_gelu(h)
@@ -161,11 +225,25 @@ class Transformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask=None, flatten: bool = False):
+    def __call__(self, x, mask=None, flatten: bool = False,
+                 fused_attn: bool = False, causal: bool = False):
         """flatten=True runs the per-token ops on (B*L, D) so the bf16
         (16, 128) tile never pads the token dim (L=50 -> 64 on the
         rank-3 layout); attention reshapes from flat at the same cost.
-        Param tree is identical either way."""
+        fused_attn=True routes each block's attention half through the
+        Pallas VMEM-resident sublayer (sequences pad to the 16-row
+        tile; `causal` replaces the additive `mask`, which must then be
+        the standard triangular one).  Param tree is identical in every
+        mode."""
+        if fused_attn:
+            from ..ops.attention_sublayer import pad_tokens
+            x, L = pad_tokens(x)
+            for i in range(self.layers):
+                x = ResidualAttentionBlock(self.width, self.heads,
+                                           self.dtype, fused_attn=True,
+                                           name=f"resblock_{i}")(
+                    x, valid_len=L, causal=causal)
+            return x[:, :L]
         if not flatten:
             for i in range(self.layers):
                 x = ResidualAttentionBlock(self.width, self.heads,
@@ -235,7 +313,7 @@ class VisionTower(nn.Module):
         x = LayerNormF32(name="ln_pre")(x)
         x = Transformer(cfg.vision_width, cfg.vision_layers, cfg.vision_heads,
                         dt, name="transformer")(
-            x, flatten=cfg.flatten_tokens)
+            x, flatten=cfg.flatten_tokens, fused_attn=cfg.fused_attn)
         middle_fea = x[:, 1:, :]
         pooled = LayerNormF32(name="ln_post")(x[:, 0, :])
         proj = self.param("proj",
@@ -282,7 +360,9 @@ class TextTower(nn.Module):
         causal = jnp.triu(jnp.full((L, L), -jnp.inf, jnp.float32), k=1)
         x = Transformer(cfg.text_width, cfg.text_layers, cfg.text_heads, dt,
                         name="transformer")(x, causal,
-                                            flatten=cfg.flatten_tokens)
+                                            flatten=cfg.flatten_tokens,
+                                            fused_attn=cfg.fused_attn,
+                                            causal=True)
         x = LayerNormF32(name="ln_final")(x)
         eot = jnp.argmax(text_ids, axis=-1)
         pooled = x[jnp.arange(x.shape[0]), eot]

@@ -1,0 +1,153 @@
+"""Fused attention sublayer (Pallas): y = x + W_o·attn(LN(x)) in ONE
+HBM round-trip per chunk.
+
+docs/PERF.md's analytic roofline shows the CLIP flagship at S=50 is
+bandwidth/fusion-limited: the XLA path materializes ln_1, q/k/v, the
+per-head transposes and the attention output in HBM every layer (the
+measured step sits mid-way between the fused/unfused byte brackets).
+This kernel keeps the whole sublayer resident in VMEM for a chunk of
+sequences: one read of x, one read of the four weight matrices, one
+write of y.  Budget per chunk (G sequences of LP tokens, D=768):
+4 weight mats 4.7 MB + x/q/k/v/out chunks ~5x(G·LP·D·2B) — G is chosen
+to keep this under the ~16 MB VMEM core budget.
+
+Contract (vs models/clip.py MHA + LayerNormF32):
+  * x: (B, LP, D) with LP a multiple of the 16-row bf16 tile; rows
+    >= valid_len are padding — masked out as KEYS, passed through as
+    queries (their outputs are never read downstream).
+  * LN statistics in fp32 (LayerNormF32 semantics), softmax in fp32,
+    GEMMs accumulate fp32 (preferred_element_type), activations carry
+    x.dtype — numerically matching the unfused bf16/f32 paths.
+  * causal=True adds the text tower's triangular mask.
+  * Exposed for A/B only (CLIPConfig.fused_attn — off by default);
+    parity pinned by tests/test_attention_sublayer.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_chunk(batch: int, lp: int, max_rows: int = 512) -> int:
+    """Sequences per grid step: largest divisor of `batch` keeping the
+    row-block under `max_rows` (VMEM budget; 512x768 bf16 x ~5 live
+    buffers ~= 4 MB + 4.7 MB weights)."""
+    g = max(1, min(batch, max_rows // lp))
+    while batch % g:
+        g -= 1
+    return g
+
+
+def _kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+            wv_ref, bv_ref, wo_ref, bo_ref, o_ref, att_ref, *,
+            g_seqs: int, lp: int, heads: int, valid_len: int,
+            causal: bool, eps: float):
+    dt = x_ref.dtype
+    xb = x_ref[...]
+    xf = xb.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    ln = ((xf - mu) * jax.lax.rsqrt(var + eps)
+          * lns_ref[...].astype(jnp.float32)
+          + lnb_ref[...].astype(jnp.float32)).astype(dt)
+    q = (jnp.dot(ln, wq_ref[...], preferred_element_type=jnp.float32)
+         + bq_ref[...].astype(jnp.float32)).astype(dt)
+    k = (jnp.dot(ln, wk_ref[...], preferred_element_type=jnp.float32)
+         + bk_ref[...].astype(jnp.float32)).astype(dt)
+    v = (jnp.dot(ln, wv_ref[...], preferred_element_type=jnp.float32)
+         + bv_ref[...].astype(jnp.float32)).astype(dt)
+
+    d = q.shape[-1]
+    hd = d // heads
+    scale = jnp.float32(1.0 / np.sqrt(hd))
+    col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+    mask = jnp.where(col < valid_len, 0.0, -1e30).astype(jnp.float32)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 0)
+        mask = mask + jnp.where(col <= row, 0.0, -1e30)
+
+    for g in range(g_seqs):
+        rows = slice(g * lp, (g + 1) * lp)
+        for h in range(heads):
+            cols = slice(h * hd, (h + 1) * hd)
+            qs, ks, vs = q[rows, cols], k[rows, cols], v[rows, cols]
+            sc = jax.lax.dot_general(
+                qs, ks, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            pr = jax.nn.softmax(sc + mask, axis=-1).astype(dt)
+            att_ref[rows, cols] = jnp.dot(
+                pr, vs, preferred_element_type=jnp.float32).astype(dt)
+
+    y = (jnp.dot(att_ref[...], wo_ref[...],
+                 preferred_element_type=jnp.float32)
+         + bo_ref[...].astype(jnp.float32)).astype(dt) + xb
+    o_ref[...] = y
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "heads", "valid_len", "causal", "eps", "interpret"))
+def fused_attention_sublayer(x: jnp.ndarray,
+                             ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
+                             wq: jnp.ndarray, bq: jnp.ndarray,
+                             wk: jnp.ndarray, bk: jnp.ndarray,
+                             wv: jnp.ndarray, bv: jnp.ndarray,
+                             wo: jnp.ndarray, bo: jnp.ndarray, *,
+                             heads: int, valid_len: int,
+                             causal: bool = False, eps: float = 1e-5,
+                             interpret: bool | None = None) -> jnp.ndarray:
+    """x: (B, LP, D) -> (B, LP, D); rows >= valid_len are padding.
+    interpret=None auto-selects the Pallas interpreter off-TPU so the
+    fused model stays runnable in the CPU test mesh."""
+    if interpret is None:
+        # 'axon' is the remote-TPU relay backend (runs real kernels)
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    b, lp, d = x.shape
+    g = _pick_chunk(b, lp)
+    rows = g * lp
+    dt = x.dtype
+
+    def _w(m):
+        return m.astype(dt)
+
+    def _b(m):
+        return m.reshape(1, -1).astype(dt)
+
+    kern = functools.partial(_kernel, g_seqs=g, lp=lp, heads=heads,
+                             valid_len=valid_len, causal=causal, eps=eps)
+    const = pl.BlockSpec((d, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b * lp, d), dt),
+        grid=(b // g,),
+        in_specs=[pl.BlockSpec((rows, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  vec, vec, const, vec, const, vec, const, vec,
+                  const, vec],
+        out_specs=pl.BlockSpec((rows, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((rows, d), dt)],
+        interpret=interpret,
+    )(x.reshape(b * lp, d), _b(ln_scale), _b(ln_bias),
+      _w(wq), _b(bq), _w(wk), _b(bk), _w(wv), _b(bv), _w(wo), _b(bo))
+    return out.reshape(b, lp, d)
+
+
+def pad_tokens(x: jnp.ndarray, sublane: int = 16
+               ) -> Tuple[jnp.ndarray, int]:
+    """Pad (B, L, D) to the next sublane multiple along L.  Returns
+    (padded, L).  Pad rows are masked as keys inside the kernel and
+    sliced off by the caller after the stack."""
+    l = x.shape[1]
+    lp = -(-l // sublane) * sublane
+    if lp != l:
+        x = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+    return x, l

@@ -1,0 +1,104 @@
+"""Fused attention sublayer (ops/attention_sublayer.py) vs the plain
+JAX math of models/clip.py's LN+MHA+residual, in Pallas interpret mode
+(CPU).  Pins: bidirectional + causal masks, pad-row key masking, and
+the bf16 compute path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cross_modal_video_engine_tpu.ops.attention_sublayer import (
+    fused_attention_sublayer, pad_tokens, _pick_chunk)
+
+
+def _ref(x, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo, heads,
+         causal=False, eps=1e-5):
+    """Unfused reference: exactly models/clip.py ResidualAttentionBlock
+    attention half (LayerNormF32 stats in f32, softmax f32)."""
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    ln = ((xf - mu) * jax.lax.rsqrt(var + eps) * lns + lnb).astype(dt)
+    B, L, D = x.shape
+    hd = D // heads
+    q = (ln @ wq.astype(dt)) + bq.astype(dt)
+    k = (ln @ wk.astype(dt)) + bk.astype(dt)
+    v = (ln @ wv.astype(dt)) + bv.astype(dt)
+    q = q.reshape(B, L, heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, L, heads, hd).transpose(0, 2, 1, 3)
+    v = v.reshape(B, L, heads, hd).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhld,bhsd->bhls", q, k,
+                        preferred_element_type=jnp.float32) / np.sqrt(hd)
+    if causal:
+        logits = logits + jnp.triu(
+            jnp.full((L, L), -jnp.inf, jnp.float32), k=1)
+    w = jax.nn.softmax(logits, axis=-1).astype(dt)
+    out = jnp.einsum("bhls,bhsd->bhld", w, v,
+                     preferred_element_type=jnp.float32).astype(dt)
+    out = out.transpose(0, 2, 1, 3).reshape(B, L, D)
+    return x + (out @ wo.astype(dt)) + bo.astype(dt)
+
+
+def _weights(rng, d):
+    def w():
+        return jnp.asarray(rng.standard_normal((d, d)) * 0.05, jnp.float32)
+
+    def b():
+        return jnp.asarray(rng.standard_normal((d,)) * 0.01, jnp.float32)
+
+    return dict(lns=jnp.asarray(1 + rng.standard_normal(d) * 0.1,
+                                jnp.float32),
+                lnb=jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32),
+                wq=w(), bq=b(), wk=w(), bk=b(), wv=w(), bv=b(),
+                wo=w(), bo=b())
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_fused_sublayer_parity_f32(causal):
+    rng = np.random.default_rng(0)
+    B, L, D, H = 4, 10, 64, 4
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    wts = _weights(rng, D)
+    want = _ref(x, wts["lns"], wts["lnb"], wts["wq"], wts["bq"],
+                wts["wk"], wts["bk"], wts["wv"], wts["bv"],
+                wts["wo"], wts["bo"], H, causal=causal)
+    xp, l = pad_tokens(x)
+    assert xp.shape[1] == 16 and l == L
+    got = fused_attention_sublayer(
+        xp, wts["lns"], wts["lnb"], wts["wq"], wts["bq"], wts["wk"],
+        wts["bk"], wts["wv"], wts["bv"], wts["wo"], wts["bo"],
+        heads=H, valid_len=L, causal=causal, interpret=True)
+    np.testing.assert_allclose(np.asarray(got[:, :L]), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    # pad rows exist but never poison real rows (masked as keys)
+    assert np.isfinite(np.asarray(got)).all()
+
+
+def test_fused_sublayer_parity_bf16():
+    rng = np.random.default_rng(1)
+    B, L, D, H = 2, 12, 64, 4
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.bfloat16)
+    wts = _weights(rng, D)
+    want = _ref(x, wts["lns"], wts["lnb"], wts["wq"], wts["bq"],
+                wts["wk"], wts["bk"], wts["wv"], wts["bv"],
+                wts["wo"], wts["bo"], H)
+    xp, l = pad_tokens(x)
+    got = fused_attention_sublayer(
+        xp, wts["lns"], wts["lnb"], wts["wq"], wts["bq"], wts["wk"],
+        wts["bk"], wts["wv"], wts["bv"], wts["wo"], wts["bo"],
+        heads=H, valid_len=L, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got[:, :L], np.float32), np.asarray(want, np.float32),
+        rtol=0.05, atol=0.05)
+
+
+def test_pick_chunk_divides_batch():
+    assert _pick_chunk(256, 64) == 8          # 512-row budget
+    assert _pick_chunk(6, 80) == 6            # 480 rows <= 512
+    assert _pick_chunk(7, 512) == 1
+    for b, lp in [(3, 64), (12, 80), (256, 64)]:
+        g = _pick_chunk(b, lp)
+        assert b % g == 0 and g * lp <= max(512, lp)

@@ -1,0 +1,74 @@
+"""CLIPConfig.fused_attn: the Pallas fused attention sublayer wired
+into both towers must preserve the param tree exactly and match the
+unfused model numerically (interpret mode on CPU)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import cross_modal_video_engine_tpu.ops.attention_sublayer as asl
+from cross_modal_video_engine_tpu.models.clip import CLIPConfig, CLIPModel
+
+CFG = CLIPConfig(embed_dim=32, image_resolution=64, vision_width=48,
+                 vision_layers=2, vision_heads=4, patch_size=16,
+                 context_length=12, vocab_size=96, text_width=40,
+                 text_heads=4, text_layers=2)
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    import jax.experimental.pallas as pl
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pl, "pallas_call", patched)
+    monkeypatch.setattr(asl.pl, "pallas_call", patched)
+    yield
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = CLIPModel(CFG)
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(1, 96, (3, 12)), jnp.int32)
+    variables = model.init(jax.random.key(0), images, ids)
+    return model, variables, images, ids
+
+
+def test_fused_attn_param_tree_identical(setup):
+    model, variables, images, ids = setup
+    fused = CLIPModel(dataclasses.replace(CFG, fused_attn=True))
+    vf = fused.init(jax.random.key(0), images, ids)
+    assert jax.tree.structure(vf) == jax.tree.structure(variables)
+    for a, b in zip(jax.tree.leaves(vf), jax.tree.leaves(variables)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+
+
+def test_fused_attn_vision_parity(setup):
+    model, variables, images, ids = setup
+    fused = CLIPModel(dataclasses.replace(CFG, fused_attn=True))
+    high, mid = model.apply(variables, images, method="encode_image")
+    fh, fm = fused.apply(variables, images, method="encode_image")
+    np.testing.assert_allclose(np.asarray(fh), np.asarray(high),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fm), np.asarray(mid),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_attn_text_parity_causal(setup):
+    """The text tower's triangular mask must be reproduced by the
+    kernel's causal path (EOT pooling reads mid-sequence rows)."""
+    model, variables, images, ids = setup
+    fused = CLIPModel(dataclasses.replace(CFG, fused_attn=True))
+    t = model.apply(variables, ids, method="encode_text")
+    ft = fused.apply(variables, ids, method="encode_text")
+    np.testing.assert_allclose(np.asarray(ft), np.asarray(t),
+                               rtol=2e-5, atol=2e-5)
