@@ -181,8 +181,10 @@ def bench_flatten_tokens_ab(batch=32, frames=8, steps=20):
     (per-token ops on (B*L, D) — kills the L=50->64 tile-padding bytes,
     tests/test_clip_flatten_tokens.py); fused_attn (Pallas VMEM-resident
     attention sublayer — kills the per-layer LN/qkv/attention HBM
-    materialization, tests/test_clip_fused_attn.py).  Flip the
-    production default only to a measured winner."""
+    materialization, tests/test_clip_fused_attn.py); fused_mlp (same
+    treatment for the MLP half — the 4x hidden never leaves VMEM); and
+    both fusions together (the whole block in two HBM round-trips).
+    Flip the production default only to a measured winner."""
     import dataclasses
     import jax
     import jax.numpy as jnp
@@ -206,7 +208,9 @@ def bench_flatten_tokens_ab(batch=32, frames=8, steps=20):
     out = {}
     variants = (("rank3", {}),
                 ("flat", {"flatten_tokens": True}),
-                ("fused_attn", {"fused_attn": True}))
+                ("fused_attn", {"fused_attn": True}),
+                ("fused_mlp", {"fused_mlp": True}),
+                ("fused_both", {"fused_attn": True, "fused_mlp": True}))
     for tag, kw in variants:
         model = CLIPModel(dataclasses.replace(base_cfg, **kw))
         dt = device_time(
@@ -218,7 +222,7 @@ def bench_flatten_tokens_ab(batch=32, frames=8, steps=20):
             "value": round(out[tag], 1), "unit": "videos/sec/chip",
             "vs_baseline": round(out[tag] / 350.0, 3),
         }))
-    for tag in ("flat", "fused_attn"):
+    for tag in ("flat", "fused_attn", "fused_mlp", "fused_both"):
         print(json.dumps({
             "metric": f"{tag}_speedup_vs_rank3",
             "value": round(out[tag] / out["rank3"], 4), "unit": "x",

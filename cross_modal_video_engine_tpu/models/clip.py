@@ -62,6 +62,11 @@ class CLIPConfig:
     # the 16-row tile with pad keys masked.  Off by default pending the
     # on-chip A/B; mutually exclusive with flatten_tokens.
     fused_attn: bool = False
+    # same treatment for the MLP half (ln_2 -> c_fc -> gelu -> c_proj
+    # -> residual, one HBM round-trip — the 4x-wide hidden never leaves
+    # VMEM).  Purely per-token, so it composes with any of the layout
+    # modes above.  Off by default pending the on-chip A/B.
+    fused_mlp: bool = False
 
     @property
     def grid(self) -> int:
@@ -193,6 +198,7 @@ class ResidualAttentionBlock(nn.Module):
     heads: int
     dtype: jnp.dtype = jnp.float32
     fused_attn: bool = False
+    fused_mlp: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, tokens=None, valid_len=None,
@@ -211,6 +217,14 @@ class ResidualAttentionBlock(nn.Module):
         else:
             x = x + MHA(self.width, self.heads, self.dtype, name="attn")(
                 LayerNormF32(name="ln_1")(x), mask, tokens=tokens)
+        if self.fused_mlp:
+            from ..ops.attention_sublayer import fused_mlp_sublayer
+            ln2 = _LNParams(self.width, name="ln_2")
+            fc = _DenseParams(self.width, self.width * 4, name="c_fc")
+            pj = _DenseParams(self.width * 4, self.width, name="c_proj")
+            return fused_mlp_sublayer(x, ln2.ln.scale, ln2.ln.bias,
+                                      fc.kernel, fc.bias,
+                                      pj.kernel, pj.bias)
         h = LayerNormF32(name="ln_2")(x)
         h = nn.Dense(self.width * 4, dtype=self.dtype, name="c_fc")(h)
         h = quick_gelu(h)
@@ -226,21 +240,24 @@ class Transformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, flatten: bool = False,
-                 fused_attn: bool = False, causal: bool = False):
+                 fused_attn: bool = False, fused_mlp: bool = False,
+                 causal: bool = False):
         """flatten=True runs the per-token ops on (B*L, D) so the bf16
         (16, 128) tile never pads the token dim (L=50 -> 64 on the
         rank-3 layout); attention reshapes from flat at the same cost.
         fused_attn=True routes each block's attention half through the
         Pallas VMEM-resident sublayer (sequences pad to the 16-row
         tile; `causal` replaces the additive `mask`, which must then be
-        the standard triangular one).  Param tree is identical in every
-        mode."""
+        the standard triangular one).  fused_mlp=True does the same for
+        the MLP half and composes with any layout.  Param tree is
+        identical in every mode."""
         if fused_attn:
             from ..ops.attention_sublayer import pad_tokens
             x, L = pad_tokens(x)
             for i in range(self.layers):
                 x = ResidualAttentionBlock(self.width, self.heads,
                                            self.dtype, fused_attn=True,
+                                           fused_mlp=fused_mlp,
                                            name=f"resblock_{i}")(
                     x, valid_len=L, causal=causal)
             return x[:, :L]
@@ -248,12 +265,14 @@ class Transformer(nn.Module):
             for i in range(self.layers):
                 x = ResidualAttentionBlock(self.width, self.heads,
                                            self.dtype,
+                                           fused_mlp=fused_mlp,
                                            name=f"resblock_{i}")(x, mask)
             return x
         B, L, D = x.shape
         x = x.reshape(B * L, D)
         for i in range(self.layers):
             x = ResidualAttentionBlock(self.width, self.heads, self.dtype,
+                                       fused_mlp=fused_mlp,
                                        name=f"resblock_{i}")(
                 x, mask, tokens=(B, L))
         return x.reshape(B, L, D)
@@ -313,7 +332,8 @@ class VisionTower(nn.Module):
         x = LayerNormF32(name="ln_pre")(x)
         x = Transformer(cfg.vision_width, cfg.vision_layers, cfg.vision_heads,
                         dt, name="transformer")(
-            x, flatten=cfg.flatten_tokens, fused_attn=cfg.fused_attn)
+            x, flatten=cfg.flatten_tokens, fused_attn=cfg.fused_attn,
+            fused_mlp=cfg.fused_mlp)
         middle_fea = x[:, 1:, :]
         pooled = LayerNormF32(name="ln_post")(x[:, 0, :])
         proj = self.param("proj",
@@ -362,6 +382,7 @@ class TextTower(nn.Module):
                         name="transformer")(x, causal,
                                             flatten=cfg.flatten_tokens,
                                             fused_attn=cfg.fused_attn,
+                                            fused_mlp=cfg.fused_mlp,
                                             causal=True)
         x = LayerNormF32(name="ln_final")(x)
         eot = jnp.argmax(text_ids, axis=-1)

@@ -141,6 +141,82 @@ def fused_attention_sublayer(x: jnp.ndarray,
     return out.reshape(b, lp, d)
 
 
+def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                o_ref, *, eps: float):
+    dt = x_ref.dtype
+    xb = x_ref[...]
+    xf = xb.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    ln = ((xf - mu) * jax.lax.rsqrt(var + eps)
+          * lns_ref[...].astype(jnp.float32)
+          + lnb_ref[...].astype(jnp.float32)).astype(dt)
+    h = (jnp.dot(ln, w1_ref[...], preferred_element_type=jnp.float32)
+         + b1_ref[...].astype(jnp.float32)).astype(dt)
+    h = h * jax.nn.sigmoid(1.702 * h)                 # quick_gelu
+    y = (jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
+         + b2_ref[...].astype(jnp.float32)).astype(dt) + xb
+    o_ref[...] = y
+
+
+def _pick_rows(n: int, max_rows: int = 512) -> int:
+    """Row block for the MLP kernel: largest divisor of n that is a
+    multiple of the 16-row bf16 sublane and <= max_rows (VMEM: W1+W2
+    ~9.4 MB bf16 at D=768 + ~3 MB of row blocks)."""
+    r = min(n, max_rows)
+    while r > 16 and (n % r or r % 16):
+        r -= 1
+    return r if n % r == 0 else n
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_mlp_sublayer(x: jnp.ndarray, ln_scale: jnp.ndarray,
+                       ln_bias: jnp.ndarray, w1: jnp.ndarray,
+                       b1: jnp.ndarray, w2: jnp.ndarray, b2: jnp.ndarray,
+                       *, eps: float = 1e-5,
+                       interpret: bool | None = None) -> jnp.ndarray:
+    """y = x + W2·gelu(W1·LN(x)) in one HBM round-trip per row chunk.
+    Purely per-token, so any leading shape works: (B, L, D) or (N, D).
+    The other half of the block docs/PERF.md's fused/unfused bracket
+    charges (ln_2 + the 4x-wide hidden otherwise materialized)."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    shape = x.shape
+    d = shape[-1]
+    dh = w1.shape[-1]
+    n = int(np.prod(shape[:-1]))
+    r = _pick_rows(n)
+    dt = x.dtype
+
+    def _b(m):
+        return m.reshape(1, -1).astype(dt)
+
+    out = pl.pallas_call(
+        functools.partial(_mlp_kernel, eps=eps),
+        out_shape=jax.ShapeDtypeStruct((n, d), dt),
+        grid=(n // r,),
+        in_specs=[pl.BlockSpec((r, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((d, dh), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, dh), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((dh, d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((r, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x.reshape(n, d), _b(ln_scale), _b(ln_bias), w1.astype(dt), _b(b1),
+      w2.astype(dt), _b(b2))
+    return out.reshape(shape)
+
+
 def pad_tokens(x: jnp.ndarray, sublane: int = 16
                ) -> Tuple[jnp.ndarray, int]:
     """Pad (B, L, D) to the next sublane multiple along L.  Returns

@@ -10,7 +10,8 @@ import jax
 import jax.numpy as jnp
 
 from cross_modal_video_engine_tpu.ops.attention_sublayer import (
-    fused_attention_sublayer, pad_tokens, _pick_chunk)
+    fused_attention_sublayer, fused_mlp_sublayer, pad_tokens,
+    _pick_chunk, _pick_rows)
 
 
 def _ref(x, lns, lnb, wq, bq, wk, bk, wv, bv, wo, bo, heads,
@@ -93,6 +94,70 @@ def test_fused_sublayer_parity_bf16():
     np.testing.assert_allclose(
         np.asarray(got[:, :L], np.float32), np.asarray(want, np.float32),
         rtol=0.05, atol=0.05)
+
+
+def _mlp_ref(x, lns, lnb, w1, b1, w2, b2, eps=1e-5):
+    """Unfused reference: models/clip.py ResidualAttentionBlock MLP half
+    (LayerNormF32 stats f32, quick_gelu, fp32 GEMM accumulation)."""
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    ln = ((xf - mu) * jax.lax.rsqrt(var + eps) * lns + lnb).astype(dt)
+    h = (jnp.dot(ln, w1.astype(dt), preferred_element_type=jnp.float32)
+         + b1).astype(dt)
+    h = h * jax.nn.sigmoid(1.702 * h)
+    y = (jnp.dot(h, w2.astype(dt), preferred_element_type=jnp.float32)
+         + b2).astype(dt)
+    return x + y
+
+
+def _mlp_weights(rng, d):
+    return dict(
+        lns=jnp.asarray(1 + rng.standard_normal(d) * 0.1, jnp.float32),
+        lnb=jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32),
+        w1=jnp.asarray(rng.standard_normal((d, 4 * d)) * 0.05, jnp.float32),
+        b1=jnp.asarray(rng.standard_normal(4 * d) * 0.01, jnp.float32),
+        w2=jnp.asarray(rng.standard_normal((4 * d, d)) * 0.05, jnp.float32),
+        b2=jnp.asarray(rng.standard_normal(d) * 0.01, jnp.float32))
+
+
+@pytest.mark.parametrize("shape", [(4, 10, 64), (96, 64)])
+def test_fused_mlp_parity_f32(shape):
+    rng = np.random.default_rng(2)
+    d = shape[-1]
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    w = _mlp_weights(rng, d)
+    want = _mlp_ref(x, w["lns"], w["lnb"], w["w1"], w["b1"],
+                    w["w2"], w["b2"])
+    got = fused_mlp_sublayer(x, w["lns"], w["lnb"], w["w1"], w["b1"],
+                             w["w2"], w["b2"], interpret=True)
+    assert got.shape == x.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_mlp_parity_bf16():
+    rng = np.random.default_rng(3)
+    B, L, D = 2, 12, 64
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.bfloat16)
+    w = _mlp_weights(rng, D)
+    want = _mlp_ref(x, w["lns"], w["lnb"], w["w1"], w["b1"],
+                    w["w2"], w["b2"])
+    got = fused_mlp_sublayer(x, w["lns"], w["lnb"], w["w1"], w["b1"],
+                             w["w2"], w["b2"], interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=0.05, atol=0.05)
+
+
+def test_pick_rows():
+    assert _pick_rows(1024) == 512            # cap, multiple of 16
+    assert _pick_rows(96) == 96               # whole thing, one block
+    assert _pick_rows(100) == 100             # no 16-multiple divisor
+    for n in [16, 96, 100, 512, 1024, 800]:
+        r = _pick_rows(n)
+        assert n % r == 0
 
 
 def test_pick_chunk_divides_batch():

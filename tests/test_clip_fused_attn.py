@@ -63,6 +63,37 @@ def test_fused_attn_vision_parity(setup):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_fused_mlp_param_tree_identical(setup):
+    model, variables, images, ids = setup
+    fused = CLIPModel(dataclasses.replace(CFG, fused_mlp=True))
+    vf = fused.init(jax.random.key(0), images, ids)
+    assert jax.tree.structure(vf) == jax.tree.structure(variables)
+    for a, b in zip(jax.tree.leaves(vf), jax.tree.leaves(variables)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+
+
+@pytest.mark.parametrize("mode", [
+    dict(fused_mlp=True),
+    dict(fused_mlp=True, fused_attn=True),
+    dict(fused_mlp=True, flatten_tokens=True),
+])
+def test_fused_mlp_parity_both_towers(setup, mode):
+    """fused_mlp must match the unfused model on the SAME params, alone
+    and composed with each layout mode (it is purely per-token)."""
+    model, variables, images, ids = setup
+    fused = CLIPModel(dataclasses.replace(CFG, **mode))
+    high, mid = model.apply(variables, images, method="encode_image")
+    fh, fm = fused.apply(variables, images, method="encode_image")
+    np.testing.assert_allclose(np.asarray(fh), np.asarray(high),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fm), np.asarray(mid),
+                               rtol=2e-5, atol=2e-5)
+    t = model.apply(variables, ids, method="encode_text")
+    ft = fused.apply(variables, ids, method="encode_text")
+    np.testing.assert_allclose(np.asarray(ft), np.asarray(t),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_fused_attn_text_parity_causal(setup):
     """The text tower's triangular mask must be reproduced by the
     kernel's causal path (EOT pooling reads mid-sequence rows)."""
