@@ -134,6 +134,22 @@ def profile_slowfast(batch=32, frames=32, steps=8, quick=False):
                  t2 * 1e3, "ms", videos_per_s=round(batch / t2, 1),
                  tflops=round(fl / t2 / 1e12, 1) if fl else None)
 
+    # -- s2d stem A/B: exact-math retiling of the roofline's top op ----
+    # (ops/s2d_stem.py; param tree identical, so the SAME state/stats
+    # feed both arms — only the program changes)
+    if not quick:
+        m3 = BackboneClassifier(
+            SlowFast(SlowFastConfig(alpha=8, fast_s2d_stem=True)),
+            num_classes=400)
+        step3 = make_cls_train_step_stats(m3, tx, bf16=True)
+        jstep3 = lambda st, s, x, y: step3(  # noqa: E731
+            st, s, x, y, jax.random.key(0))[0].params
+        t3 = device_time(jstep3, state, stats, clips, labels,
+                         steps=max(2, steps // 2), perturb_argnums=(2,))
+        _row("slowfast_step_s2d_stem_bf16_B32", t3 * 1e3, "ms",
+             videos_per_s=round(batch / t3, 1),
+             speedup_vs_base=round(t_step / t3, 3))
+
 
 def profile_yolo(batch=16, img=640, max_targets=32, steps=6, quick=False):
     import jax

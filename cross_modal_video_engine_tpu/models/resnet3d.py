@@ -100,6 +100,18 @@ class NonLocal3DBlock(nn.Module):
         return x + y
 
 
+class _Conv3DParams(nn.Module):
+    """nn.Conv's kernel param (lecun_normal, no bias) without a forward
+    pass — the s2d stem path owns the SAME <name>/kernel leaf the plain
+    nn.Conv path trains, so importers and checkpoints are untouched."""
+
+    shape: Tuple[int, ...]
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 self.shape)
+
+
 @dataclasses.dataclass(frozen=True)
 class ResNet3DConfig:
     stage_blocks: Tuple[int, ...] = (3, 4, 6, 3)       # depth 50
@@ -117,6 +129,10 @@ class ResNet3DConfig:
     # (resnet3d.py:131-133 NonLocal3d after the flagged bottlenecks);
     # () = none
     non_local: Tuple[Tuple[int, ...], ...] = ()
+    # exact-math space-to-depth retiling of the 7x7 stride-2 stem
+    # (ops/s2d_stem.py — the thin fast-pathway stem tiles the MXU at 6%;
+    # same param tree, same outputs).  Off pending the on-chip A/B.
+    s2d_stem: bool = False
 
 
 @BACKBONES.register("ResNet3D")
@@ -132,9 +148,17 @@ class ResNet3D(nn.Module):
         cfg = self.cfg
         c0 = cfg.base_channels // cfg.channel_ratio
         kt = cfg.conv1_kernel_t
-        x = nn.Conv(c0, (kt, 7, 7), strides=(cfg.conv1_stride_t, 2, 2),
-                    padding=((kt // 2, kt // 2), (3, 3), (3, 3)),
-                    use_bias=False, name="conv1")(videos)
+        if cfg.s2d_stem:
+            from ..ops.s2d_stem import s2d_stem_conv
+            k = _Conv3DParams((kt, 7, 7, videos.shape[-1], c0),
+                              name="conv1")
+            x = s2d_stem_conv(videos, k.kernel,
+                              stride_t=cfg.conv1_stride_t)
+        else:
+            x = nn.Conv(c0, (kt, 7, 7),
+                        strides=(cfg.conv1_stride_t, 2, 2),
+                        padding=((kt // 2, kt // 2), (3, 3), (3, 3)),
+                        use_bias=False, name="conv1")(videos)
         x = nn.relu(_bn(train, "bn1")(x))
         x = nn.max_pool(x, (1, 3, 3), strides=(cfg.pool1_stride_t, 2, 2),
                         padding=((0, 0), (1, 1), (1, 1)))
@@ -259,6 +283,10 @@ class SlowFastConfig:
     # train with it — importing one without this flag would silently
     # drop the lateral BN)
     lateral_norm: bool = False
+    # route the FAST pathway stem through the exact-math space-to-depth
+    # retiling (ops/s2d_stem.py; param tree unchanged) — the roofline's
+    # top offender op.  Off pending the on-chip A/B.
+    fast_s2d_stem: bool = False
 
 
 @BACKBONES.register("SlowFast")
@@ -281,7 +309,8 @@ class SlowFast(nn.Module):
             stage_blocks=cfg.depth_blocks, base_channels=cfg.base_channels,
             conv1_kernel_t=5, stage_temporal_kernels=(3, 3, 3, 3),
             channel_ratio=cfg.beta_inv,
-            stage_spatial_strides=cfg.spatial_strides)
+            stage_spatial_strides=cfg.spatial_strides,
+            s2d_stem=cfg.fast_s2d_stem)
         fast_feats = ResNet3D(fast_cfg, name="fast")(
             fast_in, train=train, return_stages=True, include_stem=True)
         # fast_feats: [stem, stage1..stage4] — the mmaction fusion points
