@@ -171,9 +171,10 @@ def profile_yolo(batch=16, img=640, max_targets=32, steps=6, quick=False):
     valid = jnp.asarray(np.ones((batch, max_targets), bool))
     lr, mom = jnp.float32(0.01), jnp.float32(0.937)
 
-    def run(wm, tag):
+    def run(wm, tag, s2d=False):
         cfg = YoloConfig(num_classes=80, width_multiple=wm,
-                         depth_multiple=0.33, img_size=img)
+                         depth_multiple=0.33, img_size=img,
+                         s2d_stem=s2d)
         model = YoloV5(cfg)
         opt = YoloOptHyp()
         state = init_yolo_train_state(model, jax.random.key(0), img,
@@ -203,6 +204,7 @@ def profile_yolo(batch=16, img=640, max_targets=32, steps=6, quick=False):
 
     run(0.5, "s")                     # yolov5s
     if not quick:
+        run(0.5, "s_s2d_stem", s2d=True)  # exact-math stem retiling A/B
         run(1.0, "l_width")           # 2x channels: narrow-GEMM probe
 
 

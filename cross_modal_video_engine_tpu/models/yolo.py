@@ -41,6 +41,11 @@ class YoloConfig:
     masks: int = 0                   # nm > 0 = Segment head (yolov5-seg)
     protos: int = 0                  # npr channels; 0 = width-scaled 256
                                      # (the yaml default, models/yolo.py:94)
+    # exact-math space-to-depth retiling of the 6x6 stride-2 stem
+    # (ops/s2d_stem.py — at yolov5s width the stem tiles the MXU's N
+    # dim at 25%; same param tree, same outputs).  Off pending the
+    # on-chip A/B.
+    s2d_stem: bool = False
 
     def depth(self, n: int) -> int:
         return max(1, round(n * self.depth_multiple))
@@ -49,18 +54,40 @@ class YoloConfig:
         return int(np.ceil(c * self.width_multiple / 8) * 8)
 
 
+class _Conv2DParams(nn.Module):
+    """nn.Conv's kernel param (lecun_normal, no bias) without a forward
+    pass — the s2d stem path owns the SAME <name>/kernel leaf the plain
+    nn.Conv path trains, so importers and checkpoints are untouched."""
+
+    shape: Tuple[int, ...]
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 self.shape)
+
+
 class ConvBnSiLU(nn.Module):
     out: int
     k: int = 1
     s: int = 1
     p: int = -1   # -1 = autopad k//2 (yolov5 stem uses explicit p=2 for k=6)
+    s2d: bool = False   # route the 6x6 s=2 p=2 stem through the
+                        # exact-math space-to-depth retiling
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        pad = self.k // 2 if self.p < 0 else self.p
-        x = nn.Conv(self.out, (self.k, self.k), strides=(self.s, self.s),
-                    padding=[(pad, pad), (pad, pad)], use_bias=False,
-                    name="conv")(x)
+        if self.s2d:
+            assert (self.k, self.s, self.p) == (6, 2, 2), \
+                (self.k, self.s, self.p)
+            from ..ops.s2d_stem import s2d_stem_conv_2d
+            kp = _Conv2DParams((6, 6, x.shape[-1], self.out), name="conv")
+            x = s2d_stem_conv_2d(x, kp.kernel)
+        else:
+            pad = self.k // 2 if self.p < 0 else self.p
+            x = nn.Conv(self.out, (self.k, self.k),
+                        strides=(self.s, self.s),
+                        padding=[(pad, pad), (pad, pad)], use_bias=False,
+                        name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
                          epsilon=1e-3, name="bn")(x)
         return nn.silu(x)
@@ -158,7 +185,8 @@ class YoloV5(nn.Module):
         maps (B, H/4, W/4, nm) — is appended."""
         cfg = self.cfg
         w, d = cfg.width, cfg.depth
-        x = ConvBnSiLU(w(64), 6, 2, p=2, name="stem")(images, train=train)
+        x = ConvBnSiLU(w(64), 6, 2, p=2, s2d=cfg.s2d_stem,
+                       name="stem")(images, train=train)
         x = ConvBnSiLU(w(128), 3, 2, name="down1")(x, train=train)
         x = C3(w(128), d(3), name="c3_1")(x, train=train)
         x = ConvBnSiLU(w(256), 3, 2, name="down2")(x, train=train)
@@ -219,7 +247,8 @@ class YoloClassifier(nn.Module):
     def __call__(self, images: jnp.ndarray, *, train: bool = False):
         cfg = self.cfg
         w, d = cfg.width, cfg.depth
-        x = ConvBnSiLU(w(64), 6, 2, p=2, name="stem")(images, train=train)
+        x = ConvBnSiLU(w(64), 6, 2, p=2, s2d=cfg.s2d_stem,
+                       name="stem")(images, train=train)
         x = ConvBnSiLU(w(128), 3, 2, name="down1")(x, train=train)
         x = C3(w(128), d(3), name="c3_1")(x, train=train)
         x = ConvBnSiLU(w(256), 3, 2, name="down2")(x, train=train)

@@ -46,6 +46,49 @@ def s2d_kernel(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=-1)
 
 
+def s2d_kernel_2d(w: jnp.ndarray) -> jnp.ndarray:
+    """(6, 6, cin, cout) stride-2 pad-2 kernel (the yolov5 stem,
+    reference MCT/yolov5/models/common.py Conv(k=6, s=2, p=2)) -> the
+    equivalent (8, 8, cin, 4*cout) stride-4 kernel (quadrant order
+    row-major like :func:`s2d_kernel`)."""
+    assert w.shape[0] == 6 and w.shape[1] == 6, w.shape
+    parts = [
+        jnp.pad(w, ((2 * dy, 2 - 2 * dy), (2 * dx, 2 - 2 * dx),
+                    (0, 0), (0, 0)))
+        for dy in (0, 1) for dx in (0, 1)
+    ]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def s2d_stem_conv_2d(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Exactly nn.Conv(cout, (6, 6), strides=(2, 2),
+    padding=((2, 2), (2, 2)), use_bias=False) — as one stride-4 8x8
+    conv with 4x the output channels + depth-to-space.
+
+    Same tile arithmetic as the 3D stem, for the YOLOv5s stem shape
+    (cin=3, cout=32): the plain GEMM pads K 108->128 and N 32->128
+    (21% useful); the retiled GEMM pads K 192->256 and N 128->128 —
+    2.1x fewer padded MACs for identical outputs.
+
+    x: (B, H, W, cin) with H, W multiples of 4 (the 640/224 production
+    shapes; asserted).  w: the UNTRANSFORMED (6, 6, cin, cout) stem
+    kernel — the same param the plain path trains."""
+    cout = w.shape[-1]
+    B, H, W, _ = x.shape
+    assert H % 4 == 0 and W % 4 == 0, (H, W)
+    dt = jnp.promote_types(x.dtype, w.dtype)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dt), s2d_kernel_2d(w).astype(dt),
+        window_strides=(4, 4),
+        # out col X covers input 4X-2 .. 4X+5, so (2, 2) pads exactly
+        padding=((2, 2), (2, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    Ho, Wo = y.shape[1], y.shape[2]
+    y = y.reshape(B, Ho, Wo, 2, 2, cout)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(B, Ho * 2, Wo * 2, cout)
+
+
 def s2d_stem_conv(x: jnp.ndarray, w: jnp.ndarray, *,
                   stride_t: int = 1) -> jnp.ndarray:
     """Exactly nn.Conv(cout, (kt,7,7), strides=(stride_t,2,2),

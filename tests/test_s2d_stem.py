@@ -12,9 +12,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from cross_modal_video_engine_tpu.ops.s2d_stem import (s2d_kernel,
-                                                       s2d_stem_conv)
+                                                       s2d_kernel_2d,
+                                                       s2d_stem_conv,
+                                                       s2d_stem_conv_2d)
 from cross_modal_video_engine_tpu.models.resnet3d import (
     ResNet3D, ResNet3DConfig, SlowFast, SlowFastConfig)
+from cross_modal_video_engine_tpu.models.yolo import YoloConfig, YoloV5
 
 
 @pytest.mark.parametrize("kt,stride_t,cin,cout,hw", [
@@ -92,6 +95,71 @@ def test_resnet3d_s2d_param_tree_and_parity():
     got = ResNet3D(cfg_s2d).apply(v, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("cin,cout,hw", [
+    (3, 32, 64),     # yolov5s stem shape family (640-side scaled down)
+    (3, 16, 32),     # yolov5n width
+])
+def test_s2d_conv_2d_matches_plain_conv(cin, cout, hw):
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, hw, hw, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((6, 6, cin, cout)) * 0.1,
+                    jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x, w, window_strides=(2, 2), padding=((2, 2), (2, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = s2d_stem_conv_2d(x, w)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_s2d_kernel_2d_shape_and_quadrants():
+    w = jnp.arange(6 * 6 * 3 * 8, dtype=jnp.float32).reshape(6, 6, 3, 8)
+    w8 = s2d_kernel_2d(w)
+    assert w8.shape == (8, 8, 3, 32)
+    np.testing.assert_array_equal(np.asarray(w8[0:6, 0:6, :, 0:8]),
+                                  np.asarray(w))
+    np.testing.assert_array_equal(np.asarray(w8[2:8, 2:8, :, 24:32]),
+                                  np.asarray(w))
+    assert np.all(np.asarray(w8[6:8, :, :, 0:8]) == 0)
+
+
+def test_s2d_2d_gradient_matches():
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 3)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((6, 6, 3, 16)) * 0.1, jnp.float32)
+
+    def plain(w):
+        y = jax.lax.conv_general_dilated(
+            x, w, window_strides=(2, 2), padding=((2, 2), (2, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.sum(jnp.sin(y))
+
+    def s2d(w):
+        return jnp.sum(jnp.sin(s2d_stem_conv_2d(x, w)))
+
+    np.testing.assert_allclose(np.asarray(jax.grad(s2d)(w)),
+                               np.asarray(jax.grad(plain)(w)),
+                               rtol=1e-4, atol=5e-4)
+
+
+def test_yolo_s2d_param_tree_and_parity():
+    cfg = YoloConfig(num_classes=4, img_size=64)
+    cfg_s2d = dataclasses.replace(cfg, s2d_stem=True)
+    x = jnp.asarray(np.random.default_rng(6).standard_normal(
+        (1, 64, 64, 3)) * 0.2 + 0.5, jnp.float32)
+    v = YoloV5(cfg).init(jax.random.key(0), x)
+    v2 = YoloV5(cfg_s2d).init(jax.random.key(0), x)
+    assert jax.tree.structure(v2) == jax.tree.structure(v)
+    for a, b in zip(jax.tree.leaves(v2), jax.tree.leaves(v)):
+        assert a.shape == b.shape
+    want = YoloV5(cfg).apply(v, x)
+    got = YoloV5(cfg_s2d).apply(v, x)
+    for g, wnt in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(wnt),
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_slowfast_fast_s2d_parity():
