@@ -252,6 +252,13 @@ class Transformer(nn.Module):
         the MLP half and composes with any layout.  Param tree is
         identical in every mode."""
         if fused_attn:
+            # the fused branch builds its own padding/causal masks: a
+            # flatten request or a non-causal additive mask would be
+            # silently dropped — refuse instead
+            assert not flatten, \
+                "fused_attn is mutually exclusive with flatten_tokens"
+            assert mask is None or causal, \
+                "fused_attn supports only the causal triangular mask"
             from ..ops.attention_sublayer import pad_tokens
             x, L = pad_tokens(x)
             for i in range(self.layers):

@@ -31,6 +31,19 @@ from flax import linen as nn
 from ..ops.similarity import l2norm
 
 
+class KernelParams(nn.Module):
+    """nn.Conv/nn.Dense's kernel param (lecun_normal, no bias) without a
+    forward pass — lets an exact-math rewrite (e.g. the s2d stems in
+    ops/s2d_stem.py) own the SAME <name>/kernel leaf the plain module
+    path trains, so importers and checkpoints are untouched."""
+
+    shape: Tuple[int, ...]
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 self.shape)
+
+
 class BiGRU(nn.Module):
     hidden_size: int
     packed: bool = False

@@ -100,18 +100,6 @@ class NonLocal3DBlock(nn.Module):
         return x + y
 
 
-class _Conv3DParams(nn.Module):
-    """nn.Conv's kernel param (lecun_normal, no bias) without a forward
-    pass — the s2d stem path owns the SAME <name>/kernel leaf the plain
-    nn.Conv path trains, so importers and checkpoints are untouched."""
-
-    shape: Tuple[int, ...]
-
-    def setup(self):
-        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                                 self.shape)
-
-
 @dataclasses.dataclass(frozen=True)
 class ResNet3DConfig:
     stage_blocks: Tuple[int, ...] = (3, 4, 6, 3)       # depth 50
@@ -150,8 +138,9 @@ class ResNet3D(nn.Module):
         kt = cfg.conv1_kernel_t
         if cfg.s2d_stem:
             from ..ops.s2d_stem import s2d_stem_conv
-            k = _Conv3DParams((kt, 7, 7, videos.shape[-1], c0),
-                              name="conv1")
+            from .layers import KernelParams
+            k = KernelParams((kt, 7, 7, videos.shape[-1], c0),
+                             name="conv1")
             x = s2d_stem_conv(videos, k.kernel,
                               stride_t=cfg.conv1_stride_t)
         else:

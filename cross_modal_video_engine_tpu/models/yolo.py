@@ -54,18 +54,6 @@ class YoloConfig:
         return int(np.ceil(c * self.width_multiple / 8) * 8)
 
 
-class _Conv2DParams(nn.Module):
-    """nn.Conv's kernel param (lecun_normal, no bias) without a forward
-    pass — the s2d stem path owns the SAME <name>/kernel leaf the plain
-    nn.Conv path trains, so importers and checkpoints are untouched."""
-
-    shape: Tuple[int, ...]
-
-    def setup(self):
-        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                                 self.shape)
-
-
 class ConvBnSiLU(nn.Module):
     out: int
     k: int = 1
@@ -80,7 +68,8 @@ class ConvBnSiLU(nn.Module):
             assert (self.k, self.s, self.p) == (6, 2, 2), \
                 (self.k, self.s, self.p)
             from ..ops.s2d_stem import s2d_stem_conv_2d
-            kp = _Conv2DParams((6, 6, x.shape[-1], self.out), name="conv")
+            from .layers import KernelParams
+            kp = KernelParams((6, 6, x.shape[-1], self.out), name="conv")
             x = s2d_stem_conv_2d(x, kp.kernel)
         else:
             pad = self.k // 2 if self.p < 0 else self.p

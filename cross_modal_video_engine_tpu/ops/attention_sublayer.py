@@ -19,8 +19,13 @@ Contract (vs models/clip.py MHA + LayerNormF32):
     GEMMs accumulate fp32 (preferred_element_type), activations carry
     x.dtype — numerically matching the unfused bf16/f32 paths.
   * causal=True adds the text tower's triangular mask.
-  * Exposed for A/B only (CLIPConfig.fused_attn — off by default);
+  * Off by default (CLIPConfig.fused_attn) pending the on-chip A/B;
     parity pinned by tests/test_attention_sublayer.py.
+  * Differentiable: pallas_call has no reverse-mode rule, so both
+    sublayers carry a custom_vjp whose backward is the vjp of the same
+    math in plain jnp (_attn_ref/_mlp_ref) — training through a fused
+    model costs one extra unfused forward in the backward pass and
+    produces the unfused path's exact gradients.
 """
 
 from __future__ import annotations
@@ -45,18 +50,26 @@ def _pick_chunk(batch: int, lp: int, max_rows: int = 512) -> int:
     return g
 
 
+def _ln_f32(xb: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+            eps: float) -> jnp.ndarray:
+    """LayerNormF32 semantics (fp32 statistics, output in x.dtype) —
+    the one copy both fused kernels and their reference-math backward
+    passes share."""
+    xf = xb.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps)
+            * scale.astype(jnp.float32)
+            + bias.astype(jnp.float32)).astype(xb.dtype)
+
+
 def _kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref, bk_ref,
             wv_ref, bv_ref, wo_ref, bo_ref, o_ref, att_ref, *,
             g_seqs: int, lp: int, heads: int, valid_len: int,
             causal: bool, eps: float):
     dt = x_ref.dtype
     xb = x_ref[...]
-    xf = xb.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
-    ln = ((xf - mu) * jax.lax.rsqrt(var + eps)
-          * lns_ref[...].astype(jnp.float32)
-          + lnb_ref[...].astype(jnp.float32)).astype(dt)
+    ln = _ln_f32(xb, lns_ref[...], lnb_ref[...], eps)
     q = (jnp.dot(ln, wq_ref[...], preferred_element_type=jnp.float32)
          + bq_ref[...].astype(jnp.float32)).astype(dt)
     k = (jnp.dot(ln, wk_ref[...], preferred_element_type=jnp.float32)
@@ -91,23 +104,9 @@ def _kernel(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref, bk_ref,
     o_ref[...] = y
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "heads", "valid_len", "causal", "eps", "interpret"))
-def fused_attention_sublayer(x: jnp.ndarray,
-                             ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
-                             wq: jnp.ndarray, bq: jnp.ndarray,
-                             wk: jnp.ndarray, bk: jnp.ndarray,
-                             wv: jnp.ndarray, bv: jnp.ndarray,
-                             wo: jnp.ndarray, bo: jnp.ndarray, *,
-                             heads: int, valid_len: int,
-                             causal: bool = False, eps: float = 1e-5,
-                             interpret: bool | None = None) -> jnp.ndarray:
-    """x: (B, LP, D) -> (B, LP, D); rows >= valid_len are padding.
-    interpret=None auto-selects the Pallas interpreter off-TPU so the
-    fused model stays runnable in the CPU test mesh."""
-    if interpret is None:
-        # 'axon' is the remote-TPU relay backend (runs real kernels)
-        interpret = jax.default_backend() not in ("tpu", "axon")
+def _attn_pallas(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, *,
+                 heads: int, valid_len: int, causal: bool, eps: float,
+                 interpret: bool) -> jnp.ndarray:
     b, lp, d = x.shape
     g = _pick_chunk(b, lp)
     rows = g * lp
@@ -141,16 +140,92 @@ def fused_attention_sublayer(x: jnp.ndarray,
     return out.reshape(b, lp, d)
 
 
+def _attn_ref(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, *,
+              heads: int, valid_len: int, causal: bool, eps: float
+              ) -> jnp.ndarray:
+    """The kernel's math in plain jnp (same casts, same fp32 accum) —
+    the backward pass differentiates THIS, so the fused sublayer trains
+    with the unfused path's exact gradients."""
+    b, lp, d = x.shape
+    dt = x.dtype
+    hd = d // heads
+
+    def _dense(a, w, bb):
+        return (jnp.dot(a, w.astype(dt),
+                        preferred_element_type=jnp.float32)
+                + bb.astype(dt).astype(jnp.float32)).astype(dt)
+
+    ln = _ln_f32(x, ln_scale, ln_bias, eps)
+    q = _dense(ln, wq, bq).reshape(b, lp, heads, hd)
+    k = _dense(ln, wk, bk).reshape(b, lp, heads, hd)
+    v = _dense(ln, wv, bv).reshape(b, lp, heads, hd)
+    sc = jnp.einsum("bqhc,bkhc->bhqk", q, k,
+                    preferred_element_type=jnp.float32)
+    sc = sc * jnp.float32(1.0 / np.sqrt(hd))
+    col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+    mask = jnp.where(col < valid_len, 0.0, -1e30).astype(jnp.float32)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 0)
+        mask = mask + jnp.where(col <= row, 0.0, -1e30)
+    pr = jax.nn.softmax(sc + mask, axis=-1).astype(dt)
+    att = jnp.einsum("bhqk,bkhc->bqhc", pr, v,
+                     preferred_element_type=jnp.float32).astype(dt)
+    return _dense(att.reshape(b, lp, d), wo, bo) + x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
+def _attn_vjp(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, cfg):
+    return _attn_pallas(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv,
+                        wo, bo, heads=cfg[0], valid_len=cfg[1],
+                        causal=cfg[2], eps=cfg[3], interpret=cfg[4])
+
+
+def _attn_fwd(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo, cfg):
+    args = (x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo)
+    return _attn_pallas(*args, heads=cfg[0], valid_len=cfg[1],
+                        causal=cfg[2], eps=cfg[3],
+                        interpret=cfg[4]), args
+
+
+def _attn_bwd(cfg, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: _attn_ref(*a, heads=cfg[0], valid_len=cfg[1],
+                             causal=cfg[2], eps=cfg[3]), *res)
+    return vjp(g)
+
+
+_attn_vjp.defvjp(_attn_fwd, _attn_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "heads", "valid_len", "causal", "eps", "interpret"))
+def fused_attention_sublayer(x: jnp.ndarray,
+                             ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
+                             wq: jnp.ndarray, bq: jnp.ndarray,
+                             wk: jnp.ndarray, bk: jnp.ndarray,
+                             wv: jnp.ndarray, bv: jnp.ndarray,
+                             wo: jnp.ndarray, bo: jnp.ndarray, *,
+                             heads: int, valid_len: int,
+                             causal: bool = False, eps: float = 1e-5,
+                             interpret: bool | None = None) -> jnp.ndarray:
+    """x: (B, LP, D) -> (B, LP, D); rows >= valid_len are padding.
+    interpret=None auto-selects the Pallas interpreter off-TPU so the
+    fused model stays runnable in the CPU test mesh.  Differentiable:
+    the backward pass is the vjp of the reference math (recomputes the
+    unfused forward — same cost profile as training the unfused path)."""
+    if interpret is None:
+        # 'axon' is the remote-TPU relay backend (runs real kernels)
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    return _attn_vjp(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
+                     (heads, valid_len, bool(causal), float(eps),
+                      bool(interpret)))
+
+
 def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 o_ref, *, eps: float):
     dt = x_ref.dtype
     xb = x_ref[...]
-    xf = xb.astype(jnp.float32)
-    mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
-    ln = ((xf - mu) * jax.lax.rsqrt(var + eps)
-          * lns_ref[...].astype(jnp.float32)
-          + lnb_ref[...].astype(jnp.float32)).astype(dt)
+    ln = _ln_f32(xb, lns_ref[...], lnb_ref[...], eps)
     h = (jnp.dot(ln, w1_ref[...], preferred_element_type=jnp.float32)
          + b1_ref[...].astype(jnp.float32)).astype(dt)
     h = h * jax.nn.sigmoid(1.702 * h)                 # quick_gelu
@@ -162,39 +237,40 @@ def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 def _pick_rows(n: int, max_rows: int = 512) -> int:
     """Row block for the MLP kernel: largest divisor of n that is a
     multiple of the 16-row bf16 sublane and <= max_rows (VMEM: W1+W2
-    ~9.4 MB bf16 at D=768 + ~3 MB of row blocks)."""
+    ~9.4 MB bf16 at D=768 + ~3 MB of row blocks).  When n has no such
+    divisor the caller pads n up to a multiple of the returned block
+    (never more than max_rows) — returning n itself would put the whole
+    array in one block and blow the VMEM budget."""
     r = min(n, max_rows)
     while r > 16 and (n % r or r % 16):
         r -= 1
-    return r if n % r == 0 else n
+    if n % r == 0 and r % 16 == 0:
+        return r
+    return min(-(-n // 16) * 16, max_rows)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
-def fused_mlp_sublayer(x: jnp.ndarray, ln_scale: jnp.ndarray,
-                       ln_bias: jnp.ndarray, w1: jnp.ndarray,
-                       b1: jnp.ndarray, w2: jnp.ndarray, b2: jnp.ndarray,
-                       *, eps: float = 1e-5,
-                       interpret: bool | None = None) -> jnp.ndarray:
-    """y = x + W2·gelu(W1·LN(x)) in one HBM round-trip per row chunk.
-    Purely per-token, so any leading shape works: (B, L, D) or (N, D).
-    The other half of the block docs/PERF.md's fused/unfused bracket
-    charges (ln_2 + the 4x-wide hidden otherwise materialized)."""
-    if interpret is None:
-        interpret = jax.default_backend() not in ("tpu", "axon")
+def _mlp_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2, *, eps: float,
+                interpret: bool) -> jnp.ndarray:
     shape = x.shape
     d = shape[-1]
     dh = w1.shape[-1]
     n = int(np.prod(shape[:-1]))
     r = _pick_rows(n)
+    n_pad = -(-n // r) * r
     dt = x.dtype
 
     def _b(m):
         return m.reshape(1, -1).astype(dt)
 
+    xr = x.reshape(n, d)
+    if n_pad != n:
+        # zero pad rows: LN maps them to the bias, the MLP to finite
+        # garbage; they are sliced off below and never read
+        xr = jnp.pad(xr, ((0, n_pad - n), (0, 0)))
     out = pl.pallas_call(
         functools.partial(_mlp_kernel, eps=eps),
-        out_shape=jax.ShapeDtypeStruct((n, d), dt),
-        grid=(n // r,),
+        out_shape=jax.ShapeDtypeStruct((n_pad, d), dt),
+        grid=(n_pad // r,),
         in_specs=[pl.BlockSpec((r, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, d), lambda i: (0, 0),
@@ -212,9 +288,58 @@ def fused_mlp_sublayer(x: jnp.ndarray, ln_scale: jnp.ndarray,
         out_specs=pl.BlockSpec((r, d), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(x.reshape(n, d), _b(ln_scale), _b(ln_bias), w1.astype(dt), _b(b1),
+    )(xr, _b(ln_scale), _b(ln_bias), w1.astype(dt), _b(b1),
       w2.astype(dt), _b(b2))
-    return out.reshape(shape)
+    return out[:n].reshape(shape)
+
+
+def _mlp_ref(x, ln_scale, ln_bias, w1, b1, w2, b2, *, eps: float
+             ) -> jnp.ndarray:
+    """The MLP kernel's math in plain jnp — backward-pass source."""
+    dt = x.dtype
+    ln = _ln_f32(x, ln_scale, ln_bias, eps)
+    h = (jnp.dot(ln, w1.astype(dt), preferred_element_type=jnp.float32)
+         + b1.astype(dt).astype(jnp.float32)).astype(dt)
+    h = h * jax.nn.sigmoid(1.702 * h)                 # quick_gelu
+    return (jnp.dot(h, w2.astype(dt), preferred_element_type=jnp.float32)
+            + b2.astype(dt).astype(jnp.float32)).astype(dt) + x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _mlp_vjp(x, ln_scale, ln_bias, w1, b1, w2, b2, cfg):
+    return _mlp_pallas(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                       eps=cfg[0], interpret=cfg[1])
+
+
+def _mlp_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, cfg):
+    args = (x, ln_scale, ln_bias, w1, b1, w2, b2)
+    return _mlp_pallas(*args, eps=cfg[0], interpret=cfg[1]), args
+
+
+def _mlp_bwd(cfg, res, g):
+    _, vjp = jax.vjp(lambda *a: _mlp_ref(*a, eps=cfg[0]), *res)
+    return vjp(g)
+
+
+_mlp_vjp.defvjp(_mlp_fwd, _mlp_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def fused_mlp_sublayer(x: jnp.ndarray, ln_scale: jnp.ndarray,
+                       ln_bias: jnp.ndarray, w1: jnp.ndarray,
+                       b1: jnp.ndarray, w2: jnp.ndarray, b2: jnp.ndarray,
+                       *, eps: float = 1e-5,
+                       interpret: bool | None = None) -> jnp.ndarray:
+    """y = x + W2·gelu(W1·LN(x)) in one HBM round-trip per row chunk.
+    Purely per-token, so any leading shape works: (B, L, D) or (N, D).
+    The other half of the block docs/PERF.md's fused/unfused bracket
+    charges (ln_2 + the 4x-wide hidden otherwise materialized).
+    Differentiable via the reference-math vjp (see
+    fused_attention_sublayer)."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    return _mlp_vjp(x, ln_scale, ln_bias, w1, b1, w2, b2,
+                    (float(eps), bool(interpret)))
 
 
 def pad_tokens(x: jnp.ndarray, sublane: int = 16

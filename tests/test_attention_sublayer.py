@@ -154,10 +154,78 @@ def test_fused_mlp_parity_bf16():
 def test_pick_rows():
     assert _pick_rows(1024) == 512            # cap, multiple of 16
     assert _pick_rows(96) == 96               # whole thing, one block
-    assert _pick_rows(100) == 100             # no 16-multiple divisor
-    for n in [16, 96, 100, 512, 1024, 800]:
+    assert _pick_rows(100) == 112             # no divisor: caller pads
+    assert _pick_rows(7700) == 512            # n=77*100: pad, never one
+    for n in [16, 96, 100, 512, 1024, 800, 7700]:  # block of n rows
         r = _pick_rows(n)
-        assert n % r == 0
+        assert r % 16 == 0 and r <= 512
+
+
+def test_fused_mlp_nondivisor_rows():
+    """n with no 16-aligned divisor takes the pad-rows path; outputs
+    still match the reference exactly (pad rows sliced off)."""
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((100, 64)), jnp.float32)
+    w = _mlp_weights(rng, 64)
+    want = _mlp_ref(x, w["lns"], w["lnb"], w["w1"], w["b1"],
+                    w["w2"], w["b2"])
+    got = fused_mlp_sublayer(x, w["lns"], w["lnb"], w["w1"], w["b1"],
+                             w["w2"], w["b2"], interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_mlp_gradients():
+    """The fused sublayer trains: its custom vjp is the reference
+    math's, so grads match the unfused path to fp32 tolerance."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((4, 10, 64)), jnp.float32)
+    w = _mlp_weights(rng, 64)
+    args = (x, w["lns"], w["lnb"], w["w1"], w["b1"], w["w2"], w["b2"])
+
+    def loss_fused(*a):
+        return jnp.sum(jnp.sin(fused_mlp_sublayer(*a, interpret=True)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.sin(_mlp_ref(*a)))
+
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(7)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(7)))(*args)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_fused_attention_gradients(causal):
+    rng = np.random.default_rng(8)
+    B, L, D, H = 2, 10, 64, 4
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    wts = _weights(rng, D)
+    xp, l = pad_tokens(x)
+    keys = ["lns", "lnb", "wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo"]
+    args = (xp,) + tuple(wts[k] for k in keys)
+
+    def loss_fused(*a):
+        y = fused_attention_sublayer(*a, heads=H, valid_len=L,
+                                     causal=causal, interpret=True)
+        return jnp.sum(jnp.sin(y[:, :L]))
+
+    def loss_ref(xp_, *ws):
+        y = _ref(xp_[:, :L], *ws, H, causal=causal)
+        return jnp.sum(jnp.sin(y))
+
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(11)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(11)))(*args)
+    # pad-row input grads are zero (their outputs are never read)
+    np.testing.assert_allclose(np.asarray(g_fused[0][:, L:]), 0.0,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_fused[0][:, :L]),
+                               np.asarray(g_ref[0][:, :L]),
+                               rtol=1e-4, atol=1e-4)
+    for gf, gr in zip(g_fused[1:], g_ref[1:]):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-4)
 
 
 def test_pick_chunk_divides_batch():

@@ -94,6 +94,40 @@ def test_fused_mlp_parity_both_towers(setup, mode):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_fused_attn_flatten_refused(setup):
+    """flatten_tokens + fused_attn would silently drop the flatten —
+    the Transformer refuses the combination instead."""
+    model, variables, images, ids = setup
+    bad = CLIPModel(dataclasses.replace(CFG, fused_attn=True,
+                                        flatten_tokens=True))
+    with pytest.raises(AssertionError, match="mutually exclusive"):
+        bad.apply(variables, images, method="encode_image")
+
+
+def test_fused_modes_train(setup):
+    """The fused sublayers are differentiable (custom vjp over the
+    reference math): grads through the full fused model match the
+    unfused model's on the same params."""
+    model, variables, images, ids = setup
+    fused = CLIPModel(dataclasses.replace(CFG, fused_attn=True,
+                                          fused_mlp=True))
+
+    def loss(m):
+        def f(v):
+            high, _ = m.apply(v, images, method="encode_image")
+            t = m.apply(v, ids, method="encode_text")
+            return jnp.sum(jnp.sin(high)) + jnp.sum(jnp.sin(t))
+        return f
+
+    g_ref = jax.grad(loss(model))(variables)
+    g_fused = jax.grad(loss(fused))(variables)
+    ref_leaves = jax.tree.leaves(g_ref)
+    for gf, gr in zip(jax.tree.leaves(g_fused), ref_leaves):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=5e-4, atol=5e-4)
+    assert len(ref_leaves) == len(jax.tree.leaves(g_fused))
+
+
 def test_fused_attn_text_parity_causal(setup):
     """The text tower's triangular mask must be reproduced by the
     kernel's causal path (EOT pooling reads mid-sequence rows)."""
