@@ -416,6 +416,8 @@ def build_timesformer_train():
     from cross_modal_video_engine_tpu.models.timesformer import (
         TimeSformerConfig)
 
+    import jax.numpy as jnp
+
     cfg = TimeSformerConfig(num_frames=8, img_size=224, patch_size=16,
                             embed_dims=768, num_heads=12, num_layers=12,
                             drop_path_max=0.0, dropout_ratio=0.0,
@@ -425,10 +427,22 @@ def build_timesformer_train():
 
     def step(params, opt_state, clips, labels):
         def loss_fn(p):
-            scores = model.apply({"params": p}, clips)
+            # the production mixed-precision step (make_cls_train_step
+            # bf16=True): f32 master params cast to bf16 for fwd/bwd,
+            # grads cast back.  Without this cast, flax Dense(dtype=None)
+            # promotes bf16 activations with the f32 kernels back to f32
+            # and the whole model silently trains in f32 — the row then
+            # mislabels an f32 step as bf16 (caught r4; regression test
+            # tests/test_bench_builders.py pins the jaxpr dot dtypes).
+            p = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x, p)
+            scores = model.apply({"params": p},
+                                 clips.astype(jnp.bfloat16))
             return optax.softmax_cross_entropy_with_integer_labels(
-                scores, labels).mean()
+                scores.astype(jnp.float32), labels).mean()
         loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 

@@ -138,13 +138,15 @@ class MHA(nn.Module):
             out = out.reshape(B * L, D) if tokens is not None \
                 else out.reshape(B, L, D)
             return nn.Dense(D, dtype=self.dtype, name="out_proj")(out)
-        logits = jnp.einsum("bhld,bhsd->bhls", q, k,
-                            preferred_element_type=jnp.float32) * scale
+        # einsum_f32acc = f32-accumulated einsum with autocast backward
+        # (cotangents cast to the operand dtype so the grad dots stay on
+        # the MXU bf16 path — ops/mixed_precision.py)
+        from ..ops.mixed_precision import einsum_f32acc
+        logits = einsum_f32acc("bhld,bhsd->bhls", q, k) * scale
         if mask is not None:
             logits = logits + mask
         w = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhls,bhsd->bhld", w, v,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
+        out = einsum_f32acc("bhls,bhsd->bhld", w, v).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3)
         out = out.reshape(B * L, D) if tokens is not None \
             else out.reshape(B, L, D)

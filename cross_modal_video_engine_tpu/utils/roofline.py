@@ -50,6 +50,9 @@ class OpCost:
     mxu_util: float        # useful/padded MAC ratio (1.0 for 'other')
     bytes: float           # operand + result bytes (unfused traffic)
     mult: int = 1          # loop multiplier already applied
+    dtypes: tuple = ()     # operand dtype names (dot/conv only) — lets
+                           # tests assert a "bf16" step really runs its
+                           # MXU FLOPs on bf16 operands
 
 
 def _nbytes(aval) -> float:
@@ -89,7 +92,8 @@ def _conv_cost(eq, mult: int) -> OpCost:
     by = sum(_nbytes(v.aval) for v in eq.invars) + _nbytes(out)
     return OpCost("conv", f"conv {tuple(lhs.shape)}x{tuple(rhs.shape)}"
                   f"->{tuple(out.shape)} M={int(m)} K={k} N={cout}",
-                  flops * mult, util, by * mult, mult)
+                  flops * mult, util, by * mult, mult,
+                  tuple(sorted({str(v.aval.dtype) for v in eq.invars[:2]})))
 
 
 def _dot_cost(eq, mult: int) -> OpCost:
@@ -107,7 +111,8 @@ def _dot_cost(eq, mult: int) -> OpCost:
     by = sum(_nbytes(v.aval) for v in eq.invars) + \
         sum(_nbytes(v.aval) for v in eq.outvars)
     return OpCost("dot", f"dot b={int(b)} M={int(m)} K={int(k)} N={int(n)}",
-                  flops * mult, util, by * mult, mult)
+                  flops * mult, util, by * mult, mult,
+                  tuple(sorted({str(v.aval.dtype) for v in eq.invars[:2]})))
 
 
 def _walk(jaxpr: Jaxpr, mult: int, out: List[OpCost]) -> None:
