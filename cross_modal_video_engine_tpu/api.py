@@ -34,10 +34,17 @@ TEST_PIPELINE = [
 
 
 def init_recognizer(checkpoint: str):
-    """Returns (model, variables, config_dict)."""
+    """Returns (model, variables, config_dict).  When the backbone
+    config says dtype='bfloat16', the loaded tree is cast to bf16
+    (torch .half() analogue, utils/precision.py) — without it the f32
+    params promote every Dense(dtype=None)/BatchNorm back to f32 and
+    the 'bf16' inference runs an f32 program."""
     variables, cfg_d, _ = load_checkpoint(checkpoint)
     bb_kw = {k: tuple(v) if isinstance(v, list) else v
              for k, v in cfg_d["backbone"].items()}
+    if bb_kw.get("dtype") == "bfloat16":
+        from .utils.precision import cast_inference_variables
+        variables = cast_inference_variables(variables)
     btype = bb_kw.pop("type", "TimeSformer")
     if btype != "TimeSformer":
         from .cli.recognition_train import build_caption_backbone
