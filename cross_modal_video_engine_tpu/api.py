@@ -42,9 +42,8 @@ def init_recognizer(checkpoint: str):
     variables, cfg_d, _ = load_checkpoint(checkpoint)
     bb_kw = {k: tuple(v) if isinstance(v, list) else v
              for k, v in cfg_d["backbone"].items()}
-    if bb_kw.get("dtype") == "bfloat16":
-        from .utils.precision import cast_inference_variables
-        variables = cast_inference_variables(variables)
+    from .utils.precision import maybe_cast_bf16
+    variables = maybe_cast_bf16(variables, cfg_d)
     btype = bb_kw.pop("type", "TimeSformer")
     if btype != "TimeSformer":
         from .cli.recognition_train import build_caption_backbone

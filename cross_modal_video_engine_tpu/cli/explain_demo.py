@@ -49,6 +49,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     variables, cfg_d, _ = load_checkpoint(args.checkpoint)
+    from ..utils.precision import maybe_cast_bf16
+    variables = maybe_cast_bf16(variables, cfg_d)
     ts_cfg = TimeSformerConfig(**{k: tuple(v) if isinstance(v, list) else v
                                   for k, v in cfg_d["backbone"].items()})
     model = Recognizer3D(ts_cfg, num_classes=cfg_d["num_classes"])

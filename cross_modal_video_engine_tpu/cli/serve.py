@@ -92,10 +92,8 @@ def build_caption_handler(args):
     from .caption_inference import DEFAULT_PIPELINE
 
     variables, cfg_d, _ = load_checkpoint(args.caption_checkpoint)
-    if cfg_d["backbone"].get("dtype") == "bfloat16":
-        # torch .half() analogue — see api.init_recognizer
-        from ..utils.precision import cast_inference_variables
-        variables = cast_inference_variables(variables)
+    from ..utils.precision import maybe_cast_bf16
+    variables = maybe_cast_bf16(variables, cfg_d)  # torch .half() analogue
     ts = TimeSformerConfig(**{k: tuple(v) if isinstance(v, list) else v
                               for k, v in cfg_d["backbone"].items()})
     model = Recognizer3DRelseq(ts, RNNDecoderConfig(**cfg_d["decoder"]))
@@ -257,9 +255,8 @@ def build_explain_handler(args):
     from .explain_demo import load_concept_banks
 
     variables, cfg_d, _ = load_checkpoint(args.explain_checkpoint)
-    if cfg_d["backbone"].get("dtype") == "bfloat16":
-        from ..utils.precision import cast_inference_variables
-        variables = cast_inference_variables(variables)
+    from ..utils.precision import maybe_cast_bf16
+    variables = maybe_cast_bf16(variables, cfg_d)
     ts_cfg = TimeSformerConfig(**{k: tuple(v) if isinstance(v, list) else v
                                   for k, v in cfg_d["backbone"].items()})
     model = Recognizer3D(ts_cfg, num_classes=cfg_d["num_classes"])

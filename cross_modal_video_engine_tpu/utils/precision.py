@@ -27,3 +27,14 @@ def cast_inference_variables(variables, dtype=jnp.bfloat16):
         lambda x: x.astype(dtype)
         if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
         else x, variables)
+
+
+def maybe_cast_bf16(variables, cfg_d):
+    """The one checkpoint-load hook every inference loader should call:
+    casts the tree to bf16 iff the backbone config says dtype='bfloat16'.
+    Centralised so a new loader can't forget the conditional (the
+    duplicated 4-line block missed cli/explain_demo.py in its first
+    round)."""
+    if cfg_d.get("backbone", {}).get("dtype") == "bfloat16":
+        return cast_inference_variables(variables)
+    return variables

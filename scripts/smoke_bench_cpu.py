@@ -19,7 +19,12 @@ import sys
 import time
 import traceback
 
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# append (not setdefault): a pre-set XLA_FLAGS must not silently drop
+# the 8-device mesh the sharded rows exist to exercise (conftest.py:12)
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
