@@ -683,18 +683,35 @@ def bench_train_step_yolov5_seg(batch=16, img=640, max_targets=32,
     return ips
 
 
-def main():
-    bench_retrieval_p50()
-    bench_int8_capacity()
-    bench_flash_sweep()
-    bench_flatten_tokens_ab()
-    bench_text_tower()
-    bench_u8_ingest()
-    bench_host_feed()
-    bench_train_step_timesformer()
-    bench_train_step_slowfast()
-    bench_train_step_yolov5()
-    bench_train_step_yolov5_seg()
+_BENCHES = [
+    ("retrieval_p50", bench_retrieval_p50),
+    ("int8_capacity", bench_int8_capacity),
+    ("flash_sweep", bench_flash_sweep),
+    ("flatten_tokens_ab", bench_flatten_tokens_ab),
+    ("text_tower", bench_text_tower),
+    ("u8_ingest", bench_u8_ingest),
+    ("host_feed", bench_host_feed),
+    ("train_step_timesformer", bench_train_step_timesformer),
+    ("train_step_slowfast", bench_train_step_slowfast),
+    ("train_step_yolov5", bench_train_step_yolov5),
+    ("train_step_yolov5_seg", bench_train_step_yolov5_seg),
+]
+
+
+def main(argv=None):
+    """No args: every bench in order.  With args: only the named
+    benches (resume after a mid-run failure without re-paying the
+    completed rows' compiles)."""
+    import sys
+    names = list(sys.argv[1:] if argv is None else argv)
+    table = dict(_BENCHES)
+    unknown = [n for n in names if n not in table]
+    if unknown:
+        raise SystemExit(f"unknown bench(es) {unknown}; "
+                         f"choose from {[n for n, _ in _BENCHES]}")
+    for name, fn in _BENCHES:
+        if not names or name in names:
+            fn()
 
 
 if __name__ == "__main__":

@@ -227,8 +227,11 @@ def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     xb = x_ref[...]
     ln = _ln_f32(xb, lns_ref[...], lnb_ref[...], eps)
     h = (jnp.dot(ln, w1_ref[...], preferred_element_type=jnp.float32)
-         + b1_ref[...].astype(jnp.float32)).astype(dt)
-    h = h * jax.nn.sigmoid(1.702 * h)                 # quick_gelu
+         + b1_ref[...].astype(jnp.float32))
+    # quick_gelu in f32: Mosaic rejects logistic on bf16 vectors
+    # ('vector.broadcast' element-type mismatch), and staying in f32
+    # until after the nonlinearity drops one rounding anyway
+    h = (h * jax.nn.sigmoid(1.702 * h)).astype(dt)
     y = (jnp.dot(h, w2_ref[...], preferred_element_type=jnp.float32)
          + b2_ref[...].astype(jnp.float32)).astype(dt) + xb
     o_ref[...] = y
@@ -299,8 +302,8 @@ def _mlp_ref(x, ln_scale, ln_bias, w1, b1, w2, b2, *, eps: float
     dt = x.dtype
     ln = _ln_f32(x, ln_scale, ln_bias, eps)
     h = (jnp.dot(ln, w1.astype(dt), preferred_element_type=jnp.float32)
-         + b1.astype(dt).astype(jnp.float32)).astype(dt)
-    h = h * jax.nn.sigmoid(1.702 * h)                 # quick_gelu
+         + b1.astype(dt).astype(jnp.float32))
+    h = (h * jax.nn.sigmoid(1.702 * h)).astype(dt)    # quick_gelu (f32)
     return (jnp.dot(h, w2.astype(dt), preferred_element_type=jnp.float32)
             + b2.astype(dt).astype(jnp.float32)).astype(dt) + x
 
