@@ -5,6 +5,14 @@ Runs the flagship CLIP ViT-B/32 vision tower in bfloat16 over batches of
 stride-8 sampling -> 8 frames per video, src/utils.py:22-29) and reports
 sustained videos/sec on one chip.
 
+The tower runs with the fused Pallas sublayers (fused_attn + fused_mlp,
+ops/attention_sublayer.py): each block's attention half and MLP half
+execute VMEM-resident per row chunk, so the per-layer ln/qkv/hidden
+intermediates never touch HBM.  Exact same param tree and math as the
+unfused tower (parity: tests/test_clip_fused_attn.py); the r4 on-chip
+A/B measured 1660 vs 1216 videos/s (+37%) over the rank-3 XLA path
+(BENCH_EXTRA_r4.json video_embed_vitb32_bf16_8f224_*_layout rows).
+
 vs_baseline: BASELINE.json targets >=2x A100 videos/sec/chip.  The
 reference publishes no throughput number; we use a public-knowledge
 estimate of A100 fp16 CLIP ViT-B/32 batched inference (~1400 img/s ->
@@ -34,6 +42,7 @@ def main():
         vision_layers=12, vision_heads=12, patch_size=32,
         context_length=77, vocab_size=49408, text_width=512,
         text_heads=8, text_layers=12, dtype="bfloat16",
+        fused_attn=True, fused_mlp=True,
     )
     model = CLIPModel(cfg)
     rng = np.random.default_rng(0)

@@ -32,7 +32,7 @@ def _flops(jitted, *args):
 
 def _row(metric, value, unit, **extra):
     print(json.dumps({"metric": metric, "value": round(value, 2),
-                      "unit": unit, **extra}))
+                      "unit": unit, **extra}), flush=True)
 
 
 def profile_slowfast(batch=32, frames=32, steps=8, quick=False):
@@ -44,7 +44,7 @@ def profile_slowfast(batch=32, frames=32, steps=8, quick=False):
     from cross_modal_video_engine_tpu.models.resnet3d import (SlowFast,
                                                               SlowFastConfig)
     from cross_modal_video_engine_tpu.train.recognition_trainer import (
-        RecTrainState, make_cls_train_step_stats)
+        RecTrainState, _cast_tree, make_cls_train_step_stats)
     from cross_modal_video_engine_tpu.utils.profiling import device_time
 
     rng = np.random.default_rng(0)
@@ -75,21 +75,27 @@ def profile_slowfast(batch=32, frames=32, steps=8, quick=False):
     step = make_cls_train_step_stats(model, tx, bf16=True)
 
     # -- phase splits --------------------------------------------------
+    # params cast to bf16 INSIDE each fn, exactly as the real bf16 step
+    # does (loss_fn's _cast_tree) — with f32 params the activations stay
+    # f32 and the B=32 forward alone exceeds the 16 GB HBM.
     def fwd_train(p, s, x):
         out, _ = model.apply(
-            {"params": p, "batch_stats": s}, x.astype(jnp.bfloat16),
+            {"params": _cast_tree(p, jnp.bfloat16), "batch_stats": s},
+            x.astype(jnp.bfloat16),
             train=True, mutable=["batch_stats"],
             rngs={"dropout": jax.random.key(0)})
         return out
 
     def fwd_frozen(p, s, x):
-        return model.apply({"params": p, "batch_stats": s},
-                           x.astype(jnp.bfloat16), train=False)
+        return model.apply(
+            {"params": _cast_tree(p, jnp.bfloat16), "batch_stats": s},
+            x.astype(jnp.bfloat16), train=False)
 
     def fwd_bwd(p, s, x, y):
         def loss(p):
             out, _ = model.apply(
-                {"params": p, "batch_stats": s}, x.astype(jnp.bfloat16),
+                {"params": _cast_tree(p, jnp.bfloat16), "batch_stats": s},
+                x.astype(jnp.bfloat16),
                 train=True, mutable=["batch_stats"],
                 rngs={"dropout": jax.random.key(0)})
             import optax as _o
@@ -117,21 +123,32 @@ def profile_slowfast(batch=32, frames=32, steps=8, quick=False):
          opt_tax_ms=round((t_step - t_fwdbwd) * 1e3, 2))
 
     # -- width A/B: fast pathway 2x/4x wider ---------------------------
+    # At B=32 the 2x-wide arm needs 16.9G of the 15.75G HBM, so the
+    # sweep runs at B=16 with its own same-batch baseline arm (MFU vs
+    # width is the question; it does not need the headline batch).
     if not quick:
-        for beta_inv in (4, 2):
+        wb = batch // 2
+        clips16, labels16 = clips[:wb], labels[:wb]
+        for beta_inv in (8, 4, 2):
             m2, v2 = build(beta_inv)
             st2 = RecTrainState(v2["params"], tx.init(v2["params"]),
                                 jnp.zeros((), jnp.int32))
             step2 = make_cls_train_step_stats(m2, tx, bf16=True)
             jstep2 = lambda st, s, x, y: step2(  # noqa: E731
                 st, s, x, y, jax.random.key(0))[0].params
-            t2 = device_time(jstep2, st2, v2["batch_stats"], clips,
-                             labels, steps=max(2, steps // 2),
-                             perturb_argnums=(2,))
-            fl = _flops(jax.jit(jstep2), st2, v2["batch_stats"], clips,
-                        labels)
-            _row(f"slowfast_step_beta_inv{beta_inv}_bf16_B32",
-                 t2 * 1e3, "ms", videos_per_s=round(batch / t2, 1),
+            try:
+                t2 = device_time(jstep2, st2, v2["batch_stats"], clips16,
+                                 labels16, steps=max(2, steps // 2),
+                                 perturb_argnums=(2,))
+            except Exception as exc:
+                print(json.dumps({
+                    "metric": f"slowfast_step_beta_inv{beta_inv}_bf16_B{wb}",
+                    "value": None, "unit": "ms", "note": str(exc)[:120]}))
+                continue
+            fl = _flops(jax.jit(jstep2), st2, v2["batch_stats"], clips16,
+                        labels16)
+            _row(f"slowfast_step_beta_inv{beta_inv}_bf16_B{wb}",
+                 t2 * 1e3, "ms", videos_per_s=round(wb / t2, 1),
                  tflops=round(fl / t2 / 1e12, 1) if fl else None)
 
     # -- s2d stem A/B: exact-math retiling of the roofline's top op ----
@@ -144,11 +161,16 @@ def profile_slowfast(batch=32, frames=32, steps=8, quick=False):
         step3 = make_cls_train_step_stats(m3, tx, bf16=True)
         jstep3 = lambda st, s, x, y: step3(  # noqa: E731
             st, s, x, y, jax.random.key(0))[0].params
-        t3 = device_time(jstep3, state, stats, clips, labels,
-                         steps=max(2, steps // 2), perturb_argnums=(2,))
-        _row("slowfast_step_s2d_stem_bf16_B32", t3 * 1e3, "ms",
-             videos_per_s=round(batch / t3, 1),
-             speedup_vs_base=round(t_step / t3, 3))
+        try:
+            t3 = device_time(jstep3, state, stats, clips, labels,
+                             steps=max(2, steps // 2), perturb_argnums=(2,))
+            _row("slowfast_step_s2d_stem_bf16_B32", t3 * 1e3, "ms",
+                 videos_per_s=round(batch / t3, 1),
+                 speedup_vs_base=round(t_step / t3, 3))
+        except Exception as exc:
+            print(json.dumps({"metric": "slowfast_step_s2d_stem_bf16_B32",
+                              "value": None, "unit": "ms",
+                              "note": str(exc)[:120]}))
 
 
 def profile_yolo(batch=16, img=640, max_targets=32, steps=6, quick=False):
@@ -194,8 +216,11 @@ def profile_yolo(batch=16, img=640, max_targets=32, steps=6, quick=False):
              tflops=round(fl / t / 1e12, 1) if fl else None)
 
         def fwd(p, s, x):
-            out = model.apply({"params": p, "batch_stats": s},
-                              x.astype(jnp.bfloat16), train=False)
+            from cross_modal_video_engine_tpu.train.recognition_trainer \
+                import _cast_tree
+            out = model.apply(
+                {"params": _cast_tree(p, jnp.bfloat16), "batch_stats": s},
+                x.astype(jnp.bfloat16), train=False)
             return out[0] if isinstance(out, tuple) else out
         t_fwd = device_time(fwd, state.params, state.batch_stats, images,
                             steps=steps, perturb_argnums=(2,))
@@ -204,8 +229,14 @@ def profile_yolo(batch=16, img=640, max_targets=32, steps=6, quick=False):
 
     run(0.5, "s")                     # yolov5s
     if not quick:
-        run(0.5, "s_s2d_stem", s2d=True)  # exact-math stem retiling A/B
-        run(1.0, "l_width")           # 2x channels: narrow-GEMM probe
+        for wm, tag, s2d in ((0.5, "s_s2d_stem", True),
+                             (1.0, "l_width", False)):
+            try:
+                run(wm, tag, s2d=s2d)
+            except Exception as exc:
+                print(json.dumps({
+                    "metric": f"yolov5_step_{tag}_bf16_B{batch}",
+                    "value": None, "unit": "ms", "note": str(exc)[:120]}))
 
 
 def try_profiler_trace(out_dir="/tmp/cmve_trace"):
