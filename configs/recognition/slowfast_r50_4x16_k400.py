@@ -3,7 +3,11 @@
 _base_ = ['../_base_/default_runtime.py', '../_base_/kinetics_video.py']
 model = dict(
     backbone=dict(type='SlowFast', depth_blocks=[3, 4, 6, 3], alpha=8,
-                  beta_inv=8, base_channels=64, lateral_kernel_t=5),
+                  beta_inv=8, base_channels=64, lateral_kernel_t=5,
+                  # exact-math space-to-depth fast stem (ops/s2d_stem.py):
+                  # same params/outputs/grads, measured +6.3% step
+                  # throughput on chip (BENCH_PROFILE_r4, docs/PERF.md)
+                  fast_s2d_stem=True),
     num_classes=400)
 data = dict(pipeline=[
     dict(type='DecordInit'),
