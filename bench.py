@@ -6,12 +6,16 @@ stride-8 sampling -> 8 frames per video, src/utils.py:22-29) and reports
 sustained videos/sec on one chip.
 
 The tower runs with the fused Pallas sublayers (fused_attn + fused_mlp,
-ops/attention_sublayer.py): each block's attention half and MLP half
-execute VMEM-resident per row chunk, so the per-layer ln/qkv/hidden
-intermediates never touch HBM.  Exact same param tree and math as the
-unfused tower (parity: tests/test_clip_fused_attn.py); the r4 on-chip
-A/B measured 1660 vs 1216 videos/s (+37%) over the rank-3 XLA path
-(BENCH_EXTRA_r4.json video_embed_vitb32_bf16_8f224_*_layout rows).
+ops/attention_sublayer.py) on the COMPACT flat-token layout: the whole
+12-layer stack works on (B*F*50, 768) rows with NO sublane-pad rows
+(the attention kernel stages q/k/v into padded VMEM scratch only for
+the per-head softmax-attention), so the per-layer ln/qkv/hidden
+intermediates never touch HBM and no GEMM pays the L=50->64 pad tax.
+Exact same param tree and math as the unfused tower (parity:
+tests/test_clip_fused_attn.py, tests/test_attention_sublayer.py); the
+r4 on-chip A/B measured 1932 (compact) vs 1647 (padded fused) vs 1194
+(rank-3 XLA) videos/s (BENCH_EXTRA_r4.json
+video_embed_vitb32_bf16_8f224_*_layout rows).
 
 vs_baseline: BASELINE.json targets >=2x A100 videos/sec/chip.  The
 reference publishes no throughput number; we use a public-knowledge

@@ -206,23 +206,39 @@ def bench_flatten_tokens_ab(batch=32, frames=8, steps=20):
             rng.standard_normal(s.shape).astype(np.float32) * 0.02, s.dtype),
         shapes)
     out = {}
-    variants = (("rank3", {}),
-                ("flat", {"flatten_tokens": True}),
-                ("fused_attn", {"fused_attn": True}),
-                ("fused_mlp", {"fused_mlp": True}),
-                ("fused_both", {"fused_attn": True, "fused_mlp": True}))
-    for tag, kw in variants:
+    # fused arms route through the COMPACT flat-rows kernel at L=50
+    # since r4 (ops/attention_sublayer._compact_chunk); the *_padded
+    # arm pins the previous pad-to-64 kernel for the A/B record by
+    # disabling the chunking probe
+    variants = (("rank3", {}, False),
+                ("flat", {"flatten_tokens": True}, False),
+                ("fused_attn", {"fused_attn": True}, False),
+                ("fused_mlp", {"fused_mlp": True}, False),
+                ("fused_both_padded",
+                 {"fused_attn": True, "fused_mlp": True}, True),
+                ("fused_both", {"fused_attn": True, "fused_mlp": True},
+                 False))
+    from cross_modal_video_engine_tpu.ops import attention_sublayer as asl
+    orig_chunk = asl._compact_chunk
+    for tag, kw, force_padded in variants:
         model = CLIPModel(dataclasses.replace(base_cfg, **kw))
-        dt = device_time(
-            lambda v, f, m=model: m.apply(v, f, method="encode_video")[0],
-            variables, frames_arr, steps=steps, perturb_argnums=(1,))
+        asl._compact_chunk = ((lambda *a, **k: None) if force_padded
+                              else orig_chunk)
+        try:
+            dt = device_time(
+                lambda v, f, m=model: m.apply(v, f,
+                                              method="encode_video")[0],
+                variables, frames_arr, steps=steps, perturb_argnums=(1,))
+        finally:
+            asl._compact_chunk = orig_chunk
         out[tag] = batch / dt
         print(json.dumps({
             "metric": f"video_embed_vitb32_bf16_8f224_{tag}_layout",
             "value": round(out[tag], 1), "unit": "videos/sec/chip",
             "vs_baseline": round(out[tag] / 350.0, 3),
         }))
-    for tag in ("flat", "fused_attn", "fused_mlp", "fused_both"):
+    for tag in ("flat", "fused_attn", "fused_mlp", "fused_both_padded",
+                "fused_both"):
         print(json.dumps({
             "metric": f"{tag}_speedup_vs_rank3",
             "value": round(out[tag] / out["rank3"], 4), "unit": "x",

@@ -204,18 +204,27 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, tokens=None, valid_len=None,
-                 causal=False):
+                 causal=False, compact_g=None):
         if self.fused_attn:
-            from ..ops.attention_sublayer import fused_attention_sublayer
+            from ..ops.attention_sublayer import (
+                fused_attention_sublayer, fused_attention_sublayer_compact)
             ln = _LNParams(self.width, name="ln_1")
             at = _MHAParams(self.width, name="attn")
-            x = fused_attention_sublayer(
-                x, ln.ln.scale, ln.ln.bias,
-                at.q_proj.kernel, at.q_proj.bias,
-                at.k_proj.kernel, at.k_proj.bias,
-                at.v_proj.kernel, at.v_proj.bias,
-                at.out_proj.kernel, at.out_proj.bias,
-                heads=self.heads, valid_len=valid_len, causal=causal)
+            wargs = (ln.ln.scale, ln.ln.bias,
+                     at.q_proj.kernel, at.q_proj.bias,
+                     at.k_proj.kernel, at.k_proj.bias,
+                     at.v_proj.kernel, at.v_proj.bias,
+                     at.out_proj.kernel, at.out_proj.bias)
+            if x.ndim == 2:
+                # compact flat layout (B*L, D): no pad rows anywhere —
+                # compact_g was validated by the Transformer
+                x = fused_attention_sublayer_compact(
+                    x, *wargs, heads=self.heads, seq_len=valid_len,
+                    g=compact_g, causal=causal)
+            else:
+                x = fused_attention_sublayer(
+                    x, *wargs, heads=self.heads, valid_len=valid_len,
+                    causal=causal)
         else:
             x = x + MHA(self.width, self.heads, self.dtype, name="attn")(
                 LayerNormF32(name="ln_1")(x), mask, tokens=tokens)
@@ -261,7 +270,24 @@ class Transformer(nn.Module):
                 "fused_attn is mutually exclusive with flatten_tokens"
             assert mask is None or causal, \
                 "fused_attn supports only the causal triangular mask"
-            from ..ops.attention_sublayer import pad_tokens
+            from ..ops.attention_sublayer import (_compact_chunk,
+                                                  pad_tokens)
+            B, L, D = x.shape
+            # compact flat layout when the token count would pad (the
+            # bf16 16-row tile: L=50 -> 64 is +28% MACs/bytes on EVERY
+            # GEMM) and a block-diagonal chunking exists; otherwise the
+            # padded rank-3 kernel (e.g. text L=77 -> 80, a 4% tax the
+            # block-diagonal softmax waste would not repay)
+            g = _compact_chunk(B, L) if L % 16 else None
+            if g is not None:
+                x = x.reshape(B * L, D)
+                for i in range(self.layers):
+                    x = ResidualAttentionBlock(
+                        self.width, self.heads, self.dtype,
+                        fused_attn=True, fused_mlp=fused_mlp,
+                        name=f"resblock_{i}")(
+                        x, valid_len=L, causal=causal, compact_g=g)
+                return x.reshape(B, L, D)
             x, L = pad_tokens(x)
             for i in range(self.layers):
                 x = ResidualAttentionBlock(self.width, self.heads,

@@ -221,6 +221,186 @@ def fused_attention_sublayer(x: jnp.ndarray,
                       bool(interpret)))
 
 
+def _compact_chunk(n_seqs: int, l: int, max_rows: int = 512,
+                   min_rows: int = 256) -> int | None:
+    """Sequences per grid step for the COMPACT (unpadded) kernel: the
+    smallest g dividing `n_seqs` with g*l a bf16 sublane multiple (16)
+    and min_rows <= g*l <= max_rows.  Smallest-g minimizes the
+    block-diagonal softmax waste (the masked (g*l)^2 scores grow with
+    g); min_rows keeps the projection GEMMs MXU-sized.  None when no
+    such g exists — callers fall back to the padded kernel."""
+    best = None
+    for g in range(1, n_seqs + 1):
+        r = g * l
+        if r > max_rows:
+            break
+        if r % 16 == 0 and n_seqs % g == 0:
+            if r >= min_rows:
+                return g
+            best = g           # feasible but small — keep looking
+    return best
+
+
+def _kernel_compact(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
+                    bk_ref, wv_ref, bv_ref, wo_ref, bo_ref, o_ref,
+                    qp_ref, kp_ref, vp_ref, ap_ref, att_ref, *,
+                    g: int, l: int, lp: int, heads: int, causal: bool,
+                    eps: float):
+    """Compact-rows variant: the row block holds g whole sequences of l
+    tokens with NO pad rows, so the LN, the four projection GEMMs and
+    the HBM traffic cover exactly the useful rows (at L=50 the padded
+    kernel wastes 28% of both).  Only the small per-head attention
+    needs 16-row alignment: q/k/v are staged into a sublane-padded
+    VMEM scratch (pad KEY/VALUE rows zeroed — garbage there turns
+    exp(-1e30)*NaN into NaN), attended per sequence exactly like the
+    padded kernel, and un-padded back before the output projection.
+    The on-chip A/B vs a block-diagonal (g*l, g*l) masked-scores
+    formulation measured the staging copies cheaper than the g x
+    softmax/scores waste (docs/PERF.md r4)."""
+    dt = x_ref.dtype
+    xb = x_ref[...]
+    ln = _ln_f32(xb, lns_ref[...], lnb_ref[...], eps)
+    q = (jnp.dot(ln, wq_ref[...], preferred_element_type=jnp.float32)
+         + bq_ref[...].astype(jnp.float32)).astype(dt)
+    k = (jnp.dot(ln, wk_ref[...], preferred_element_type=jnp.float32)
+         + bk_ref[...].astype(jnp.float32)).astype(dt)
+    v = (jnp.dot(ln, wv_ref[...], preferred_element_type=jnp.float32)
+         + bv_ref[...].astype(jnp.float32)).astype(dt)
+
+    zero = jnp.zeros_like(kp_ref)
+    kp_ref[...] = zero
+    vp_ref[...] = zero
+    for s in range(g):
+        qp_ref[s * lp:s * lp + l, :] = q[s * l:(s + 1) * l, :]
+        kp_ref[s * lp:s * lp + l, :] = k[s * l:(s + 1) * l, :]
+        vp_ref[s * lp:s * lp + l, :] = v[s * l:(s + 1) * l, :]
+
+    d = q.shape[-1]
+    hd = d // heads
+    scale = jnp.float32(1.0 / np.sqrt(hd))
+    col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+    mask = jnp.where(col < l, 0.0, -1e30).astype(jnp.float32)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 0)
+        mask = mask + jnp.where(col <= row, 0.0, -1e30)
+
+    for s in range(g):
+        rows = slice(s * lp, (s + 1) * lp)
+        for h in range(heads):
+            cols = slice(h * hd, (h + 1) * hd)
+            qs, ks, vs = (qp_ref[rows, cols], kp_ref[rows, cols],
+                          vp_ref[rows, cols])
+            sc = jax.lax.dot_general(
+                qs, ks, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            pr = jax.nn.softmax(sc + mask, axis=-1).astype(dt)
+            ap_ref[rows, cols] = jnp.dot(
+                pr, vs, preferred_element_type=jnp.float32).astype(dt)
+    for s in range(g):
+        att_ref[s * l:(s + 1) * l, :] = ap_ref[s * lp:s * lp + l, :]
+
+    y = (jnp.dot(att_ref[...], wo_ref[...],
+                 preferred_element_type=jnp.float32)
+         + bo_ref[...].astype(jnp.float32)).astype(dt) + xb
+    o_ref[...] = y
+
+
+def _attn_pallas_compact(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv,
+                         wo, bo, *, heads: int, seq_len: int, g: int,
+                         causal: bool, eps: float,
+                         interpret: bool) -> jnp.ndarray:
+    n, d = x.shape
+    rows = g * seq_len
+    lp = -(-seq_len // 16) * 16
+    dt = x.dtype
+
+    def _w(m):
+        return m.astype(dt)
+
+    def _b(m):
+        return m.reshape(1, -1).astype(dt)
+
+    kern = functools.partial(_kernel_compact, g=g, l=seq_len, lp=lp,
+                             heads=heads, causal=causal, eps=eps)
+    const = pl.BlockSpec((d, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, d), dt),
+        grid=(n // rows,),
+        in_specs=[pl.BlockSpec((rows, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  vec, vec, const, vec, const, vec, const, vec,
+                  const, vec],
+        out_specs=pl.BlockSpec((rows, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((g * lp, d), dt) for _ in range(4)]
+                       + [pltpu.VMEM((rows, d), dt)],
+        interpret=interpret,
+    )(x, _b(ln_scale), _b(ln_bias),
+      _w(wq), _b(bq), _w(wk), _b(bk), _w(wv), _b(bv), _w(wo), _b(bo))
+
+
+def _attn_ref_flat(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
+                   *, heads: int, seq_len: int, causal: bool,
+                   eps: float) -> jnp.ndarray:
+    """Reference math for the compact kernel: same as _attn_ref on the
+    (B, L, D) view — no pad rows, so valid_len == seq_len."""
+    n, d = x.shape
+    y = _attn_ref(x.reshape(n // seq_len, seq_len, d), ln_scale, ln_bias,
+                  wq, bq, wk, bk, wv, bv, wo, bo, heads=heads,
+                  valid_len=seq_len, causal=causal, eps=eps)
+    return y.reshape(n, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
+def _attn_vjp_flat(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
+                   cfg):
+    return _attn_pallas_compact(
+        x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
+        heads=cfg[0], seq_len=cfg[1], g=cfg[2], causal=cfg[3],
+        eps=cfg[4], interpret=cfg[5])
+
+
+def _attn_flat_fwd(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
+                   cfg):
+    args = (x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo)
+    return _attn_vjp_flat(*args, cfg), args
+
+
+def _attn_flat_bwd(cfg, res, grad):
+    _, vjp = jax.vjp(
+        lambda *a: _attn_ref_flat(*a, heads=cfg[0], seq_len=cfg[1],
+                                  causal=cfg[3], eps=cfg[4]), *res)
+    return vjp(grad)
+
+
+_attn_vjp_flat.defvjp(_attn_flat_fwd, _attn_flat_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "heads", "seq_len", "g", "causal", "eps", "interpret"))
+def fused_attention_sublayer_compact(
+        x: jnp.ndarray, ln_scale: jnp.ndarray, ln_bias: jnp.ndarray,
+        wq: jnp.ndarray, bq: jnp.ndarray, wk: jnp.ndarray,
+        bk: jnp.ndarray, wv: jnp.ndarray, bv: jnp.ndarray,
+        wo: jnp.ndarray, bo: jnp.ndarray, *, heads: int, seq_len: int,
+        g: int, causal: bool = False, eps: float = 1e-5,
+        interpret: bool | None = None) -> jnp.ndarray:
+    """Compact fused attention sublayer: x is FLAT (B*seq_len, D) with
+    NO pad rows (use _compact_chunk to pick g; callers fall back to
+    fused_attention_sublayer when it returns None).  Eliminates the
+    L -> 16-row-tile padding tax (28% of all GEMM MACs and stored bytes
+    at L=50) by separating sequences with a block-diagonal mask instead
+    of pad rows.  Differentiable via the reference-math vjp."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    return _attn_vjp_flat(
+        x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv, wo, bo,
+        (heads, seq_len, g, bool(causal), float(eps), bool(interpret)))
+
+
 def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 o_ref, *, eps: float):
     dt = x_ref.dtype

@@ -235,3 +235,99 @@ def test_pick_chunk_divides_batch():
     for b, lp in [(3, 64), (12, 80), (256, 64)]:
         g = _pick_chunk(b, lp)
         assert b % g == 0 and g * lp <= max(512, lp)
+
+
+# ---- compact flat-rows kernel (no pad rows; r4 headline layout) ----
+
+from cross_modal_video_engine_tpu.ops.attention_sublayer import (  # noqa: E402
+    fused_attention_sublayer_compact, _compact_chunk)
+
+
+def test_compact_chunk_rules():
+    # L=50 (ViT-B/32 vision): smallest g with g*L a 16-multiple in
+    # [256, 512] rows is 8
+    assert _compact_chunk(256, 50) == 8
+    # L=77 (text): g=16 -> 1232 rows > 512 -> no compact chunking
+    assert _compact_chunk(256, 77) is None
+    # L already a 16-multiple: g grows until >= 256 rows
+    assert _compact_chunk(256, 64) == 4
+    # feasible-but-small fallback when min_rows is unreachable
+    assert _compact_chunk(2, 16) == 2
+    # b=1 at L=50: 50 rows is not a sublane multiple -> None
+    assert _compact_chunk(1, 50) is None
+    for b, l in [(256, 50), (64, 32), (16, 48)]:
+        g = _compact_chunk(b, l)
+        assert b % g == 0 and (g * l) % 16 == 0 and g * l <= 512
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 2e-5),
+                                       (jnp.bfloat16, 0.05)])
+def test_compact_parity(causal, dtype, tol):
+    """Compact kernel == unfused reference at an L that is NOT a
+    sublane multiple (the case it exists for)."""
+    rng = np.random.default_rng(11)
+    B, L, D, H = 8, 10, 64, 4           # g*L=80 not 16-aligned for g<8
+    g = _compact_chunk(B, L)
+    assert g == 8 and (g * L) % 16 == 0
+    x = jnp.asarray(rng.standard_normal((B, L, D)), dtype)
+    wts = _weights(rng, D)
+    want = _ref(x, wts["lns"], wts["lnb"], wts["wq"], wts["bq"],
+                wts["wk"], wts["bk"], wts["wv"], wts["bv"],
+                wts["wo"], wts["bo"], H, causal=causal)
+    got = fused_attention_sublayer_compact(
+        x.reshape(B * L, D), wts["lns"], wts["lnb"], wts["wq"],
+        wts["bq"], wts["wk"], wts["bk"], wts["wv"], wts["bv"],
+        wts["wo"], wts["bo"], heads=H, seq_len=L, g=g, causal=causal,
+        interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got.reshape(B, L, D), np.float32),
+        np.asarray(want, np.float32), rtol=tol, atol=tol)
+
+
+def test_compact_multi_grid_steps():
+    """n_seqs > g exercises the grid dimension (several row blocks)."""
+    rng = np.random.default_rng(12)
+    B, L, D, H = 64, 10, 64, 2
+    g = _compact_chunk(B, L)
+    assert g == 32 and B // g == 2
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    wts = _weights(rng, D)
+    want = _ref(x, wts["lns"], wts["lnb"], wts["wq"], wts["bq"],
+                wts["wk"], wts["bk"], wts["wv"], wts["bv"],
+                wts["wo"], wts["bo"], H)
+    got = fused_attention_sublayer_compact(
+        x.reshape(B * L, D), wts["lns"], wts["lnb"], wts["wq"],
+        wts["bq"], wts["wk"], wts["bk"], wts["wv"], wts["bv"],
+        wts["wo"], wts["bo"], heads=H, seq_len=L, g=g,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got.reshape(B, L, D)),
+                               np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_compact_gradients(causal):
+    """The compact custom_vjp produces the reference grads for x AND
+    every weight (flat-x cotangent plumbing)."""
+    rng = np.random.default_rng(13)
+    B, L, D, H = 8, 10, 64, 4
+    g = _compact_chunk(B, L)
+    x = jnp.asarray(rng.standard_normal((B, L, D)), jnp.float32)
+    wts = _weights(rng, D)
+    keys = ["lns", "lnb", "wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo"]
+    args = (x.reshape(B * L, D),) + tuple(wts[k] for k in keys)
+
+    def loss_fused(*a):
+        y = fused_attention_sublayer_compact(
+            *a, heads=H, seq_len=L, g=g, causal=causal, interpret=True)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_ref(xf, *ws):
+        y = _ref(xf.reshape(B, L, D), *ws, H, causal=causal)
+        return jnp.sum(jnp.sin(y))
+
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(11)))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(11)))(*args)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-4)
