@@ -282,15 +282,17 @@ def bench_text_tower(batch=256, steps=20):
 def bench_u8_ingest(batch=32, frames=8, steps=20):
     """Flagship tower fed the production uint8 ingest path
     (encode_video_u8: fused dequant+normalize+patchify tokens -> patch
-    GEMM).  vs_baseline compares against the same 350 videos/s target
-    as bench.py; docs/PERF.md has the device-resident A/B."""
+    GEMM).  Runs the SHIPPED headline tower (fused Pallas sublayers on
+    compact tokens) so the row stays comparable to bench.py.
+    vs_baseline compares against the same 350 videos/s target as
+    bench.py; docs/PERF.md has the device-resident A/B."""
     import jax
     import jax.numpy as jnp
     from cross_modal_video_engine_tpu.models.clip import (CLIPConfig,
                                                           CLIPModel)
     from cross_modal_video_engine_tpu.utils.profiling import device_time
 
-    cfg = CLIPConfig(dtype="bfloat16")
+    cfg = CLIPConfig(dtype="bfloat16", fused_attn=True, fused_mlp=True)
     model = CLIPModel(cfg)
     rng = np.random.default_rng(3)
     f_u8 = jnp.asarray(rng.integers(0, 256, (batch, frames, 224, 224, 3),

@@ -261,6 +261,59 @@ def try_profiler_trace(out_dir="/tmp/cmve_trace"):
         _row("profiler_trace_available", 0.0, "bool", error=str(exc)[:200])
 
 
+def profile_headline(steps=5, out_dir="/tmp/cmve_trace_headline"):
+    """Trace the compact fused-sublayer headline embed and print the
+    mined per-op device attribution (utils/trace_mine.py) — the
+    instrument that found the L=50->64 pad tax (docs/PERF.md compact-
+    layout section)."""
+    import jax
+    import jax.numpy as jnp
+    from cross_modal_video_engine_tpu.models.clip import (CLIPConfig,
+                                                          CLIPModel)
+    from cross_modal_video_engine_tpu.utils.trace_mine import (
+        device_op_table, format_table)
+
+    cfg = CLIPConfig(dtype="bfloat16", fused_attn=True, fused_mlp=True)
+    model = CLIPModel(cfg)
+    rng = np.random.default_rng(0)
+    B, F = 32, 8
+    frames = jnp.asarray(rng.standard_normal((B, F, 224, 224, 3)),
+                         jnp.bfloat16)
+    shapes = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, 224, 224, 3), jnp.float32),
+                             jnp.zeros((1, 77), jnp.int32)),
+        jax.random.key(0))
+    variables = jax.tree.map(
+        lambda s: jnp.asarray(
+            rng.standard_normal(s.shape).astype(np.float32) * 0.02,
+            s.dtype), shapes)
+
+    @jax.jit
+    def loop(variables, frames):
+        def body(i, carry):
+            f = jnp.where(jnp.isfinite(carry), frames,
+                          jnp.zeros_like(frames))
+            high, _ = model.apply(variables, f, method="encode_video")
+            return jnp.mean(high).astype(jnp.bfloat16)
+        return jax.lax.fori_loop(0, steps, body, jnp.bfloat16(0.0))
+
+    np.asarray(loop(variables, frames))            # compile + warmup
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        with jax.profiler.trace(out_dir):
+            np.asarray(loop(variables, frames))
+        rows = device_op_table(out_dir, steps=steps)
+    except Exception as exc:
+        _row("headline_trace_attribution", 0.0, "bool",
+             error=str(exc)[:200])
+        return
+    print(format_table(rows))
+    for r in rows[:6]:
+        if r["pct"] is not None:
+            _row(f"headline_optime_{r['name']}", r["ms_per_step"],
+                 "ms/step", pct_of_device=r["pct"])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
@@ -268,6 +321,7 @@ def main():
     args = ap.parse_args()
     if not args.skip_trace:
         try_profiler_trace()
+        profile_headline()
     profile_slowfast(quick=args.quick)
     profile_yolo(quick=args.quick)
 
