@@ -25,7 +25,8 @@ import numpy as np
 
 from ..data.composed_dataset import pool_middle_feature, save_video_features
 from ..io.video_decode import open_video
-from ..models.clip import CLIPConfig, CLIPModel
+from ..models.clip import (CLIPConfig, CLIPModel,
+                           enable_fused_inference)
 from ..models.combiner import Combiner, CombinerConfig
 from ..ops.preprocess import clip_preprocess
 from ..train.checkpoint import load_checkpoint
@@ -88,7 +89,8 @@ def main(argv=None):
 
     clip_vars, clip_cfg_d, _ = load_checkpoint(args.clip_checkpoint)
     if "patch_size" in clip_cfg_d:
-        clip_cfg = CLIPConfig(**clip_cfg_d)
+        clip_cfg = enable_fused_inference(
+            CLIPConfig(**clip_cfg_d))   # TPU: headline fused program
         clip_model = CLIPModel(clip_cfg)
     else:   # ModifiedResNet tower (RN50x4 contract, inference.py:179-196)
         from ..models.clip_resnet import CLIPResNetConfig, CLIPResNetModel

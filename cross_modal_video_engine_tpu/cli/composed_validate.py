@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.composed_dataset import ComposedVideoDataset, FeatureStore
-from ..models.clip import CLIPConfig, CLIPModel
+from ..models.clip import (CLIPConfig, CLIPModel,
+                           enable_fused_inference)
 from ..models.combiner import Combiner, CombinerConfig
 from ..train.checkpoint import load_checkpoint
 from ..train.combiner_trainer import composed_rank_eval
@@ -68,7 +69,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     clip_vars, clip_cfg_d, _ = load_checkpoint(args.clip_checkpoint)
-    clip_cfg = CLIPConfig(**clip_cfg_d)
+    clip_cfg = enable_fused_inference(
+        CLIPConfig(**clip_cfg_d))   # TPU: headline fused program
     clip_model = CLIPModel(clip_cfg)
     tok = BPETokenizer(args.merges)
     comb_vars, comb_cfg_d, _ = load_checkpoint(args.combiner_checkpoint)

@@ -136,7 +136,8 @@ def build_composed_handler(args):
     import os
     import numpy as np
     import jax.numpy as jnp
-    from ..models.clip import CLIPConfig, CLIPModel
+    from ..models.clip import (CLIPConfig, CLIPModel,
+                           enable_fused_inference)
     from ..models.combiner import Combiner, CombinerConfig
     from ..train.checkpoint import load_checkpoint
     from ..utils.bpe import BPETokenizer
@@ -145,7 +146,8 @@ def build_composed_handler(args):
 
     clip_vars, clip_cfg_d, _ = load_checkpoint(args.clip_checkpoint)
     if "patch_size" in clip_cfg_d:
-        clip_cfg = CLIPConfig(**clip_cfg_d)
+        clip_cfg = enable_fused_inference(
+            CLIPConfig(**clip_cfg_d))   # TPU: headline fused program
         clip_model = CLIPModel(clip_cfg)
     else:
         from ..models.clip_resnet import CLIPResNetConfig, CLIPResNetModel

@@ -76,6 +76,23 @@ class CLIPConfig:
         return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
 
 
+def enable_fused_inference(cfg: CLIPConfig,
+                           enable: Optional[bool] = None) -> CLIPConfig:
+    """Turn on the fused Pallas sublayers for inference-time serving.
+
+    Exact math and an identical param tree (tests/test_clip_fused_attn
+    .py), so checkpoint configs saved without the flags still load —
+    this is how the serving/inference CLIs get the headline-default
+    program (docs/PERF.md layout A/B) without re-exporting checkpoints.
+    enable=None auto-selects: on for a real TPU backend, off elsewhere
+    (the Pallas interpreter would be slower than plain XLA on CPU)."""
+    if enable is None:
+        enable = jax.default_backend() in ("tpu", "axon")
+    if not enable:
+        return cfg
+    return dataclasses.replace(cfg, fused_attn=True, fused_mlp=True)
+
+
 def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 

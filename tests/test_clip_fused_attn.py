@@ -137,3 +137,24 @@ def test_fused_attn_text_parity_causal(setup):
     ft = fused.apply(variables, ids, method="encode_text")
     np.testing.assert_allclose(np.asarray(ft), np.asarray(t),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_enable_fused_inference_auto(monkeypatch):
+    """Serving CLIs flip the fused flags on for TPU backends only
+    (exact math, identical param tree — checkpoint configs without the
+    flags still load)."""
+    import jax
+    from cross_modal_video_engine_tpu.models.clip import (
+        CLIPConfig, enable_fused_inference)
+    cfg = CLIPConfig(dtype="bfloat16")
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert enable_fused_inference(cfg) is cfg
+    monkeypatch.setattr(jax, "default_backend", lambda: "axon")
+    on = enable_fused_inference(cfg)
+    assert on.fused_attn and on.fused_mlp
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    on = enable_fused_inference(cfg)
+    assert on.fused_attn and on.fused_mlp
+    # explicit override beats auto
+    off = enable_fused_inference(cfg, enable=False)
+    assert not off.fused_attn and not off.fused_mlp
