@@ -173,6 +173,70 @@ def profile_slowfast(batch=32, frames=32, steps=8, quick=False):
                               "note": str(exc)[:120]}))
 
 
+def profile_slowfast_trace(batch=32, frames=32, steps=2,
+                           out_dir="/tmp/cmve_trace_slowfast"):
+    """Trace-mined per-op attribution of the SHIPPED SlowFast train
+    step (bf16, s2d fast stem) — names the ops behind the phase-split
+    attribution (BN stat reductions, conv fusions, transposes)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from cross_modal_video_engine_tpu.models.recognizer import (
+        BackboneClassifier)
+    from cross_modal_video_engine_tpu.models.resnet3d import (
+        SlowFast, SlowFastConfig)
+    from cross_modal_video_engine_tpu.train.recognition_trainer import (
+        RecTrainState, make_cls_train_step_stats)
+    from cross_modal_video_engine_tpu.utils.trace_mine import (
+        device_op_table, format_table)
+
+    rng = np.random.default_rng(0)
+    clips = jnp.asarray(rng.standard_normal(
+        (batch, frames, 224, 224, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 400, (batch,)), jnp.int32)
+    model = BackboneClassifier(
+        SlowFast(SlowFastConfig(alpha=8, fast_s2d_stem=True)),
+        num_classes=400)
+    shapes = jax.eval_shape(lambda k: model.init(k, clips),
+                            jax.random.key(0))
+    variables = jax.tree.map(
+        lambda s: jnp.asarray(
+            rng.standard_normal(s.shape).astype(np.float32) * 0.02,
+            s.dtype), shapes)
+    tx = optax.sgd(0.01, momentum=0.9)
+    state = RecTrainState(variables["params"],
+                          tx.init(variables["params"]),
+                          jnp.zeros((), jnp.int32))
+    stats = variables["batch_stats"]
+    step = make_cls_train_step_stats(model, tx, bf16=True)
+
+    @jax.jit
+    def loop(state, stats, clips, labels):
+        def body(i, carry):
+            st, s = carry
+            st2, s2, _ = step(st, s, clips, labels, jax.random.key(0))
+            return (st2, s2)
+        return jax.lax.fori_loop(0, steps, body, (state, stats))
+
+    out = loop(state, stats, clips, labels)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])       # sync
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        with jax.profiler.trace(out_dir):
+            out = loop(state, stats, clips, labels)
+            np.asarray(jax.tree_util.tree_leaves(out)[0])
+        rows = device_op_table(out_dir, steps=steps)
+    except Exception as exc:
+        _row("slowfast_trace_attribution", 0.0, "bool",
+             error=str(exc)[:200])
+        return
+    print(format_table(rows, top=16))
+    for r in rows[:8]:
+        if r["pct"] is not None:
+            _row(f"slowfast_optime_{r['name'][:40]}", r["ms_per_step"],
+                 "ms/step", pct_of_device=r["pct"], count=r["count"])
+
+
 def profile_yolo(batch=16, img=640, max_targets=32, steps=6, quick=False):
     import jax
     import jax.numpy as jnp
@@ -322,6 +386,7 @@ def main():
     if not args.skip_trace:
         try_profiler_trace()
         profile_headline()
+        profile_slowfast_trace()
     profile_slowfast(quick=args.quick)
     profile_yolo(quick=args.quick)
 
