@@ -248,13 +248,17 @@ def bench_flatten_tokens_ab(batch=32, frames=8, steps=20):
 
 
 def bench_text_tower(batch=256, steps=20):
+    """Shipped text-embed row: the fused Pallas sublayers (padded
+    77->80 kernel, causal) measured +24% over the unfused XLA tower
+    on chip (16.8k -> 20.8k captions/s), so serving ships them (see
+    enable_fused_inference) and this row matches."""
     import jax
     import jax.numpy as jnp
     from cross_modal_video_engine_tpu.models.clip import (CLIPConfig,
                                                           CLIPModel)
     from cross_modal_video_engine_tpu.utils.profiling import device_time
 
-    cfg = CLIPConfig(dtype="bfloat16")
+    cfg = CLIPConfig(dtype="bfloat16", fused_attn=True, fused_mlp=True)
     model = CLIPModel(cfg)
     rng = np.random.default_rng(2)
     ids = jnp.asarray(rng.integers(1, cfg.vocab_size, (batch, 77)),
