@@ -20,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.composed_dataset import ComposedVideoDataset, FeatureStore
-from ..models.clip import CLIPConfig, CLIPModel
+from ..models.clip import (CLIPConfig, CLIPModel,
+                           enable_fused_inference)
 from ..models.combiner import Combiner, CombinerConfig
 from ..train.checkpoint import best_checkpoint_manager, load_checkpoint
 from ..train.combiner_trainer import (
@@ -128,7 +129,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     clip_vars, clip_cfg_d, _ = load_checkpoint(args.clip_checkpoint)
-    clip_cfg = CLIPConfig(**clip_cfg_d)
+    # frozen towers: the fused Pallas program is a pure forward win on
+    # TPU (+24% text embed, docs/PERF.md) with an identical param tree
+    clip_cfg = enable_fused_inference(CLIPConfig(**clip_cfg_d))
     clip_model = CLIPModel(clip_cfg)
     tok = BPETokenizer(args.merges)
 

@@ -19,8 +19,14 @@ Contract (vs models/clip.py MHA + LayerNormF32):
     GEMMs accumulate fp32 (preferred_element_type), activations carry
     x.dtype — numerically matching the unfused bf16/f32 paths.
   * causal=True adds the text tower's triangular mask.
-  * Off by default (CLIPConfig.fused_attn) pending the on-chip A/B;
+  * Opt-in via CLIPConfig.fused_attn — bench.py and the serving CLIs
+    (enable_fused_inference) turn it on after the on-chip A/Bs
+    (docs/PERF.md: vision +62%, text +24% vs the unfused tower);
     parity pinned by tests/test_attention_sublayer.py.
+  * fused_attention_sublayer_compact is the headline variant: flat
+    (B*L, D) rows with NO pad rows — the L=50->64 sublane pad taxed
+    every GEMM 28% — staging q/k/v into padded VMEM scratch only for
+    the per-head attention.
   * Differentiable: pallas_call has no reverse-mode rule, so both
     sublayers carry a custom_vjp whose backward is the vjp of the same
     math in plain jnp (_attn_ref/_mlp_ref) — training through a fused

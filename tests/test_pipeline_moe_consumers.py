@@ -31,6 +31,8 @@ def _stage_mesh(n):
     return Mesh(np.asarray(jax.devices()[:n]), ("stage",))
 
 
+@pytest.mark.full    # full lane: 26s parity loop; the driver dryrun runs the
+# pipeline stage every round and test_moe_expert_parallel stays default
 def test_pipelined_tower_matches_single_chip():
     model = Recognizer3D(TimeSformerConfig(**TS_KW), num_classes=5)
     videos = jnp.asarray(rng.standard_normal((8, 4, 16, 16, 3)),

@@ -1,6 +1,7 @@
 """Recognition/caption training steps learn on synthetic data."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -53,6 +54,8 @@ def test_classification_learns():
     assert 0 <= report["mean_class_accuracy"] <= 1
 
 
+@pytest.mark.full    # full lane: step-level caption training; the caption
+# train CLI e2e (test_caption_train_cli, 3 recipes) stays default
 def test_caption_seq_training_reduces_loss():
     dcfg = RNNDecoderConfig(num_classes=5, in_channels=TS.embed_dims,
                             max_len=3, input_dropout_p=0.0)

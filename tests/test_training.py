@@ -85,6 +85,8 @@ def test_full_train_loop_tiny(tmp_path):
     assert os.path.exists(best)
 
 
+@pytest.mark.full    # full lane: duplicate combiner training; the combiner
+# trainer CLI e2e (test_caption_explain_cli) stays default
 def test_combiner_training_learns():
     """Synthetic composed retrieval: target = ref + text-direction shift.
     After training, recall@1 with reference masking must beat chance."""

@@ -83,6 +83,8 @@ def test_check_anchors_recomputes_poor_fit():
     assert new_bpr > old_bpr
 
 
+@pytest.mark.full    # full lane: 50s val-CLI run; the seg e2e (masks route)
+# and det e2e (eval_runs) in test_yolo_train.py drive yolo_val every round
 def test_yolo_val_cli(tmp_path):
     from cross_modal_video_engine_tpu.cli import yolo_train, yolo_val
     from cross_modal_video_engine_tpu.config import Config
