@@ -303,6 +303,65 @@ def profile_yolo(batch=16, img=640, max_targets=32, steps=6, quick=False):
                     "value": None, "unit": "ms", "note": str(exc)[:120]}))
 
 
+def profile_yolo_trace(batch=16, img=640, max_targets=32, steps=2,
+                       out_dir="/tmp/cmve_trace_yolo"):
+    """Trace-mined per-op attribution of the YOLOv5s train step
+    (companion to profile_slowfast_trace)."""
+    import jax
+    import jax.numpy as jnp
+    from cross_modal_video_engine_tpu.losses.yolo import YoloHyp
+    from cross_modal_video_engine_tpu.models.yolo import (YoloConfig,
+                                                          YoloV5)
+    from cross_modal_video_engine_tpu.train.yolo_trainer import (
+        YoloOptHyp, init_yolo_train_state, make_yolo_train_step,
+        scaled_weight_decay)
+    from cross_modal_video_engine_tpu.utils.trace_mine import (
+        device_op_table, format_table)
+
+    rng = np.random.default_rng(1)
+    images = jnp.asarray(rng.random((batch, img, img, 3), np.float32))
+    cxy = rng.random((batch, max_targets, 2)) * 0.8 + 0.1
+    wh = rng.random((batch, max_targets, 2)) * 0.2 + 0.02
+    cls = rng.integers(0, 80, (batch, max_targets, 1))
+    targets = jnp.asarray(np.concatenate([cls, cxy, wh], -1).astype(
+        np.float32))
+    valid = jnp.asarray(np.ones((batch, max_targets), bool))
+    lr, mom = jnp.float32(0.01), jnp.float32(0.937)
+    cfg = YoloConfig(num_classes=80, width_multiple=0.5,
+                     depth_multiple=0.33, img_size=img)
+    model = YoloV5(cfg)
+    opt = YoloOptHyp()
+    state = init_yolo_train_state(model, jax.random.key(0), img,
+                                  batch_size=2)
+    step = make_yolo_train_step(model, YoloHyp(), opt,
+                                scaled_weight_decay(opt, batch),
+                                bf16=True)
+
+    @jax.jit
+    def loop(state, images, targets, valid):
+        def body(i, st):
+            new, _ = step(st, images, targets, valid, lr, lr, mom)
+            return new
+        return jax.lax.fori_loop(0, steps, body, state)
+
+    out = loop(state, images, targets, valid)
+    np.asarray(jax.tree_util.tree_leaves(out)[0])
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        with jax.profiler.trace(out_dir):
+            out = loop(state, images, targets, valid)
+            np.asarray(jax.tree_util.tree_leaves(out)[0])
+        rows = device_op_table(out_dir, steps=steps)
+    except Exception as exc:
+        _row("yolo_trace_attribution", 0.0, "bool", error=str(exc)[:200])
+        return
+    print(format_table(rows, top=16))
+    for r in rows[:8]:
+        if r["pct"] is not None:
+            _row(f"yolo_optime_{r['name'][:40]}", r["ms_per_step"],
+                 "ms/step", pct_of_device=r["pct"], count=r["count"])
+
+
 def try_profiler_trace(out_dir="/tmp/cmve_trace"):
     """Attempt a real device trace (works on local TPU; the axon relay
     may not export profiler endpoints — report which)."""
@@ -387,6 +446,7 @@ def main():
         try_profiler_trace()
         profile_headline()
         profile_slowfast_trace()
+        profile_yolo_trace()
     profile_slowfast(quick=args.quick)
     profile_yolo(quick=args.quick)
 
