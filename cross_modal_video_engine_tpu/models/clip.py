@@ -85,9 +85,16 @@ def enable_fused_inference(cfg: CLIPConfig,
     this is how the serving/inference CLIs get the headline-default
     program (docs/PERF.md layout A/B) without re-exporting checkpoints.
     enable=None auto-selects: on for a real TPU backend, off elsewhere
-    (the Pallas interpreter would be slower than plain XLA on CPU)."""
+    (the Pallas interpreter would be slower than plain XLA on CPU).
+
+    Geometry guard: the fused MLP kernel keeps both (D, 4D) weight
+    mats VMEM-resident (~16·D² bytes bf16), so widths past ~768 blow
+    the ~16 MB/core budget (ViT-L/14's D=1024 alone needs 16.8 MB) —
+    auto-enable stays off there rather than shipping a program that
+    fails to compile."""
     if enable is None:
-        enable = jax.default_backend() in ("tpu", "axon")
+        enable = (jax.default_backend() in ("tpu", "axon")
+                  and max(cfg.vision_width, cfg.text_width) <= 768)
     if not enable:
         return cfg
     return dataclasses.replace(cfg, fused_attn=True, fused_mlp=True)

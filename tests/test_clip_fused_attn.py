@@ -158,3 +158,11 @@ def test_enable_fused_inference_auto(monkeypatch):
     # explicit override beats auto
     off = enable_fused_inference(cfg, enable=False)
     assert not off.fused_attn and not off.fused_mlp
+    # geometry guard: ViT-L/14-class widths (D=1024) exceed the fused
+    # MLP kernel's VMEM weight budget — auto stays off on TPU
+    import dataclasses
+    wide = dataclasses.replace(cfg, vision_width=1024, vision_heads=16)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert enable_fused_inference(wide) is wide
+    # explicit enable still wins (caller takes responsibility)
+    assert enable_fused_inference(wide, enable=True).fused_attn
