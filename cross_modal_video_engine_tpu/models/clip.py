@@ -97,7 +97,12 @@ def enable_fused_inference(cfg: CLIPConfig,
                   and max(cfg.vision_width, cfg.text_width) <= 768)
     if not enable:
         return cfg
-    return dataclasses.replace(cfg, fused_attn=True, fused_mlp=True)
+    # The fused compact layout supersedes flatten_tokens (Transformer
+    # asserts the two are mutually exclusive) — clear it so checkpoints
+    # saved with flatten_tokens=True still load fused instead of
+    # crashing at apply time.
+    return dataclasses.replace(cfg, fused_attn=True, fused_mlp=True,
+                               flatten_tokens=False)
 
 
 def quick_gelu(x):

@@ -233,8 +233,10 @@ def _compact_chunk(n_seqs: int, l: int, max_rows: int = 512,
     smallest g dividing `n_seqs` with g*l a bf16 sublane multiple (16)
     and min_rows <= g*l <= max_rows.  Smallest-g minimizes the
     block-diagonal softmax waste (the masked (g*l)^2 scores grow with
-    g); min_rows keeps the projection GEMMs MXU-sized.  None when no
-    such g exists — callers fall back to the padded kernel."""
+    g); min_rows keeps the projection GEMMs MXU-sized.  If no g reaches
+    min_rows, falls back to the LARGEST feasible g below it (closest to
+    MXU-sized).  None when no feasible g exists at all — callers fall
+    back to the padded kernel."""
     best = None
     for g in range(1, n_seqs + 1):
         r = g * l
@@ -317,6 +319,11 @@ def _attn_pallas_compact(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv,
                          interpret: bool) -> jnp.ndarray:
     n, d = x.shape
     rows = g * seq_len
+    if n % rows != 0:
+        raise ValueError(
+            f"compact kernel needs g*seq_len ({g}*{seq_len}={rows}) to "
+            f"divide the total row count {n}; trailing rows would be "
+            f"silently left unwritten otherwise")
     lp = -(-seq_len // 16) * 16
     dt = x.dtype
 

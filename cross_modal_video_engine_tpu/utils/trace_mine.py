@@ -86,7 +86,10 @@ def device_op_table(path: str, *, lane: str = "XLA Ops",
             continue
         name = e["name"]
         if strip_ids:
-            name = re.sub(r"[.\d]+$", "", name)
+            # fold only dot-prefixed numeric suffixes (`fusion.123`),
+            # never bare trailing digits that are part of the op name
+            # (`convert2` must not merge into `convert`)
+            name = re.sub(r"(\.\d+)+$", "", name)
         tot[name] += e.get("dur", 0)
         cnt[name] += 1
     wrappers = {"while", "conditional", "call"}

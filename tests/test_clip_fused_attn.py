@@ -166,3 +166,29 @@ def test_enable_fused_inference_auto(monkeypatch):
     assert enable_fused_inference(wide) is wide
     # explicit enable still wins (caller takes responsibility)
     assert enable_fused_inference(wide, enable=True).fused_attn
+    # a checkpoint saved with flatten_tokens=True must load fused
+    # without tripping the Transformer's mutual-exclusion assert:
+    # the fused layout supersedes flatten_tokens, so it is cleared
+    flat = dataclasses.replace(cfg, flatten_tokens=True)
+    on = enable_fused_inference(flat)
+    assert on.fused_attn and on.fused_mlp and not on.flatten_tokens
+
+
+def test_compact_kernel_rejects_nondividing_g():
+    """fused_attention_sublayer_compact is a public entry point — a g
+    that does not divide the sequence count must raise, not silently
+    leave trailing output rows unwritten."""
+    import jax.numpy as jnp
+    import pytest
+    from cross_modal_video_engine_tpu.ops.attention_sublayer import (
+        _attn_pallas_compact)
+    d, heads, l = 64, 4, 10
+    n = 3 * l  # 3 sequences; g=2 does not divide 3
+    x = jnp.zeros((n, d), jnp.float32)
+    w = jnp.zeros((d, d), jnp.float32)
+    b = jnp.zeros((d,), jnp.float32)
+    one = jnp.ones((d,), jnp.float32)
+    with pytest.raises(ValueError, match="divide"):
+        _attn_pallas_compact(x, one, b, w, b, w, b, w, b, w, b,
+                             heads=heads, seq_len=l, g=2, causal=False,
+                             eps=1e-5, interpret=True)
