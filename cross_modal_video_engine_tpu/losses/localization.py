@@ -131,6 +131,32 @@ def bsn_pem_loss(pred_iou, gt_iou):
     return jnp.mean(optax.huber_loss(pred_iou, gt_iou, delta=1.0))
 
 
+def bsn_pem_weighted_loss(pred_iou, gt_iou, key, u_ratio_m: float = 1.0,
+                          u_ratio_l: float = 2.0, high_thr: float = 0.6,
+                          low_thr: float = 0.2):
+    """The reference PEM training loss (bsn.py:313-349): elementwise
+    smooth-L1 kept for ALL high-iou rows plus randomly subsampled
+    medium/low rows, balanced to `u_ratio_m`/`u_ratio_l` times the
+    high count; the weighted sum is normalized by the kept count."""
+    h = (gt_iou > high_thr).astype(jnp.float32)
+    m = ((gt_iou <= high_thr) & (gt_iou > low_thr)).astype(jnp.float32)
+    low = (gt_iou <= low_thr).astype(jnp.float32)
+    num_h = jnp.sum(h)
+    km, kl = jax.random.split(key)
+    # rand*mask > 1-r keeps each masked row with probability min(r, 1)
+    r_m = jnp.minimum(u_ratio_m * num_h / jnp.maximum(jnp.sum(m), 1e-6),
+                      1.0)
+    sm = (jax.random.uniform(km, gt_iou.shape) * m
+          > (1.0 - r_m)).astype(jnp.float32)
+    r_l = jnp.minimum(u_ratio_l * num_h / jnp.maximum(jnp.sum(low), 1e-6),
+                      1.0)
+    sl = (jax.random.uniform(kl, gt_iou.shape) * low
+          > (1.0 - r_l)).astype(jnp.float32)
+    w = h + sm + sl
+    per_row = optax.huber_loss(pred_iou, gt_iou, delta=1.0)
+    return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 # ---------------------------------------------------------------------------
 # SSN (OHEM hinge completeness + activity CE + classwise regression)
 # ---------------------------------------------------------------------------

@@ -34,13 +34,20 @@ class TEM(nn.Module):
 
 
 class PEM(nn.Module):
+    """MLP proposal scorer.  The fc output ratios match the reference
+    exactly (bsn.py:306-309: relu(0.1*fc1(x)), sigmoid(0.1*fc2(x))) so
+    a torch PEM checkpoint's weights map 1:1; fc*_ratio=1.0 recovers
+    the plain MLP the early tests trained."""
     hidden: int = 128
+    fc1_ratio: float = 0.1
+    fc2_ratio: float = 0.1
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray) -> jnp.ndarray:
         """feats: (N, D) proposal features -> (N,) confidence."""
-        h = nn.relu(nn.Dense(self.hidden, name="fc1")(feats))
-        return jax.nn.sigmoid(nn.Dense(1, name="fc2")(h))[..., 0]
+        h = nn.relu(self.fc1_ratio * nn.Dense(self.hidden, name="fc1")(feats))
+        return jax.nn.sigmoid(
+            self.fc2_ratio * nn.Dense(1, name="fc2")(h))[..., 0]
 
 
 def match_boundaries(start: np.ndarray, end: np.ndarray,

@@ -29,7 +29,7 @@ import numpy as np
 import optax
 
 from ..losses.localization import (bmn_loss, bsn_tem_loss, bsn_pem_loss,
-                                   ssn_loss)
+                                   bsn_pem_weighted_loss, ssn_loss)
 from ..metrics.proposals import pairwise_temporal_iou
 
 
@@ -225,16 +225,24 @@ def make_bsn_tem_train_step(tem, tx, action_loss_weight: float = 2.0):
     return step
 
 
-def make_bsn_pem_train_step(pem, tx):
-    def loss_fn(params, feats, gt_iou):
+def make_bsn_pem_train_step(pem, tx, *, weighted: bool = False,
+                            u_ratio_m: float = 1.0, u_ratio_l: float = 2.0,
+                            high_thr: float = 0.6, low_thr: float = 0.2):
+    """weighted=True uses the reference's u-mask balanced loss
+    (bsn.py:313-349) and the step takes a trailing PRNG key."""
+    def loss_fn(params, feats, gt_iou, key=None):
         pred = pem.apply({"params": params}, feats)
-        loss = bsn_pem_loss(pred, gt_iou)
+        if weighted:
+            loss = bsn_pem_weighted_loss(pred, gt_iou, key, u_ratio_m,
+                                         u_ratio_l, high_thr, low_thr)
+        else:
+            loss = bsn_pem_loss(pred, gt_iou)
         return loss, {"loss": loss}
 
     @jax.jit
-    def step(params, opt_state, feats, gt_iou):
+    def step(params, opt_state, feats, gt_iou, *key):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, feats, gt_iou)
+            params, feats, gt_iou, *key)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, metrics
 
@@ -252,6 +260,41 @@ def make_ssn_train_step(head, tx, sampler_cfg: SSNSamplerConfig,
         out = head.apply({"params": params}, features, stpp)
         losses = ssn_loss(out["activity"], out["completeness"],
                           out["regression"], ptype, labels, targets,
+                          sc.positive_per_video, sc.background_per_video,
+                          sc.incomplete_per_video, comp_loss_weight,
+                          reg_loss_weight)
+        return losses["loss"], losses
+
+    @jax.jit
+    def step(params, opt_state, features, stpp, labels, ptype, targets):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, features, stpp, labels, ptype, targets)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, metrics
+
+    return step
+
+
+def make_ssn_batch_train_step(head, tx, sampler_cfg: SSNSamplerConfig,
+                              comp_loss_weight: float = 0.1,
+                              reg_loss_weight: float = 0.1):
+    """Batched SSN step: features (B, T, F), stpp (B, P, S, T), labels /
+    proposal_type (B, P), bbox_targets (B, P, 2).  The head is vmapped
+    over the video axis and the flattened (B*P) rows keep the per-video
+    [positives..., incompletes..., backgrounds...] grouping ssn_loss's
+    static indexers require."""
+    sc = sampler_cfg
+
+    def loss_fn(params, features, stpp, labels, ptype, targets):
+        out = jax.vmap(
+            lambda f, s: head.apply({"params": params}, f, s))(features,
+                                                               stpp)
+        b, p = labels.shape
+        act = out["activity"].reshape(b * p, -1)
+        comp = out["completeness"].reshape(b * p, -1)
+        reg = out["regression"].reshape(b * p, comp.shape[-1], 2)
+        losses = ssn_loss(act, comp, reg, ptype.reshape(-1),
+                          labels.reshape(-1), targets.reshape(b * p, 2),
                           sc.positive_per_video, sc.background_per_video,
                           sc.incomplete_per_video, comp_loss_weight,
                           reg_loss_weight)

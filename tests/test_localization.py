@@ -220,3 +220,42 @@ def test_ssn_sampler_and_training():
     assert np.isfinite(hist).all()
     assert hist[-1] < hist[0] * 0.8, hist[::10]
     assert {"loss_activity", "loss_completeness", "loss_reg"} <= set(m)
+
+
+def test_bsn_pem_weighted_loss_umasks():
+    """Reference u-mask semantics (bsn.py:313-349): all high-iou rows
+    kept; medium/low subsampled to ~u_ratio_m/u_ratio_l x the high
+    count; weighted mean of elementwise smooth-L1."""
+    from cross_modal_video_engine_tpu.losses.localization import (
+        bsn_pem_weighted_loss)
+    key = jax.random.key(3)
+    gt = jnp.asarray(np.concatenate([
+        np.full(10, 0.9), np.full(40, 0.4), np.full(200, 0.05)]),
+        jnp.float32)
+    pred = jnp.zeros_like(gt)
+    loss = float(bsn_pem_weighted_loss(pred, gt, key))
+    assert np.isfinite(loss) and loss > 0
+    # perfect predictions zero the loss regardless of masks
+    assert float(bsn_pem_weighted_loss(gt, gt, key)) == 0.0
+    # all-high batch: every row kept -> equals the plain mean smooth-L1
+    gt_h = jnp.full((16,), 0.8)
+    pred_h = jnp.full((16,), 0.3)
+    expect = float(jnp.mean(optax.huber_loss(pred_h, gt_h, delta=1.0)))
+    got = float(bsn_pem_weighted_loss(pred_h, gt_h, key))
+    assert abs(got - expect) < 1e-6
+    # weighted PEM step trains
+    pem = PEM(hidden=8)
+    feats = rng.normal(size=(64, 12)).astype(np.float32)
+    gt_iou = rng.uniform(0, 1, 64).astype(np.float32)
+    params = pem.init(jax.random.key(0), jnp.asarray(feats))["params"]
+    tx = optax.adam(1e-2)
+    opt_state = tx.init(params)
+    step = make_bsn_pem_train_step(pem, tx, weighted=True)
+    k = jax.random.key(0)
+    hist = []
+    for _ in range(30):
+        k, sub = jax.random.split(k)
+        params, opt_state, m = step(params, opt_state, jnp.asarray(feats),
+                                    jnp.asarray(gt_iou), sub)
+        hist.append(float(m["loss"]))
+    assert hist[-1] < hist[0]

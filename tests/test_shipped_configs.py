@@ -58,6 +58,37 @@ def test_localization_config_parses():
     assert model.cfg.temporal_dim == 100
 
 
+def test_localization_family_configs():
+    """The reference's three localization families each ship recipes:
+    bmn(1) + bsn tem/pem(2) + ssn(1) (reference configs/localization/
+    {bmn,bsn,ssn}; PGM is a data-prep step via misc_tools bsn_pgm)."""
+    paths = sorted(glob.glob(os.path.join(REPO, "configs/localization",
+                                          "*.py")))
+    names = [os.path.basename(p) for p in paths]
+    assert len(paths) >= 4, names
+    assert any("bsn_tem" in n for n in names)
+    assert any("bsn_pem" in n for n in names)
+    assert any("ssn" in n for n in names)
+
+    tem = Config.fromfile(os.path.join(
+        REPO, "configs/localization/bsn_tem_400x100_anet.py"))
+    assert tem["model.type"] == "TEM"
+    assert tem["model.hidden"] == 512                 # tem_hidden_dim
+    pem = Config.fromfile(os.path.join(
+        REPO, "configs/localization/bsn_pem_400x100_anet.py"))
+    assert pem["model.type"] == "PEM"
+    assert pem["model.hidden"] == 256                 # pem_hidden_dim
+    assert pem["model.u_ratio_l"] == 2.0
+    assert pem["optimizer.learning_rate"] == 0.01     # adam_20e.py
+    ssn = Config.fromfile(os.path.join(
+        REPO, "configs/localization/ssn_r50_450e_thumos14.py"))
+    assert ssn["model.type"] == "SSN"
+    assert ssn["model.num_classes"] == 20             # thumos14
+    assert ssn["sampler.incomplete_per_video"] == 6
+    assert ssn["ssn.comp_loss_weight"] == 0.1
+    assert ssn["total_epochs"] == 450
+
+
 def test_seq_generate_config_parses():
     cfg = Config.fromfile(os.path.join(
         REPO, "configs/seq_generate/timesformer_relseq.py"))
@@ -146,6 +177,22 @@ def test_recognition_audio_config_parses():
     assert cfg["model.n_mels"] == 80
     from cross_modal_video_engine_tpu.data.pipelines import build_pipeline
     assert build_pipeline(cfg["data.pipeline"]).ops
+
+
+def test_audioonly_config_parses():
+    """Both reference recognition_audio families ship (resnet +
+    audioonly, reference configs/recognition_audio/audioonly/
+    audioonly_r50_64x1x1_100e_kinetics400_audio_feature.py)."""
+    cfg = Config.fromfile(os.path.join(
+        REPO, "configs/recognition_audio/audioonly_r50_64x1x1_k400_"
+              "feature.py"))
+    assert list(cfg["model.channels"]) == [64, 128, 256, 512]  # r50-deep
+    assert cfg["data.videos_per_gpu"] == 160
+    assert cfg["total_epochs"] == 100
+    pipe = cfg["data.pipeline"]
+    assert pipe[1]["clip_len"] == 64                  # 64x1x1 protocol
+    from cross_modal_video_engine_tpu.data.pipelines import build_pipeline
+    assert build_pipeline(pipe).ops
 
 
 DETECTION = sorted(glob.glob(os.path.join(
