@@ -3,9 +3,14 @@
 // The reference delegates decode to decord/PyAV/OpenCV from Python
 // (MCT loading.py:725-1247, MultiFusion utils.py:15).  This library decodes
 // a selected set of frame indices of one container straight into a caller-
-// provided RGB24 buffer, sequentially scanning the stream (one seek to the
-// keyframe before the earliest wanted frame, then demux/decode forward) —
-// the access pattern of SampleFrames-style samplers.
+// provided RGB24 buffer: one seek to the keyframe before the earliest
+// wanted frame, demux/decode forward, and — when the container's keyframe
+// index shows a GOP boundary between the current position and the next
+// wanted frame — a forward re-seek that skips the unwanted GOPs entirely
+// (decord's random-access get_batch semantics, the reference's ingest in
+// MCT loading.py:1081-1144).  Sparse samplers (8 uniform frames over a
+// whole clip) therefore decode only the GOPs that contain wanted frames
+// instead of every GOP in the file.
 //
 // C ABI (ctypes):
 //   vd_open(path, out int32[3]{n_frames_estimate, width, height}) -> handle
@@ -106,12 +111,22 @@ int vd_decode(void* handle, const int64_t* indices, int64_t n,
   // first received frame's pts (exact for CFR streams); short prefixes
   // keep the exact sequential scan.
   AVStream* st = d->fmt->streams[d->stream_idx];
+  const int64_t ts_base =
+      (st->start_time != AV_NOPTS_VALUE) ? st->start_time : 0;
+  AVRational inv_fps = {st->avg_frame_rate.den, st->avg_frame_rate.num};
+  auto frame_to_ts = [&](int64_t idx) {
+    return av_rescale_q(idx, inv_fps, st->time_base) + ts_base;
+  };
+  auto ts_to_frame = [&](int64_t ts) {
+    int64_t f = av_rescale_q_rnd(ts - ts_base, st->time_base, inv_fps,
+                                 AV_ROUND_NEAR_INF);
+    return f < 0 ? 0 : f;
+  };
+
   bool seeked = false;
   if (want[0].first > 64 && st->avg_frame_rate.num > 0) {
-    AVRational inv_fps = {st->avg_frame_rate.den, st->avg_frame_rate.num};
-    int64_t ts = av_rescale_q(want[0].first, inv_fps, st->time_base);
-    if (st->start_time != AV_NOPTS_VALUE) ts += st->start_time;
-    if (av_seek_frame(d->fmt, d->stream_idx, ts, AVSEEK_FLAG_BACKWARD) >= 0)
+    if (av_seek_frame(d->fmt, d->stream_idx, frame_to_ts(want[0].first),
+                      AVSEEK_FLAG_BACKWARD) >= 0)
       seeked = true;
   }
   if (!seeked)
@@ -124,6 +139,17 @@ int vd_decode(void* handle, const int64_t* indices, int64_t n,
   SwsContext* sws = nullptr;
   int sws_w = -1, sws_h = -1, sws_fmt = -1;
 
+  // swscale's SIMD paths write past the end of the final row (measured
+  // 24 bytes on this box's rgb24 output) — scaling straight into the
+  // caller's tightly-sized numpy buffer corrupts the heap (and, for
+  // unsorted indices, the first bytes of a neighboring frame slot).
+  // Scale into an aligned, row-padded staging buffer and row-copy out,
+  // the same discipline decord/OpenCV use.
+  const int stage_stride = FFALIGN(out_w * 3, 64);
+  uint8_t* stage = static_cast<uint8_t*>(
+      av_malloc(static_cast<size_t>(stage_stride) * out_h + 64));
+  if (!stage) return -2;
+
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();
   int64_t decoded = seeked ? -1 : 0;  // -1: recover from first pts
@@ -134,17 +160,7 @@ int vd_decode(void* handle, const int64_t* indices, int64_t n,
   auto emit = [&](AVFrame* f) {
     if (decoded < 0) {
       int64_t pts = f->best_effort_timestamp;
-      if (pts == AV_NOPTS_VALUE) {
-        decoded = 0;
-      } else {
-        int64_t base =
-            (st->start_time != AV_NOPTS_VALUE) ? st->start_time : 0;
-        AVRational inv_fps = {st->avg_frame_rate.den,
-                              st->avg_frame_rate.num};
-        decoded = av_rescale_q_rnd(pts - base, st->time_base, inv_fps,
-                                   AV_ROUND_NEAR_INF);
-        if (decoded < 0) decoded = 0;
-      }
+      decoded = (pts == AV_NOPTS_VALUE) ? 0 : ts_to_frame(pts);
     }
     if (f->width != sws_w || f->height != sws_h || f->format != sws_fmt) {
       if (sws) sws_freeContext(sws);
@@ -159,18 +175,58 @@ int vd_decode(void* handle, const int64_t* indices, int64_t n,
     // <=: a conservative keyframe seek can overshoot a wanted index by
     // a frame on odd-pts streams — serve it with the current frame
     // rather than stalling until the repeat-last fallback
+    bool staged = false;
     while (sws && next_want < want.size() &&
            want[next_want].first <= decoded) {
-      uint8_t* dst[1] = {out + want[next_want].second * frame_bytes};
-      int dst_stride[1] = {out_w * 3};
-      sws_scale(sws, f->data, f->linesize, 0, f->height, dst, dst_stride);
+      if (!staged) {
+        uint8_t* dst[1] = {stage};
+        int dst_stride[1] = {stage_stride};
+        sws_scale(sws, f->data, f->linesize, 0, f->height, dst, dst_stride);
+        staged = true;
+      }
+      uint8_t* slot = out + want[next_want].second * frame_bytes;
+      for (int row = 0; row < out_h; ++row) {
+        memcpy(slot + static_cast<size_t>(row) * out_w * 3,
+               stage + static_cast<size_t>(row) * stage_stride, out_w * 3);
+      }
       ++next_want;
     }
     ++decoded;
   };
 
+  // GOP skip: if the container's keyframe index shows a keyframe
+  // strictly between the current position and the next wanted frame,
+  // re-seek instead of decoding through the gap.  The index check makes
+  // the decision exact for indexed containers (mp4 stss et al.) and
+  // degrades to the plain forward scan where no index exists (raw
+  // mpegts before its index is built) or keyframes are sparse — the
+  // worst case stays the old behavior, never a backward re-decode.
+  constexpr int64_t kMinSkip = 8;  // seek+flush cost floor, in frames
+  int64_t last_seek_target = -1;
+  auto maybe_skip = [&]() {
+    if (decoded < 0 || next_want >= want.size() ||
+        st->avg_frame_rate.num <= 0)
+      return;
+    const int64_t target = want[next_want].first;
+    if (target == last_seek_target || target - decoded <= kMinSkip) return;
+    last_seek_target = target;  // one attempt per wanted index
+    int idx = av_index_search_timestamp(st, frame_to_ts(target),
+                                        AVSEEK_FLAG_BACKWARD);
+    if (idx < 0) return;
+    const AVIndexEntry* e = avformat_index_get_entry(st, idx);
+    if (!e || ts_to_frame(e->timestamp) <= decoded + kMinSkip) return;
+    const int64_t resume = decoded;
+    if (av_seek_frame(d->fmt, d->stream_idx, frame_to_ts(target),
+                      AVSEEK_FLAG_BACKWARD) >= 0) {
+      avcodec_flush_buffers(d->codec);
+      decoded = -1;
+    } else {
+      decoded = resume;  // seek refused: keep scanning forward
+    }
+  };
+
   while (next_want < want.size() &&
-         av_read_frame(d->fmt, pkt) >= 0) {
+         (maybe_skip(), av_read_frame(d->fmt, pkt) >= 0)) {
     if (pkt->stream_index == d->stream_idx) {
       if (avcodec_send_packet(d->codec, pkt) == 0) {
         while (avcodec_receive_frame(d->codec, frame) == 0) emit(frame);
@@ -199,6 +255,7 @@ int vd_decode(void* handle, const int64_t* indices, int64_t n,
   }
   av_frame_free(&frame);
   av_packet_free(&pkt);
+  av_free(stage);
   sws_freeContext(sws);
   return ret;
 }

@@ -98,3 +98,55 @@ def test_native_decode_late_clip_seek(tmp_path):
     assert diff < 2.0, f"late-seek decode disagrees, mean abs diff {diff}"
     nv.release()
     cv.release()
+
+def test_native_sparse_gop_skip_bit_identical(tmp_path):
+    """Sparse sampling takes the GOP-skipping re-seek path
+    (native/decode.cc maybe_skip); frames must be bit-identical to the
+    dense sequential scan, for sorted, unsorted and repeated indices."""
+    frames = rng.integers(0, 255, (300, 72, 88, 3), dtype=np.uint8)
+    path = str(tmp_path / "gop.mp4")
+    write_test_video(path, frames)
+
+    nv = NativeVideoReader(path)
+    assert nv.is_native
+    dense = nv.get_batch(list(range(300)))
+    nv.release()
+
+    for idx in (
+        np.linspace(0, 299, 8).astype(int).tolist(),   # uniform sparse
+        [250, 10, 170, 10, 299, 0],                    # unsorted + repeat
+        list(range(100, 140)),                         # dense mid-clip
+        [290, 295, 299],                               # tail only
+    ):
+        nv = NativeVideoReader(path)
+        got = nv.get_batch(idx)
+        nv.release()
+        for j, i in enumerate(idx):
+            np.testing.assert_array_equal(got[j], dense[i])
+
+
+def test_native_decode_no_buffer_overrun(tmp_path):
+    """swscale SIMD overran the tight caller buffer by 24 bytes before the
+    staging-copy fix (heap corruption); canary-pad the buffer and decode
+    with an unaligned stride (88*3=264) to pin the fix."""
+    import ctypes
+
+    from cross_modal_video_engine_tpu.io import native as nat
+
+    frames = rng.integers(0, 255, (60, 72, 88, 3), dtype=np.uint8)
+    path = str(tmp_path / "canary.mp4")
+    write_test_video(path, frames)
+
+    info = np.zeros(3, np.int32)
+    h = nat._VD.vd_open(path.encode(), info.ctypes.data)
+    assert h
+    w, ht = int(info[1]), int(info[2])
+    idx = np.ascontiguousarray([0, 30, 59, 10], np.int64)
+    nbytes = len(idx) * ht * w * 3
+    pad = 4096
+    buf = np.full(nbytes + pad, 0xAB, np.uint8)
+    rc = nat._VD.vd_decode(h, idx.ctypes.data, len(idx),
+                           buf.ctypes.data, w, ht)
+    nat._VD.vd_close(h)
+    assert rc == 0
+    assert (buf[nbytes:] == 0xAB).all(), "decoder wrote past the out buffer"
