@@ -321,12 +321,16 @@ def bench_u8_ingest(batch=32, frames=8, steps=20):
 
 
 def bench_host_feed(n_videos=96, frames=8, batch=32, src_hw=(480, 640),
-                    workers_sweep=(1, 2, 4)):
+                    src_frames=300, workers_sweep=(1, 2, 4)):
     """End-to-end host->device pipeline: mp4 decode (DecodePrefetcher
     over the native libav batch decoder) -> device uint8 ingest ->
     flagship tower embed.  This measures whether ONE host can actually
     feed the chip at the headline rate (the reference delegates ingest
     to decord DataLoader workers, MultiFusion/src/utils.py:22-29).
+    Sources are 300-frame clips (a 10 s Kinetics video at 30 fps) with
+    8-frame uniform sampling — the sparse access pattern the decoder's
+    GOP-skipping re-seek (native/decode.cc) is built for; r4's fixture
+    used 32-frame sources, which hid the sparse-seek axis entirely.
     Emits one decode-only row per worker count (the scaling curve) and
     one overlapped end-to-end row.  NOTE: this box has a single CPU
     core, so the worker curve here is a lower bound — production TPU
@@ -350,13 +354,13 @@ def bench_host_feed(n_videos=96, frames=8, batch=32, src_hw=(480, 640),
         n_src = 12
         srcs = []
         for i in range(n_src):
-            fr = rng.integers(0, 256, (frames * 4,) + src_hw + (3,),
+            fr = rng.integers(0, 256, (src_frames,) + src_hw + (3,),
                               dtype=np.uint8)
             p = os.path.join(tmp, f"s{i}.mp4")
             write_test_video(p, fr)
             srcs.append(p)
         paths = [srcs[i % n_src] for i in range(n_videos)]
-        idx = uniform_indices(n_videos, frames * 4, frames)
+        idx = uniform_indices(n_videos, src_frames, frames)
 
         # decode-only scaling curve
         for nw in workers_sweep:
