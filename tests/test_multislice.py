@@ -127,3 +127,73 @@ def test_multislice_dp_train_step_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(ms_params["dense"]["kernel"]),
         np.asarray(ref_params["dense"]["kernel"]), rtol=1e-5)
+
+
+class _TinyBNNet(__import__("flax").linen.Module):
+    """Minimal BatchNorm classifier for the dp-stats semantics test."""
+    n_classes: int = 4
+
+    @__import__("flax").linen.compact
+    def __call__(self, videos, train: bool = False):
+        import flax.linen as nn
+        x = nn.Conv(8, (3, 3))(videos)
+        x = nn.BatchNorm(use_running_average=not train,
+                         momentum=0.9)(x)
+        x = nn.relu(x).mean(axis=(1, 2))
+        return nn.Dense(self.n_classes)(x)
+
+
+def test_bn_batch_stats_global_under_dp():
+    """BatchNorm statistics under dp must be GLOBAL-batch statistics:
+    the GSPMD analogue of the reference's SyncBN /
+    SubBatchNorm3dAggregation (MCT mmaction SyncBN requires_grad
+    configs; multigrid/subbn_aggregate.py).  jit inserts the cross-
+    device all-reduce for the batch-axis mean/var automatically, so a
+    dp-sharded step must reproduce the single-device step exactly."""
+    import optax
+
+    from cross_modal_video_engine_tpu.train.recognition_trainer import (
+        RecTrainState, make_cls_train_step_stats)
+
+    model = _TinyBNNet()
+    rng = np.random.default_rng(11)
+    videos = rng.standard_normal((16, 6, 6, 3)).astype(np.float32)
+    labels = rng.integers(0, 4, 16)
+    variables = model.init(jax.random.key(0), videos[:1], train=False)
+    tx = optax.sgd(0.1)
+    state0 = RecTrainState(variables["params"],
+                           tx.init(variables["params"]), 0)
+    step = make_cls_train_step_stats(model, tx)
+    key = jax.random.key(1)
+
+    # single-device reference (global-batch statistics by construction)
+    ref_state, ref_stats, ref_m = step(
+        state0, variables["batch_stats"], jnp.asarray(videos),
+        jnp.asarray(labels), key)
+
+    # dp over all 8 virtual devices: videos/labels row-sharded
+    mesh = make_multislice_mesh()  # (1, 8, 1) on the CPU mesh
+    v_sh, _ = shard_rows(mesh, videos)
+    l_sh, _ = shard_rows(mesh, labels)
+    dp_state, dp_stats, dp_m = step(
+        state0, variables["batch_stats"], v_sh, l_sh, key)
+
+    np.testing.assert_allclose(float(dp_m["loss"]), float(ref_m["loss"]),
+                               rtol=1e-5)
+    for ref_leaf, dp_leaf in zip(jax.tree.leaves(ref_stats),
+                                 jax.tree.leaves(dp_stats)):
+        np.testing.assert_allclose(np.asarray(dp_leaf),
+                                   np.asarray(ref_leaf), atol=1e-5)
+    for ref_leaf, dp_leaf in zip(jax.tree.leaves(ref_state.params),
+                                 jax.tree.leaves(dp_state.params)):
+        np.testing.assert_allclose(np.asarray(dp_leaf),
+                                   np.asarray(ref_leaf), atol=1e-5)
+
+    # and the statistics really are global: per-shard stats differ
+    half_m, half_v = (np.asarray(model.apply(
+        variables, jnp.asarray(videos[:8]), train=True,
+        mutable=["batch_stats"])[1]["batch_stats"]["BatchNorm_0"][k])
+        for k in ("mean", "var"))
+    glob_m = np.asarray(ref_stats["BatchNorm_0"]["mean"])
+    assert not np.allclose(half_m, glob_m, atol=1e-6), (
+        "test fixture degenerate: half-batch stats equal global stats")
