@@ -50,28 +50,35 @@ def build_retrieval_handler(args):
     from .retrieval_tester import _embed_txt_fn
     embed_txt = _embed_txt_fn(model)
 
-    def embed_rows(rows):
-        # rows: [(ids, bow)] -> one batched embed_txt_distill call;
-        # make_text_batch pads to max_words so shapes depend only on the
-        # (pow2-padded) batch size.
+    def query_rows(rows):
+        # rows: [(ids, bow, k)] -> the FULL query path as one wave: one
+        # batched embed_txt_distill + ONE batched index search (the
+        # r4 handler searched per request after the coalesced embed, so
+        # a 64-request wave paid 64 serialized search dispatches).
+        # make_text_batch pads to max_words so shapes depend only on
+        # the (pow2-padded) batch size; the search k is the wave max,
+        # pow2-padded, so the top-k program also compiles O(log) times.
         rows, n = _pow2_rows(rows, max_batch)
         batch = make_text_batch(
-            [ids[: dataset.max_words] for ids, _ in rows],
-            np.stack([bow for _, bow in rows]), dataset.max_words)
+            [ids[: dataset.max_words] for ids, _, _ in rows],
+            np.stack([bow for _, bow, _ in rows]), dataset.max_words)
         emb = np.asarray(embed_txt(state["variables"], batch))
-        return [emb[i: i + 1] for i in range(n)]
+        k_wave = max(k for _, _, k in rows[:n])
+        k_wave = max(16, 1 << (k_wave - 1).bit_length())
+        scores, ids_out = index.search_ids(emb, k_wave)
+        return [(scores[i], ids_out[i]) for i in range(n)]
 
-    batcher = MicroBatcher(embed_rows, max_batch=max_batch,
+    batcher = MicroBatcher(query_rows, max_batch=max_batch,
                            max_wait_ms=getattr(args, "max_wait_ms", 5.0),
-                           name="retrieval-embed")
+                           name="retrieval-query")
 
     def handler(payload: dict) -> dict:
         bow, ids = dataset.process_cap(payload["query"])
-        q = batcher.submit((ids, bow))
-        scores, ids_out = index.search_ids(q, int(payload.get("topK", 10)))
+        k = int(payload.get("topK", 10))
+        scores, vids = batcher.submit((ids, bow, k))
         return {"results": [
             {"video": v, "score": float(s)}
-            for v, s in zip(ids_out[0], scores[0])]}
+            for v, s in zip(vids[:k], scores[:k])]}
 
     handler.batcher = batcher
     return handler
