@@ -1,0 +1,305 @@
+"""End-to-end serving latency for the retrieval north star.
+
+BASELINE.md's serving target is "<20 ms p50 text-query retrieval over a
+1M-clip index".  BENCH_EXTRA's `retrieval_p50` row measures the *device*
+search; this bench measures what a user of the reference's
+`LINAS-engine/inference.py:46-82` surface actually experiences: an HTTP
+POST through `cli/serve.py`'s retrieval route — tokenize -> BoW/RNN text
+batch -> production DualEncoding text tower -> 1M x 1536 index search ->
+top-K ids — micro-batcher included, exactly the code `serve.py` runs.
+
+Two arms:
+  * batch=1   — sequential single queries (interactive latency), p50/p99
+  * conc=64   — 64 concurrent clients per round (the micro-batcher
+                coalesces each round into ~1 wave), per-request p50/p99
+                + wave throughput
+
+The measurement environment adds a tax production would not pay: the TPU
+is reached through the axon relay (~25 ms per dispatch+fetch round-trip,
+CLAUDE.md).  The serve handler fuses the whole query path into ONE
+device program with ONE packed fetch precisely to pay that tax once; the
+bench also measures `relay_floor_ms` (one trivial dispatch + fetch) so
+the artifact separates device+host work from tunnel overhead.
+
+Usage:
+    python bench_serve.py [--rows 1000000] [--dtype float32]
+                          [--out BENCH_SERVE_r5.json]
+
+Fixtures (production-dim checkpoint + 1M-row index cache, ~6 GB) are
+built once into --cache_dir and reused.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import threading
+import time
+
+import numpy as np
+
+
+def _p(vals, q):
+    return float(np.percentile(np.asarray(vals, np.float64), q))
+
+
+# --------------------------------------------------------------------------
+# fixtures: a production-shape collection + checkpoint + 1M index cache
+# --------------------------------------------------------------------------
+
+def build_fixtures(root: str, n_rows: int, dim_common: int = 1536,
+                   n_words: int = 7800, seed: int = 7) -> dict:
+    """Create (once) the on-disk world serve.py needs: a LINAS collection
+    with a ~7.8k-word vocabulary (reference production: rnn 7807 / bow
+    7183, trainer.py defaults), a random-init production-size
+    DualEncoding checkpoint, and a 1M-row index cache npz (the same
+    format `build_video_index(cache=...)` writes)."""
+    from cross_modal_video_engine_tpu.io.bigfile import write_bigfile
+    from cross_modal_video_engine_tpu.utils.vocab import build_vocab
+
+    collection, feature = "servbench", "feat2048"
+    base = os.path.join(root, collection)
+    feat_dir = os.path.join(base, "FeatureData", feature)
+    text_dir = os.path.join(base, "TextData")
+    ckpt = os.path.join(root, "ckpt")
+    cache = os.path.join(root, f"index_{n_rows}.npz")
+    stamp = os.path.join(root, f"fixtures_ok_{n_rows}")
+    out = dict(rootpath=root, collection=collection, feature=feature,
+               ckpt=ckpt, cache=cache)
+    if os.path.exists(stamp):
+        return out
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(text_dir, exist_ok=True)
+
+    words = [f"tok{i:05d}" for i in range(n_words)]
+    # captions enumerate every word so build_vocab(threshold=1) keeps all
+    caps, lines, vid = [], [], 0
+    for i in range(0, n_words, 6):
+        cap = " ".join(words[i:i + 6])
+        caps.append(cap)
+        lines.append(f"video{vid % 4}#{len(lines)} {cap}")
+    with open(os.path.join(text_dir, f"{collection}.caption.txt"), "w") as f:
+        f.write("\n".join(lines))
+    for style in ("rnn", "bow"):
+        vocab, _ = build_vocab(caps, style, threshold=1)
+        d = os.path.join(text_dir, "vocabulary", style)
+        os.makedirs(d, exist_ok=True)
+        vocab.save(os.path.join(d, "word_vocab_5.json"))
+        out[f"{style}_vocab_size"] = len(vocab)
+
+    # tiny frame-feature store (the index itself loads from the cache)
+    names, rows, video2frames = [], [], {}
+    for i in range(4):
+        fids = [f"video{i}_f{j}" for j in range(5)]
+        video2frames[f"video{i}"] = fids
+        names.extend(fids)
+        rows.append(rng.standard_normal((5, 2048)).astype(np.float32))
+    write_bigfile(feat_dir, names, np.concatenate(rows))
+    with open(os.path.join(feat_dir, "video2frames.txt"), "w") as f:
+        f.write(repr(video2frames))
+
+    # production-size random-init checkpoint (restore_dual_encoding
+    # rebuilds the model from the embedded config)
+    import jax
+    import jax.numpy as jnp
+    from cross_modal_video_engine_tpu.models.dual_encoding import (
+        DualEncoding, DualEncodingConfig, TextBatch, make_text_batch,
+        make_video_batch)
+    from cross_modal_video_engine_tpu.train.checkpoint import save_checkpoint
+    cfg = DualEncodingConfig(vocab_size=out["rnn_vocab_size"],
+                             bow_vocab_size=out["bow_vocab_size"],
+                             common_dim=dim_common)
+    model = DualEncoding(cfg)
+    videos = make_video_batch(
+        [rng.standard_normal((5, cfg.visual_feat_dim)).astype(np.float32)],
+        8)
+    text = make_text_batch([[1, 4, 2]],
+                           np.zeros((1, cfg.bow_vocab_size), np.float32), 8)
+    sup = TextBatch(
+        ids=jnp.ones((1, 2, 8), jnp.int32),
+        bows=jnp.zeros((1, 2, cfg.bow_vocab_size), jnp.float32),
+        lengths=jnp.full((1, 2), 3, jnp.int32),
+        mask=jnp.ones((1, 2, 8), jnp.float32))
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        variables = model.init(jax.random.key(seed), videos, text, sup)
+    save_checkpoint(ckpt, variables, cfg, {"epoch": 0})
+
+    # 1M-row index cache in build_video_index's npz format
+    emb = rng.standard_normal((n_rows, dim_common), dtype=np.float32)
+    emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    ids = np.array([f"video{i}" for i in range(n_rows)])
+    np.savez(cache, emb=emb, ids=ids)
+    del emb
+
+    open(stamp, "w").write("ok")
+    return out
+
+
+# --------------------------------------------------------------------------
+# the bench
+# --------------------------------------------------------------------------
+
+def relay_floor_ms(n: int = 20) -> float:
+    """p50 of one trivial dispatch + host fetch (the per-round-trip tax
+    every np.asarray(jitted(...)) pays through the axon relay)."""
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.ones((8,), jnp.float32)
+    np.asarray(f(x))                       # compile
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        np.asarray(f(x))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return _p(ts, 50)
+
+
+def _post(port, payload, timeout=600):
+    import urllib.request
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/retrieval",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    t0 = time.perf_counter()
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        out = json.loads(r.read())
+    return (time.perf_counter() - t0) * 1e3, out
+
+
+def run(args):
+    fx = build_fixtures(args.cache_dir, args.rows)
+
+    ns = argparse.Namespace(
+        retrieval_checkpoint=fx["ckpt"], rootpath=fx["rootpath"],
+        collection=fx["collection"], visual_feature=fx["feature"],
+        index_cache=fx["cache"], index_dtype=args.dtype,
+        index_capacity=args.rows, max_batch=64, max_wait_ms=2.0)
+
+    from cross_modal_video_engine_tpu.cli.serve import build_retrieval_handler
+    from cross_modal_video_engine_tpu.service.app import (EngineService,
+                                                          serve_in_thread)
+    t0 = time.perf_counter()
+    handler = build_retrieval_handler(ns)
+    build_s = time.perf_counter() - t0
+    print(f"# handler built in {build_s:.1f}s (index load + device_put)")
+
+    # warm every program the micro-batcher can hit: one embed+search
+    # compile per pow2 wave size (the batcher pads waves to pow2, so
+    # these 7 programs are ALL it will ever run)
+    dataset_words = [f"tok{i:05d}" for i in range(200)]
+    rng = np.random.default_rng(0)
+
+    def rand_query():
+        return " ".join(rng.choice(dataset_words, size=6))
+
+    fn = handler.batcher.fn
+    from cross_modal_video_engine_tpu.cli.common import load_dataset
+    ds = load_dataset(fx["rootpath"], fx["collection"], fx["feature"])
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        rows = []
+        for _ in range(s):
+            bow, ids = ds.process_cap(rand_query())
+            rows.append((ids, bow, 10))
+        t0 = time.perf_counter()
+        fn(rows)
+        print(f"# warm wave {s}: {time.perf_counter() - t0:.1f}s")
+
+    service = EngineService()
+    service.register("retrieval", handler)
+    server, _ = serve_in_thread(service, port=args.port)
+    port = server.server_address[1]
+
+    results = []
+
+    # ---- arm 1: sequential single queries ---------------------------------
+    lats = []
+    for i in range(args.n_single):
+        ms, out = _post(port, {"query": rand_query(), "topK": 10})
+        assert len(out["results"]) == 10
+        lats.append(ms)
+    results.append({
+        "metric": "serve_retrieval_e2e_p50_batch1",
+        "value": round(_p(lats, 50), 2), "unit": "ms",
+        "p99": round(_p(lats, 99), 2), "n": len(lats),
+        "rows": args.rows, "dim": 1536, "index_dtype": args.dtype,
+        "vs_baseline": round(20.0 / _p(lats, 50), 3)})
+    print(json.dumps(results[-1]))
+
+    # ---- arm 2: 64 concurrent clients per round ----------------------------
+    conc, per_req, wave_s = 64, [], []
+    for _ in range(args.n_waves):
+        barrier = threading.Barrier(conc)
+        errs, local = [], [None] * conc
+
+        def one(i):
+            try:
+                barrier.wait()
+                ms, out = _post(port, {"query": rand_query(), "topK": 10})
+                local[i] = ms
+            except Exception as e:          # pragma: no cover
+                errs.append(e)
+        ts = [threading.Thread(target=one, args=(i,)) for i in range(conc)]
+        t0 = time.perf_counter()
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        wave_s.append(time.perf_counter() - t0)
+        assert not errs, errs[:1]
+        per_req.extend(local)
+    qps = conc * len(wave_s) / sum(wave_s)
+    results.append({
+        "metric": "serve_retrieval_e2e_p50_conc64",
+        "value": round(_p(per_req, 50), 2), "unit": "ms",
+        "p99": round(_p(per_req, 99), 2), "qps": round(qps, 1),
+        "n": len(per_req), "rows": args.rows, "dim": 1536,
+        "index_dtype": args.dtype,
+        "waves_run": handler.batcher.batches_run,
+        "rows_run": handler.batcher.rows_run,
+        "vs_baseline": round(20.0 / _p(per_req, 50), 3)})
+    print(json.dumps(results[-1]))
+
+    # ---- relay decomposition ----------------------------------------------
+    floor = relay_floor_ms()
+    results.append({
+        "metric": "relay_roundtrip_floor", "value": round(floor, 2),
+        "unit": "ms", "note": "per dispatch+fetch through the axon "
+        "relay; the fused query path pays ~1 of this tax per wave, "
+        "which a co-located production host would not",
+        "vs_baseline": 1.0})
+    print(json.dumps(results[-1]))
+
+    server.shutdown()
+    if args.out:
+        with open(args.out, "w") as f:
+            for r in results:
+                f.write(json.dumps(r) + "\n")
+    return results
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1_000_000)
+    ap.add_argument("--dtype", default="float32",
+                    choices=("float32", "bfloat16", "int8"))
+    ap.add_argument("--n_single", type=int, default=60)
+    ap.add_argument("--n_waves", type=int, default=8)
+    ap.add_argument("--port", type=int, default=0)
+    ap.add_argument("--cache_dir",
+                    default=os.path.expanduser("~/.cache/cmve_bench_serve"))
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--platform", default=None, choices=("cpu",),
+                    help="force CPU (smoke runs; JAX_PLATFORMS env is "
+                         "overridden by the axon site — config.update "
+                         "is the only switch that sticks, CLAUDE.md)")
+    args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    os.makedirs(args.cache_dir, exist_ok=True)
+    run(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -41,15 +41,18 @@ def _embed_vis_fn(model):
 
 def build_video_index(model, variables, dataset: LinasDataset,
                       batch_size: int = 64, cache: str | None = None,
-                      mesh=None, dtype=None) -> RetrievalIndex:
+                      mesh=None, dtype=None,
+                      capacity: int | None = None) -> RetrievalIndex:
     """dtype: stored-row precision (float32 default; 'bfloat16'/'int8'
-    are the serving configurations — see RetrievalIndex)."""
+    are the serving configurations — see RetrievalIndex).  capacity:
+    index slot count (default 2x rows for incremental add headroom;
+    pass the row count for a frozen corpus to halve index HBM)."""
     import jax.numpy as jnp
     dtype = jnp.dtype(dtype) if dtype else jnp.float32
     if cache and os.path.exists(cache):
         data = np.load(cache, allow_pickle=True)
         return RetrievalIndex(data["emb"], ids=list(data["ids"]),
-                              mesh=mesh, dtype=dtype)
+                              mesh=mesh, dtype=dtype, capacity=capacity)
     embed = _embed_vis_fn(model)
     chunks, names = [], []
     for batch, n in dataset.video_batches(batch_size):
@@ -58,7 +61,8 @@ def build_video_index(model, variables, dataset: LinasDataset,
     emb = np.concatenate(chunks, axis=0)
     if cache:
         np.savez(cache, emb=emb, ids=np.array(names))
-    return RetrievalIndex(emb, ids=names, mesh=mesh, dtype=dtype)
+    return RetrievalIndex(emb, ids=names, mesh=mesh, dtype=dtype,
+                          capacity=capacity)
 
 
 def embed_query(model, variables, dataset: LinasDataset, query: str):

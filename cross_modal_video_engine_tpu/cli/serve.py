@@ -35,37 +35,60 @@ def build_retrieval_handler(args):
     from .common import load_dataset, restore_dual_encoding
     from .retrieval_inference import build_video_index
 
+    import jax
     model, state = restore_dual_encoding(args.retrieval_checkpoint)
+    # commit params to the device ONCE: checkpoint params are host
+    # numpy, and a jit argument that lives on host re-uploads per call
+    # (~250 MB/query at production size — measured 2.6 s/query through
+    # the relay before this line existed; bench_serve.py guards it)
+    state["variables"] = jax.device_put(state["variables"])
     dataset = load_dataset(args.rootpath, args.collection,
                            args.visual_feature)
     index = build_video_index(model, state["variables"], dataset,
                               cache=args.index_cache,
-                              dtype=getattr(args, "index_dtype", None))
+                              dtype=getattr(args, "index_dtype", None),
+                              capacity=getattr(args, "index_capacity", None))
 
     max_batch = getattr(args, "max_batch", 32)
 
-    # compiled once per model, variables as an argument (an eager
-    # .apply would re-trace and dispatch op-by-op per request wave —
-    # ~30ms per dispatch through the relay)
-    from .retrieval_tester import _embed_txt_fn
-    embed_txt = _embed_txt_fn(model)
+    # the FULL query path — tokenized text -> tower -> index top-k — as
+    # ONE compiled program per wave shape: the query embedding never
+    # leaves the device, and a wave pays a single dispatch + a single
+    # packed fetch (int32 ids bitcast beside the f32 scores) instead of
+    # 2 dispatches + 3 fetches (~25 ms each through a relay; and even
+    # co-located hosts pay ~10s of us per launch).  Weights/index ride
+    # as jit ARGUMENTS (closures would inline them into the HLO).
+    import functools
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def _wave(v, batch, emb, scales, valid, k):
+        q = model.apply(v, batch, method="embed_txt_distill")
+        qn = q / jnp.maximum(
+            jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        vals, idx = index.searcher()(emb, scales, valid, qn, k)
+        return jnp.concatenate(
+            [vals, jax.lax.bitcast_convert_type(idx, jnp.float32)], axis=1)
 
     def query_rows(rows):
-        # rows: [(ids, bow, k)] -> the FULL query path as one wave: one
-        # batched embed_txt_distill + ONE batched index search (the
-        # r4 handler searched per request after the coalesced embed, so
-        # a 64-request wave paid 64 serialized search dispatches).
-        # make_text_batch pads to max_words so shapes depend only on
-        # the (pow2-padded) batch size; the search k is the wave max,
-        # pow2-padded, so the top-k program also compiles O(log) times.
+        # rows: [(ids, bow, k)] (the r4 handler searched per request
+        # after a coalesced embed, so a 64-request wave paid 64
+        # serialized search dispatches).  make_text_batch pads to
+        # max_words so shapes depend only on the (pow2-padded) batch
+        # size; the search k is the wave max, pow2-padded, so the
+        # program compiles O(log batch * log k) times, ever.
         rows, n = _pow2_rows(rows, max_batch)
         batch = make_text_batch(
             [ids[: dataset.max_words] for ids, _, _ in rows],
             np.stack([bow for _, bow, _ in rows]), dataset.max_words)
-        emb = np.asarray(embed_txt(state["variables"], batch))
         k_wave = max(k for _, _, k in rows[:n])
         k_wave = max(16, 1 << (k_wave - 1).bit_length())
-        scores, ids_out = index.search_ids(emb, k_wave)
+        k_wave = min(k_wave, index.n_active)   # as index.search caps
+        packed = np.asarray(_wave(state["variables"], batch, index.emb,
+                                  index.scales, index.valid, k_wave))
+        scores = packed[:, :k_wave]
+        idx = np.ascontiguousarray(packed[:, k_wave:]).view(np.int32)
+        ids_out = [[index.ids[j] for j in row] for row in idx]
         return [(scores[i], ids_out[i]) for i in range(n)]
 
     batcher = MicroBatcher(query_rows, max_batch=max_batch,
@@ -101,6 +124,8 @@ def build_caption_handler(args):
     variables, cfg_d, _ = load_checkpoint(args.caption_checkpoint)
     from ..utils.precision import maybe_cast_bf16
     variables = maybe_cast_bf16(variables, cfg_d)  # torch .half() analogue
+    import jax as _jax
+    variables = _jax.device_put(variables)      # commit once, not per call
     ts = TimeSformerConfig(**{k: tuple(v) if isinstance(v, list) else v
                               for k, v in cfg_d["backbone"].items()})
     model = Recognizer3DRelseq(ts, RNNDecoderConfig(**cfg_d["decoder"]))
@@ -165,6 +190,9 @@ def build_composed_handler(args):
     comb_cfg = CombinerConfig(**comb_cfg_d)
     combiner = Combiner(comb_cfg)
     tok = BPETokenizer(args.merges)
+    import jax as _jax
+    clip_vars = _jax.device_put(clip_vars)      # commit once, not per call
+    comb_vars = _jax.device_put(comb_vars)
 
     names = sorted(f for f in os.listdir(args.videos_dir)
                    if f.split(".")[-1].lower() in ("mp4", "avi", "mkv",
@@ -266,6 +294,8 @@ def build_explain_handler(args):
     variables, cfg_d, _ = load_checkpoint(args.explain_checkpoint)
     from ..utils.precision import maybe_cast_bf16
     variables = maybe_cast_bf16(variables, cfg_d)
+    import jax as _jax
+    variables = _jax.device_put(variables)      # commit once, not per call
     ts_cfg = TimeSformerConfig(**{k: tuple(v) if isinstance(v, list) else v
                                   for k, v in cfg_d["backbone"].items()})
     model = Recognizer3D(ts_cfg, num_classes=cfg_d["num_classes"])
@@ -362,6 +392,11 @@ def main(argv=None):
                              "the low-HBM serving modes (int8 trades "
                              "exactness for ~2x bandwidth, see "
                              "docs/PERF.md)")
+    parser.add_argument("--index_capacity", type=int, default=None,
+                        help="index slot count (default 2x rows for "
+                             "incremental-add headroom; set to the row "
+                             "count for a frozen corpus to halve index "
+                             "HBM)")
     parser.add_argument("--caption_checkpoint")
     # composed retrieval
     parser.add_argument("--clip_checkpoint")

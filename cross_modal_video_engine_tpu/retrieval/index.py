@@ -220,6 +220,15 @@ class RetrievalIndex:
         assert self.ids is not None, "index built without ids"
         return vals, [[self.ids[j] for j in row] for row in idx]
 
+    def searcher(self):
+        """The compiled (emb, scales, valid, queries, k) -> (vals, idx)
+        search program, exposed for composition into a LARGER jit:
+        serving fuses the text tower and this search into ONE device
+        program so the query embedding never round-trips to the host
+        (cli/serve.py).  Queries must be L2-normalized rows; cap k with
+        min(k, n_active) on the host, as `search` does."""
+        return self._search
+
     # -- incremental updates (serving path) --------------------------------
     def add(self, embeddings: np.ndarray, ids: Optional[list] = None,
             normalize: Optional[bool] = None) -> None:

@@ -162,7 +162,13 @@ def create_server(service: EngineService, host: str = "127.0.0.1",
         def log_message(self, fmt, *args):  # quiet
             pass
 
-    return ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        # a micro-batched wave is max_batch concurrent connections
+        # arriving within max_wait_ms; the stdlib default backlog of 5
+        # resets the overflow (ConnectionResetError at the client)
+        request_queue_size = 128
+
+    return Server((host, port), Handler)
 
 
 def serve_in_thread(service: EngineService, host: str = "127.0.0.1",
