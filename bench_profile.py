@@ -437,11 +437,182 @@ def profile_headline(steps=5, out_dir="/tmp/cmve_trace_headline"):
                  "ms/step", pct_of_device=r["pct"])
 
 
+def profile_bn_ab(batch=32, frames=32, ybatch=16, img=640, steps=6,
+                  smoke=False):
+    """Act on the r4-measured BN lines (SlowFast: BN apply/stat = 26% of
+    device; YOLO: 36%).  Two exact-math attempts per family, keep/reject
+    by measurement:
+
+    * eval-path conv+BN fold bracket: time the frozen-BN eval forward
+      with BN applies REMOVED entirely (identity `_bn`).  This brackets
+      the most ANY conv+BN weight-fold (the reference yolov5's
+      `model.fuse()`, MCT/yolov5/models/yolo.py) could save under XLA —
+      if the delta is ~0, XLA already epilogue-fuses frozen BN into the
+      convs and a fold has nothing left to win on TPU.
+    * one-pass BN statistics in the train step: swap nn.BatchNorm for
+      ops/one_pass_bn.OnePassBatchNorm (both sums in ONE variadic
+      lax.reduce; parity-pinned) via the models' `_bn` factories, vs
+      flax's two-jnp.mean formulation that leaves the single-pass merge
+      to XLA's multi-output fusion.
+
+    `smoke=True` runs tiny shapes (CPU CI path, tests/test_bench_stages).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from cross_modal_video_engine_tpu.models import resnet3d as r3d
+    from cross_modal_video_engine_tpu.models import yolo as yolomod
+    from cross_modal_video_engine_tpu.models.recognizer import (
+        BackboneClassifier)
+    from cross_modal_video_engine_tpu.models.resnet3d import (SlowFast,
+                                                              SlowFastConfig)
+    from cross_modal_video_engine_tpu.models.yolo import YoloConfig, YoloV5
+    from cross_modal_video_engine_tpu.ops.one_pass_bn import OnePassBatchNorm
+    from cross_modal_video_engine_tpu.losses.yolo import YoloHyp
+    from cross_modal_video_engine_tpu.train.recognition_trainer import (
+        RecTrainState, _cast_tree, make_cls_train_step_stats)
+    from cross_modal_video_engine_tpu.train.yolo_trainer import (
+        YoloOptHyp, init_yolo_train_state, make_yolo_train_step,
+        scaled_weight_decay)
+    from cross_modal_video_engine_tpu.utils.profiling import device_time
+
+    if smoke:
+        batch, frames, ybatch, img, steps = 2, 4, 2, 64, 2
+
+    def identity_bn(train, name="bn"):
+        return lambda x: x
+
+    def one_pass_bn_like(orig_factory):
+        # clone the stock factory's hyperparams (momentum/eps differ per
+        # family) onto the one-pass module; probe OUTSIDE any module
+        # scope (constructing a module inside a live parent registers
+        # its name and the real submodule would then clash)
+        probe = orig_factory(True, "probe")
+
+        def factory(train, name="bn"):
+            return OnePassBatchNorm(
+                use_running_average=not train,
+                momentum=probe.momentum, epsilon=probe.epsilon, name=name)
+        return factory
+
+    rng = np.random.default_rng(0)
+
+    # ---- SlowFast ----------------------------------------------------
+    clips = jnp.asarray(rng.standard_normal(
+        (batch, frames, img if smoke else 224, img if smoke else 224, 3)
+    ).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 400, (batch,)), jnp.int32)
+    model = BackboneClassifier(SlowFast(SlowFastConfig(alpha=8)),
+                               num_classes=400)
+    shapes = jax.eval_shape(lambda k: model.init(k, clips),
+                            jax.random.key(0))
+    variables = jax.tree.map(
+        lambda s: jnp.asarray(rng.standard_normal(s.shape).astype(
+            np.float32) * 0.02, s.dtype), shapes)
+    stats = variables["batch_stats"]
+    tx = optax.sgd(0.01, momentum=0.9)
+    state = RecTrainState(variables["params"], tx.init(variables["params"]),
+                          jnp.zeros((), jnp.int32))
+
+    def fwd_frozen(p, s, x):
+        return model.apply(
+            {"params": _cast_tree(p, jnp.bfloat16), "batch_stats": s},
+            x.astype(jnp.bfloat16), train=False)
+
+    def timed_step(st, s, x, y):
+        step = make_cls_train_step_stats(model, tx, bf16=True)
+        return device_time(
+            lambda st_, s_, x_, y_: step(st_, s_, x_, y_,
+                                         jax.random.key(0))[0].params,
+            st, s, x, y, steps=steps, perturb_argnums=(2,))
+
+    t_eval = device_time(fwd_frozen, state.params, stats, clips,
+                         steps=steps, perturb_argnums=(2,))
+    t_step = timed_step(state, stats, clips, labels)
+    orig = r3d._bn
+    try:
+        r3d._bn = identity_bn
+        t_eval_nobn = device_time(fwd_frozen, state.params, stats, clips,
+                                  steps=steps, perturb_argnums=(2,))
+        r3d._bn = one_pass_bn_like(orig)
+        t_step_1p = timed_step(state, stats, clips, labels)
+    finally:
+        r3d._bn = orig
+    _row(f"slowfast_evalfwd_bf16_B{batch}", t_eval * 1e3, "ms")
+    _row(f"slowfast_evalfwd_bnREMOVED_B{batch}", t_eval_nobn * 1e3, "ms",
+         fold_bracket_ms=round((t_eval - t_eval_nobn) * 1e3, 2),
+         fold_bracket_pct=round(100 * (1 - t_eval_nobn / t_eval), 1))
+    _row(f"slowfast_step_onepassBN_bf16_B{batch}", t_step_1p * 1e3, "ms",
+         base_step_ms=round(t_step * 1e3, 2),
+         speedup_vs_base=round(t_step / t_step_1p, 3))
+
+    # ---- YOLOv5s -----------------------------------------------------
+    images = jnp.asarray(rng.random((ybatch, img, img, 3), np.float32))
+    cxy = rng.random((ybatch, 8, 2)) * 0.8 + 0.1
+    wh = rng.random((ybatch, 8, 2)) * 0.2 + 0.02
+    cls = rng.integers(0, 80, (ybatch, 8, 1))
+    targets = jnp.asarray(np.concatenate([cls, cxy, wh], -1).astype(
+        np.float32))
+    valid = jnp.asarray(np.ones((ybatch, 8), bool))
+    lr, mom = jnp.float32(0.01), jnp.float32(0.937)
+    ycfg = YoloConfig(num_classes=80, width_multiple=0.5,
+                      depth_multiple=0.33, img_size=img)
+    ymodel = YoloV5(ycfg)
+    ystate = init_yolo_train_state(ymodel, jax.random.key(0), img,
+                                   batch_size=2)
+
+    def yfwd(p, s, x):
+        out = ymodel.apply(
+            {"params": _cast_tree(p, jnp.bfloat16), "batch_stats": s},
+            x.astype(jnp.bfloat16), train=False)
+        return out[0] if isinstance(out, tuple) else out
+
+    def ytimed_step(st, x, t, v):
+        step = make_yolo_train_step(ymodel, YoloHyp(), YoloOptHyp(),
+                                    scaled_weight_decay(YoloOptHyp(),
+                                                        ybatch),
+                                    bf16=True)
+        return device_time(
+            lambda st_, x_, t_, v_: step(st_, x_, t_, v_, lr, lr,
+                                         mom)[1]["loss"],
+            st, x, t, v, steps=steps, perturb_argnums=(1,))
+
+    ty_eval = device_time(yfwd, ystate.params, ystate.batch_stats, images,
+                          steps=steps, perturb_argnums=(2,))
+    ty_step = ytimed_step(ystate, images, targets, valid)
+    yorig = yolomod._bn
+    try:
+        yolomod._bn = identity_bn
+        ty_eval_nobn = device_time(yfwd, ystate.params, ystate.batch_stats,
+                                   images, steps=steps, perturb_argnums=(2,))
+        yolomod._bn = one_pass_bn_like(yorig)
+        ty_step_1p = ytimed_step(ystate, images, targets, valid)
+    finally:
+        yolomod._bn = yorig
+    _row(f"yolov5s_evalfwd_bf16_B{ybatch}", ty_eval * 1e3, "ms")
+    _row(f"yolov5s_evalfwd_bnREMOVED_B{ybatch}", ty_eval_nobn * 1e3, "ms",
+         fold_bracket_ms=round((ty_eval - ty_eval_nobn) * 1e3, 2),
+         fold_bracket_pct=round(100 * (1 - ty_eval_nobn / ty_eval), 1))
+    _row(f"yolov5s_step_onepassBN_bf16_B{ybatch}", ty_step_1p * 1e3, "ms",
+         base_step_ms=round(ty_step * 1e3, 2),
+         speedup_vs_base=round(ty_step / ty_step_1p, 3))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-trace", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="run one stage by name (e.g. bn_ab)")
     args = ap.parse_args()
+    if args.only:
+        {"bn_ab": profile_bn_ab,
+         "slowfast": profile_slowfast,
+         "yolo": profile_yolo,
+         "headline": profile_headline,
+         "slowfast_trace": profile_slowfast_trace,
+         "yolo_trace": profile_yolo_trace}[args.only]()
+        return
     if not args.skip_trace:
         try_profiler_trace()
         profile_headline()
@@ -449,6 +620,7 @@ def main():
         profile_yolo_trace()
     profile_slowfast(quick=args.quick)
     profile_yolo(quick=args.quick)
+    profile_bn_ab()
 
 
 if __name__ == "__main__":

@@ -176,7 +176,8 @@ def run(args):
         retrieval_checkpoint=fx["ckpt"], rootpath=fx["rootpath"],
         collection=fx["collection"], visual_feature=fx["feature"],
         index_cache=fx["cache"], index_dtype=args.dtype,
-        index_capacity=args.rows, max_batch=64, max_wait_ms=2.0)
+        index_capacity=args.rows, max_batch=64,
+        max_wait_ms=args.max_wait_ms)
 
     from cross_modal_video_engine_tpu.cli.serve import build_retrieval_handler
     from cross_modal_video_engine_tpu.service.app import (EngineService,
@@ -284,6 +285,11 @@ def main(argv=None):
     ap.add_argument("--dtype", default="float32",
                     choices=("float32", "bfloat16", "int8"))
     ap.add_argument("--n_single", type=int, default=60)
+    ap.add_argument("--max_wait_ms", type=float, default=10.0,
+                    help="micro-batcher straggler wait; 64 client "
+                         "threads on a 1-core box need ~10 ms to "
+                         "enqueue a full wave (2 ms coalesced only "
+                         "~8 rows/wave)")
     ap.add_argument("--n_waves", type=int, default=8)
     ap.add_argument("--port", type=int, default=0)
     ap.add_argument("--cache_dir",

@@ -54,6 +54,14 @@ class YoloConfig:
         return int(np.ceil(c * self.width_multiple / 8) * 8)
 
 
+def _bn(train: bool, name: str = "bn"):
+    # yolov5 BatchNorm2d(momentum=0.03, eps=1e-3) — torch momentum is
+    # (1 - flax momentum).  Module-level factory so perf A/Bs can swap
+    # the BN implementation in one place (bench_profile.profile_bn_ab).
+    return nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                        epsilon=1e-3, name=name)
+
+
 class ConvBnSiLU(nn.Module):
     out: int
     k: int = 1
@@ -77,8 +85,7 @@ class ConvBnSiLU(nn.Module):
                         strides=(self.s, self.s),
                         padding=[(pad, pad), (pad, pad)], use_bias=False,
                         name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
-                         epsilon=1e-3, name="bn")(x)
+        x = _bn(train)(x)
         return nn.silu(x)
 
 

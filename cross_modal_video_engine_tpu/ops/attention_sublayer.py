@@ -538,6 +538,197 @@ def fused_mlp_sublayer(x: jnp.ndarray, ln_scale: jnp.ndarray,
                     (float(eps), bool(interpret)))
 
 
+# ---------------------------------------------------------------------------
+# whole-block fusion: attn sublayer + MLP sublayer in ONE kernel
+# (r4 verdict item: the headline's last measured tax is the per-layer x
+# round-trip between the two kernels, ~0.6 ms/step.  VMEM arithmetic at
+# D=768 bf16: 14.2 MB of resident weights (4 attn mats 4.7 MB + W1+W2
+# 9.4 MB) + row blocks + staging + the (rows, 4D) hidden — ~21 MB at the
+# shipped g=8 geometry vs the ~16 MB core budget, so this kernel exists
+# to MEASURE that boundary honestly: see docs/PERF.md for the on-chip
+# keep/reject verdict at each feasible g.)
+# ---------------------------------------------------------------------------
+
+def _block_kernel_compact(x_ref, ln1s_ref, ln1b_ref, wq_ref, bq_ref,
+                          wk_ref, bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+                          ln2s_ref, ln2b_ref, w1_ref, b1_ref, w2_ref,
+                          b2_ref, o_ref, qp_ref, kp_ref, vp_ref, ap_ref,
+                          att_ref, *, g: int, l: int, lp: int,
+                          heads: int, causal: bool, eps: float):
+    """One transformer block on a compact row chunk: y1 = attn sublayer
+    exactly as _kernel_compact, then the _mlp_kernel math on y1 — x is
+    read once and y written once per LAYER instead of per sublayer."""
+    dt = x_ref.dtype
+    xb = x_ref[...]
+    ln = _ln_f32(xb, ln1s_ref[...], ln1b_ref[...], eps)
+    q = (jnp.dot(ln, wq_ref[...], preferred_element_type=jnp.float32)
+         + bq_ref[...].astype(jnp.float32)).astype(dt)
+    k = (jnp.dot(ln, wk_ref[...], preferred_element_type=jnp.float32)
+         + bk_ref[...].astype(jnp.float32)).astype(dt)
+    v = (jnp.dot(ln, wv_ref[...], preferred_element_type=jnp.float32)
+         + bv_ref[...].astype(jnp.float32)).astype(dt)
+
+    zero = jnp.zeros_like(kp_ref)
+    kp_ref[...] = zero
+    vp_ref[...] = zero
+    for s in range(g):
+        qp_ref[s * lp:s * lp + l, :] = q[s * l:(s + 1) * l, :]
+        kp_ref[s * lp:s * lp + l, :] = k[s * l:(s + 1) * l, :]
+        vp_ref[s * lp:s * lp + l, :] = v[s * l:(s + 1) * l, :]
+
+    d = q.shape[-1]
+    hd = d // heads
+    scale = jnp.float32(1.0 / np.sqrt(hd))
+    col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
+    mask = jnp.where(col < l, 0.0, -1e30).astype(jnp.float32)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 0)
+        mask = mask + jnp.where(col <= row, 0.0, -1e30)
+
+    for s in range(g):
+        rows = slice(s * lp, (s + 1) * lp)
+        for h in range(heads):
+            cols = slice(h * hd, (h + 1) * hd)
+            qs, ks, vs = (qp_ref[rows, cols], kp_ref[rows, cols],
+                          vp_ref[rows, cols])
+            sc = jax.lax.dot_general(
+                qs, ks, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale
+            pr = jax.nn.softmax(sc + mask, axis=-1).astype(dt)
+            ap_ref[rows, cols] = jnp.dot(
+                pr, vs, preferred_element_type=jnp.float32).astype(dt)
+    for s in range(g):
+        att_ref[s * l:(s + 1) * l, :] = ap_ref[s * lp:s * lp + l, :]
+
+    y1 = (jnp.dot(att_ref[...], wo_ref[...],
+                  preferred_element_type=jnp.float32)
+          + bo_ref[...].astype(jnp.float32)).astype(dt) + xb
+
+    # -- MLP half (== _mlp_kernel on y1, no HBM round-trip in between)
+    ln2 = _ln_f32(y1, ln2s_ref[...], ln2b_ref[...], eps)
+    hmid = (jnp.dot(ln2, w1_ref[...], preferred_element_type=jnp.float32)
+            + b1_ref[...].astype(jnp.float32))
+    hmid = (hmid * jax.nn.sigmoid(1.702 * hmid)).astype(dt)
+    o_ref[...] = (jnp.dot(hmid, w2_ref[...],
+                          preferred_element_type=jnp.float32)
+                  + b2_ref[...].astype(jnp.float32)).astype(dt) + y1
+
+
+def _block_pallas_compact(x, ln1s, ln1b, wq, bq, wk, bk, wv, bv, wo, bo,
+                          ln2s, ln2b, w1, b1, w2, b2, *, heads: int,
+                          seq_len: int, g: int, causal: bool, eps: float,
+                          interpret: bool) -> jnp.ndarray:
+    n, d = x.shape
+    dh = w1.shape[-1]
+    rows = g * seq_len
+    if n % rows != 0:
+        raise ValueError(
+            f"block kernel needs g*seq_len ({g}*{seq_len}={rows}) to "
+            f"divide the total row count {n}")
+    lp = -(-seq_len // 16) * 16
+    dt = x.dtype
+
+    def _w(m):
+        return m.astype(dt)
+
+    def _b(m):
+        return m.reshape(1, -1).astype(dt)
+
+    kern = functools.partial(_block_kernel_compact, g=g, l=seq_len, lp=lp,
+                             heads=heads, causal=causal, eps=eps)
+    const = pl.BlockSpec((d, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    vech = pl.BlockSpec((1, dh), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, d), dt),
+        grid=(n // rows,),
+        in_specs=[pl.BlockSpec((rows, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  vec, vec, const, vec, const, vec, const, vec,
+                  const, vec,
+                  vec, vec,
+                  pl.BlockSpec((d, dh), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM), vech,
+                  pl.BlockSpec((dh, d), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM), vec],
+        out_specs=pl.BlockSpec((rows, d), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((g * lp, d), dt) for _ in range(4)]
+                       + [pltpu.VMEM((rows, d), dt)],
+        interpret=interpret,
+    )(x, _b(ln1s), _b(ln1b),
+      _w(wq), _b(bq), _w(wk), _b(bk), _w(wv), _b(bv), _w(wo), _b(bo),
+      _b(ln2s), _b(ln2b), _w(w1), _b(b1), _w(w2), _b(b2))
+
+
+def _block_ref_flat(x, ln1s, ln1b, wq, bq, wk, bk, wv, bv, wo, bo,
+                    ln2s, ln2b, w1, b1, w2, b2, *, heads: int,
+                    seq_len: int, causal: bool, eps: float) -> jnp.ndarray:
+    y1 = _attn_ref_flat(x, ln1s, ln1b, wq, bq, wk, bk, wv, bv, wo, bo,
+                        heads=heads, seq_len=seq_len, causal=causal,
+                        eps=eps)
+    return _mlp_ref(y1, ln2s, ln2b, w1, b1, w2, b2, eps=eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(17,))
+def _block_vjp_flat(x, ln1s, ln1b, wq, bq, wk, bk, wv, bv, wo, bo,
+                    ln2s, ln2b, w1, b1, w2, b2, cfg):
+    return _block_pallas_compact(
+        x, ln1s, ln1b, wq, bq, wk, bk, wv, bv, wo, bo,
+        ln2s, ln2b, w1, b1, w2, b2,
+        heads=cfg[0], seq_len=cfg[1], g=cfg[2], causal=cfg[3],
+        eps=cfg[4], interpret=cfg[5])
+
+
+def _block_flat_fwd(x, ln1s, ln1b, wq, bq, wk, bk, wv, bv, wo, bo,
+                    ln2s, ln2b, w1, b1, w2, b2, cfg):
+    args = (x, ln1s, ln1b, wq, bq, wk, bk, wv, bv, wo, bo,
+            ln2s, ln2b, w1, b1, w2, b2)
+    return _block_vjp_flat(*args, cfg), args
+
+
+def _block_flat_bwd(cfg, res, grad):
+    _, vjp = jax.vjp(
+        lambda *a: _block_ref_flat(*a, heads=cfg[0], seq_len=cfg[1],
+                                   causal=cfg[3], eps=cfg[4]), *res)
+    return vjp(grad)
+
+
+_block_vjp_flat.defvjp(_block_flat_fwd, _block_flat_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "heads", "seq_len", "g", "causal", "eps", "interpret"))
+def fused_block_sublayer_compact(
+        x: jnp.ndarray, ln1s: jnp.ndarray, ln1b: jnp.ndarray,
+        wq: jnp.ndarray, bq: jnp.ndarray, wk: jnp.ndarray,
+        bk: jnp.ndarray, wv: jnp.ndarray, bv: jnp.ndarray,
+        wo: jnp.ndarray, bo: jnp.ndarray, ln2s: jnp.ndarray,
+        ln2b: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
+        w2: jnp.ndarray, b2: jnp.ndarray, *, heads: int, seq_len: int,
+        g: int, causal: bool = False, eps: float = 1e-5,
+        interpret: bool | None = None) -> jnp.ndarray:
+    """A whole transformer block (attn + MLP sublayers) in one Pallas
+    kernel on the compact flat layout — saves the per-layer HBM
+    round-trip of x between the two sublayer kernels, at the cost of
+    keeping BOTH sublayers' weights VMEM-resident (see the section
+    comment for the budget arithmetic).  Exact same math as
+    fused_attention_sublayer_compact followed by fused_mlp_sublayer;
+    differentiable via the reference-math vjp."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
+    if x.shape[0] % (g * seq_len):
+        raise ValueError(
+            f"g*seq_len ({g}*{seq_len}) must divide rows {x.shape[0]}")
+    return _block_vjp_flat(
+        x, ln1s, ln1b, wq, bq, wk, bk, wv, bv, wo, bo,
+        ln2s, ln2b, w1, b1, w2, b2,
+        (heads, seq_len, g, bool(causal), float(eps), bool(interpret)))
+
+
 def pad_tokens(x: jnp.ndarray, sublane: int = 16
                ) -> Tuple[jnp.ndarray, int]:
     """Pad (B, L, D) to the next sublane multiple along L.  Returns

@@ -331,3 +331,81 @@ def test_compact_gradients(causal):
     for gf, gr in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                    rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# whole-block kernel (attn + MLP in one pallas_call)
+# ---------------------------------------------------------------------------
+
+def _mlp_weights(rng, d, dh=None):
+    dh = dh or 4 * d
+    return dict(
+        ln2s=jnp.asarray(1 + rng.standard_normal(d) * 0.1, jnp.float32),
+        ln2b=jnp.asarray(rng.standard_normal(d) * 0.1, jnp.float32),
+        w1=jnp.asarray(rng.standard_normal((d, dh)) * 0.05, jnp.float32),
+        b1=jnp.asarray(rng.standard_normal(dh) * 0.01, jnp.float32),
+        w2=jnp.asarray(rng.standard_normal((dh, d)) * 0.05, jnp.float32),
+        b2=jnp.asarray(rng.standard_normal(d) * 0.01, jnp.float32))
+
+
+_ATTN_KEYS = ["lns", "lnb", "wq", "bq", "wk", "bk", "wv", "bv", "wo", "bo"]
+_MLP_KEYS = ["ln2s", "ln2b", "w1", "b1", "w2", "b2"]
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("dtype,tol", [(jnp.float32, 2e-5),
+                                       (jnp.bfloat16, 0.08)])
+def test_block_parity(causal, dtype, tol):
+    """Whole-block kernel == compact attn sublayer -> MLP sublayer
+    (its documented contract), multi-grid-step."""
+    from cross_modal_video_engine_tpu.ops.attention_sublayer import (
+        _compact_chunk, fused_attention_sublayer_compact,
+        fused_block_sublayer_compact, fused_mlp_sublayer)
+    rng = np.random.default_rng(21)
+    B, L, D, H = 16, 10, 64, 4
+    g = _compact_chunk(B, L, max_rows=80)    # B//g = 2 grid steps
+    x = jnp.asarray(rng.standard_normal((B * L, D)), dtype)
+    wa = _weights(rng, D)
+    wm = _mlp_weights(rng, D)
+    y1 = fused_attention_sublayer_compact(
+        x, *[wa[k] for k in _ATTN_KEYS], heads=H, seq_len=L, g=g,
+        causal=causal, interpret=True)
+    want = fused_mlp_sublayer(y1, *[wm[k] for k in _MLP_KEYS],
+                              interpret=True)
+    got = fused_block_sublayer_compact(
+        x, *[wa[k] for k in _ATTN_KEYS], *[wm[k] for k in _MLP_KEYS],
+        heads=H, seq_len=L, g=g, causal=causal, interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=tol, atol=tol)
+
+
+def test_block_gradients():
+    """Block custom_vjp == grads of the chained reference math for x
+    and all 16 weights."""
+    from cross_modal_video_engine_tpu.ops.attention_sublayer import (
+        _compact_chunk, _block_ref_flat, fused_block_sublayer_compact)
+    rng = np.random.default_rng(22)
+    B, L, D, H = 8, 10, 64, 4
+    g = _compact_chunk(B, L)
+    x = jnp.asarray(rng.standard_normal((B * L, D)), jnp.float32)
+    wa = _weights(rng, D)
+    wm = _mlp_weights(rng, D)
+    args = (x,) + tuple(wa[k] for k in _ATTN_KEYS) \
+        + tuple(wm[k] for k in _MLP_KEYS)
+
+    def loss_fused(*a):
+        y = fused_block_sublayer_compact(
+            *a, heads=H, seq_len=L, g=g, interpret=True)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_ref(*a):
+        y = _block_ref_flat(*a, heads=H, seq_len=L, causal=False,
+                            eps=1e-5)
+        return jnp.sum(jnp.sin(y))
+
+    gf = jax.grad(loss_fused, argnums=tuple(range(17)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(17)))(*args)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
