@@ -337,7 +337,7 @@ def test_compact_gradients(causal):
 # whole-block kernel (attn + MLP in one pallas_call)
 # ---------------------------------------------------------------------------
 
-def _mlp_weights(rng, d, dh=None):
+def _block_mlp_weights(rng, d, dh=None):
     dh = dh or 4 * d
     return dict(
         ln2s=jnp.asarray(1 + rng.standard_normal(d) * 0.1, jnp.float32),
@@ -366,7 +366,7 @@ def test_block_parity(causal, dtype, tol):
     g = _compact_chunk(B, L, max_rows=80)    # B//g = 2 grid steps
     x = jnp.asarray(rng.standard_normal((B * L, D)), dtype)
     wa = _weights(rng, D)
-    wm = _mlp_weights(rng, D)
+    wm = _block_mlp_weights(rng, D)
     y1 = fused_attention_sublayer_compact(
         x, *[wa[k] for k in _ATTN_KEYS], heads=H, seq_len=L, g=g,
         causal=causal, interpret=True)
@@ -390,7 +390,7 @@ def test_block_gradients():
     g = _compact_chunk(B, L)
     x = jnp.asarray(rng.standard_normal((B * L, D)), jnp.float32)
     wa = _weights(rng, D)
-    wm = _mlp_weights(rng, D)
+    wm = _block_mlp_weights(rng, D)
     args = (x,) + tuple(wa[k] for k in _ATTN_KEYS) \
         + tuple(wm[k] for k in _MLP_KEYS)
 
