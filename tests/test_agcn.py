@@ -35,6 +35,7 @@ def test_agcn_shapes_and_adaptivity():
                                rtol=1e-5)
 
 
+@pytest.mark.full    # full lane: step-level; the skeleton CLI e2e (test_skeleton_train_cli agcn_joint_and_bone) trains AGCN default
 def test_agcn_trains():
     cfg = AGCNConfig(channels=(8, 8), temporal_strides=(1, 1))
     model = AGCN(cfg)

@@ -1,6 +1,7 @@
 """Caption (Relseq) training CLI end-to-end on a tiny fixture
 (cli/caption_train.py — the seq_generate tools/train.py role)."""
 
+import pytest
 import os
 
 import numpy as np
@@ -77,6 +78,7 @@ def test_caption_train_cli(tmp_path):
     assert [h["epoch"] for h in history2] == [6]
 
 
+@pytest.mark.full    # full lane: backbone variant; the per-frame consensus mechanism trains default via test_recognition_cli per_frame_backbone_trains_via_tsn_consensus
 def test_caption_train_per_frame_backbone(tmp_path):
     """Per-frame (B, T, C) caption backbone (configs/seq_generate/
     tsm_relseq.py family): the trainer's temporal-mean adapter pools
@@ -107,6 +109,7 @@ def test_caption_train_per_frame_backbone(tmp_path):
     assert 0.0 <= report["seq_mAP"] <= 1.0
 
 
+@pytest.mark.full    # full lane: backbone variant; test_caption_train_cli is the default caption-train sentinel and the conv-pooled path trains default via test_recognition_cli conv_backbone
 def test_caption_train_conv_backbone(tmp_path):
     """Non-TimeSformer caption training (the reference seq_generate
     family spans i3d/slowfast/x3d/... backbones): SlowOnly backbone ->

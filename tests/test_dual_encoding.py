@@ -102,6 +102,7 @@ def test_dual_encoding_de_map_shapes():
                                    rtol=1e-4)
 
 
+@pytest.mark.full    # full lane: style variant; de+map student + GT styles and the LINAS train loop stay default
 def test_dual_encoding_text_video_student():
     cfg = _tiny_cfg(student_model="text+video", text_resblock_number=1)
     model = DualEncoding(cfg)

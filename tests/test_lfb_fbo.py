@@ -188,6 +188,7 @@ def test_lfb_recipe_trains_e2e(tmp_path):
     assert os.path.exists(lfb_path)     # bank was built and saved
 
 
+@pytest.mark.full    # full lane: the LFB recipe e2e is the default shared-head train sentinel; ACRN head math stays default in test_acrn_head_shapes_and_context_gather
 def test_acrn_recipe_trains_e2e(tmp_path):
     from cross_modal_video_engine_tpu.cli import detection_train
     cfg = _detection_cfg(

@@ -3,6 +3,7 @@ per-bucket compiled steps, LR scaling, final-epochs fine bucket — through
 both the library API and the config CLI."""
 
 import numpy as np
+import pytest
 
 from cross_modal_video_engine_tpu.cli import recognition_train
 from cross_modal_video_engine_tpu.io.video_decode import write_test_video
@@ -75,6 +76,7 @@ def test_train_multigrid_visits_buckets_and_learns():
     assert "batch_stats" in out_vars      # BN stats updated + returned
 
 
+@pytest.mark.full    # full lane: CLI wrapper of the same loop test_train_multigrid_visits_buckets_and_learns drives default
 def test_multigrid_cli(tmp_path):
     vdir = tmp_path / "videos"
     vdir.mkdir()

@@ -1,6 +1,7 @@
 """Orbax sharded checkpointing on the virtual 8-device mesh."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
@@ -12,6 +13,7 @@ from cross_modal_video_engine_tpu.train.orbax_ckpt import ShardedCheckpointer
 rng = np.random.default_rng(887)
 
 
+@pytest.mark.full    # full lane: the driver multichip dryrun re-runs a sharded orbax round-trip every round (__graft_entry__.py)
 def test_sharded_save_restore_roundtrip(tmp_path):
     mesh = make_mesh(n_data=4, n_model=2)
     shard = NamedSharding(mesh, P("data", None))

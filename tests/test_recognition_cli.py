@@ -1,5 +1,6 @@
 """Recognition train/test CLI end-to-end on a tiny fixture."""
 
+import pytest
 import json
 import os
 
@@ -120,6 +121,7 @@ def test_recognition_train_conv_backbone(tmp_path):
     assert "batch_stats" in variables
 
 
+@pytest.mark.full    # full lane: neck variant of the default train sentinels; TPN module math stays default in test_tpn.py
 def test_tpn_recipe_trains(tmp_path):
     """model.neck=dict(type='TPN') routes backbone stages through the
     TPN neck; the auxiliary CE joins the loss and training converges on
