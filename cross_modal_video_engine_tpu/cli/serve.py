@@ -17,14 +17,22 @@ import argparse
 from ..service.app import EngineService, create_server
 
 
-def _pow2_rows(rows, max_batch):
-    """Pad a request wave to the next power of two by repeating row 0
-    (one copy of the logic the four handlers share; shapes then depend
-    only on the padded batch size so each jitted program compiles at
-    most log2(max_batch)+1 times, ever).  Returns (rows, n_real)."""
+def _pow2_rows(rows, max_batch, min_batch=1):
+    """Pad a request wave to the next power of two (>= min_batch) by
+    repeating row 0 (one copy of the logic the four handlers share;
+    shapes then depend only on the padded batch size so each jitted
+    program compiles at most log2(max_batch)+1 times, ever).
+
+    min_batch: the retrieval handler passes 8 — its wave cost is the
+    bandwidth-bound index read, and a 1-row wave otherwise compiles to
+    an M=1 GEMV against the index, which XLA lays out so badly the
+    measured single-query search ran ~4x slower than a whole 8-row
+    wave (bench_serve r5).  The compute-bound model routes keep the
+    default 1 (padding THEIR single requests 8x-multiplies real
+    tower FLOPs).  Returns (rows, n_real)."""
     from ..service.batching import _pad_pow2
     n = len(rows)
-    padded = _pad_pow2(n, max(n, max_batch))
+    padded = _pad_pow2(max(n, min_batch), max(n, max_batch, min_batch))
     return list(rows) + [rows[0]] * (padded - n), n
 
 
@@ -77,7 +85,7 @@ def build_retrieval_handler(args):
         # max_words so shapes depend only on the (pow2-padded) batch
         # size; the search k is the wave max, pow2-padded, so the
         # program compiles O(log batch * log k) times, ever.
-        rows, n = _pow2_rows(rows, max_batch)
+        rows, n = _pow2_rows(rows, max_batch, min_batch=8)
         batch = make_text_batch(
             [ids[: dataset.max_words] for ids, _, _ in rows],
             np.stack([bow for _, bow, _ in rows]), dataset.max_words)

@@ -114,3 +114,21 @@ def test_http_service():
         assert ei.value.code == 500
     finally:
         server.shutdown()
+
+
+def test_pow2_rows_padding_rules():
+    """Wave padding: pow2 sizes only (bounded compile count), row-0
+    repeats, n_real preserved; the retrieval route's min_batch=8 floor
+    avoids the pathological M=1 index GEMV (bench_serve r5)."""
+    from cross_modal_video_engine_tpu.cli.serve import _pow2_rows
+
+    rows, n = _pow2_rows(["a"], 32)
+    assert (rows, n) == (["a"], 1)            # model routes: no floor
+    rows, n = _pow2_rows(["a"], 32, min_batch=8)
+    assert rows == ["a"] * 8 and n == 1       # retrieval: 8-row floor
+    rows, n = _pow2_rows(list("abc"), 32, min_batch=8)
+    assert len(rows) == 8 and rows[:3] == list("abc") and n == 3
+    rows, n = _pow2_rows(list("abcdefghij"), 32, min_batch=8)
+    assert len(rows) == 16 and n == 10        # pow2 above the floor
+    rows, n = _pow2_rows(list(range(40)), 32, min_batch=8)
+    assert len(rows) == 40 and n == 40        # overflow wave: as-is
