@@ -91,6 +91,7 @@ eval_interval = 2
     assert all(np.isfinite(h["loss"]) for h in history)
 
 
+@pytest.mark.full    # full lane: detector-glue variant; the detection CLI e2e (precomputed proposals) and the yolo detect tests stay default
 def test_yolo_detector_path_runs(tmp_path):
     """Real YoloV5 detector plumbing (random tiny weights): checkpoint ->
     jitted detect -> pixel-coord rows."""

@@ -7,6 +7,8 @@ import dataclasses
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.full    # full lane: the flatten_tokens layout is superseded by the shipped fused compact path (enable_fused_inference), which has its own default-lane tests
+
 import jax
 import jax.numpy as jnp
 

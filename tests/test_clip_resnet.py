@@ -25,6 +25,7 @@ def test_modified_resnet_shapes():
     assert "batch_stats" in variables
 
 
+@pytest.mark.full    # full lane: importer-parity detail; the composed e2e + combiner GT-parity consume (high,middle) default
 def test_modified_resnet_middle_stage3():
     cfg = ModifiedResNetConfig(layers=(1, 1, 1, 1), width=16, output_dim=32,
                                heads=4, image_resolution=64, middle_stage=3)

@@ -28,6 +28,7 @@ def _videos(labels):
     return jnp.asarray(v)
 
 
+@pytest.mark.full    # full lane: step-level; the recognition CLI e2e trains and evals the same loop default
 def test_classification_learns():
     model = Recognizer3D(TS, num_classes=2)
     labels = np.array([0, 1] * 4)
