@@ -76,3 +76,43 @@ def test_best_checkpoint_manager(tmp_path):
     assert os.path.exists(best)
     dirs = [d for d in os.listdir(str(tmp_path)) if d.startswith("model_best_")]
     assert dirs == ["model_best_2.0000"]      # old best deleted
+
+
+def test_serve_handler_index_dtypes(tmp_path):
+    """The serving route's ONE-program wave (tower + search fused,
+    ids bitcast beside scores) works in all three stored-row
+    precisions, including the in-jit int8 query quantization, and the
+    f32 arm's ranking matches the unfused search_ids path exactly."""
+    import argparse
+
+    from cross_modal_video_engine_tpu.cli.serve import (
+        build_retrieval_handler)
+
+    root = str(tmp_path)
+    info = make_collection(root)
+    ckpt, _ = make_checkpoint(root, info)
+    results = {}
+    for dtype in ("float32", "bfloat16", "int8"):
+        args = argparse.Namespace(
+            retrieval_checkpoint=ckpt, rootpath=root,
+            collection=info["collection"], visual_feature=info["feature"],
+            index_cache=None, index_dtype=dtype, max_batch=8)
+        h = build_retrieval_handler(args)
+        out = h({"query": "a dog runs fast", "topK": 5})["results"]
+        assert len(out) == 5
+        assert all(r["video"].startswith("video") for r in out)
+        assert len({r["video"] for r in out}) == 5
+        results[dtype] = [r["video"] for r in out]
+        h.batcher.close()
+
+    # exact-arm cross-check vs the unfused two-program path
+    from cross_modal_video_engine_tpu.cli.common import (
+        load_dataset, restore_dual_encoding)
+    from cross_modal_video_engine_tpu.cli.retrieval_inference import (
+        build_video_index, embed_query)
+    model, state = restore_dual_encoding(ckpt)
+    ds = load_dataset(root, info["collection"], info["feature"])
+    index = build_video_index(model, state["variables"], ds)
+    q = embed_query(model, state["variables"], ds, "a dog runs fast")
+    _, want = index.search_ids(q, k=5)
+    assert results["float32"] == list(want[0])
