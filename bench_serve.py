@@ -75,11 +75,11 @@ def build_fixtures(root: str, n_rows: int, dim_common: int = 1536,
 
     words = [f"tok{i:05d}" for i in range(n_words)]
     # captions enumerate every word so build_vocab(threshold=1) keeps all
-    caps, lines, vid = [], [], 0
+    caps, lines = [], []
     for i in range(0, n_words, 6):
         cap = " ".join(words[i:i + 6])
         caps.append(cap)
-        lines.append(f"video{vid % 4}#{len(lines)} {cap}")
+        lines.append(f"video{len(lines) % 4}#{len(lines)} {cap}")
     with open(os.path.join(text_dir, f"{collection}.caption.txt"), "w") as f:
         f.write("\n".join(lines))
     for style in ("rnn", "bow"):
@@ -187,19 +187,26 @@ def run(args):
     build_s = time.perf_counter() - t0
     print(f"# handler built in {build_s:.1f}s (index load + device_put)")
 
-    # warm every program the micro-batcher can hit: one embed+search
-    # compile per pow2 wave size (the batcher pads waves to pow2, so
-    # these 7 programs are ALL it will ever run)
+    # warm every program the micro-batcher can hit: one fused-wave
+    # compile per pow2 wave size — the retrieval route floors waves at
+    # 8 rows (_pow2_rows min_batch), so 8/16/32/64 are ALL it will
+    # ever run
     dataset_words = [f"tok{i:05d}" for i in range(200)]
-    rng = np.random.default_rng(0)
+    import threading as _threading
+    _tls = _threading.local()
 
     def rand_query():
+        # np Generators are not thread-safe; one per client thread
+        rng = getattr(_tls, "rng", None)
+        if rng is None:
+            rng = _tls.rng = np.random.default_rng(
+                _threading.get_ident() % (2 ** 31))
         return " ".join(rng.choice(dataset_words, size=6))
 
     fn = handler.batcher.fn
     from cross_modal_video_engine_tpu.cli.common import load_dataset
     ds = load_dataset(fx["rootpath"], fx["collection"], fx["feature"])
-    for s in (1, 2, 4, 8, 16, 32, 64):
+    for s in (8, 16, 32, 64):
         rows = []
         for _ in range(s):
             bow, ids = ds.process_cap(rand_query())

@@ -249,24 +249,17 @@ def _compact_chunk(n_seqs: int, l: int, max_rows: int = 512,
     return best
 
 
-def _kernel_compact(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
-                    bk_ref, wv_ref, bv_ref, wo_ref, bo_ref, o_ref,
-                    qp_ref, kp_ref, vp_ref, ap_ref, att_ref, *,
-                    g: int, l: int, lp: int, heads: int, causal: bool,
-                    eps: float):
-    """Compact-rows variant: the row block holds g whole sequences of l
-    tokens with NO pad rows, so the LN, the four projection GEMMs and
-    the HBM traffic cover exactly the useful rows (at L=50 the padded
-    kernel wastes 28% of both).  Only the small per-head attention
-    needs 16-row alignment: q/k/v are staged into a sublane-padded
-    VMEM scratch (pad KEY/VALUE rows zeroed — garbage there turns
-    exp(-1e30)*NaN into NaN), attended per sequence exactly like the
-    padded kernel, and un-padded back before the output projection.
-    The on-chip A/B vs a block-diagonal (g*l, g*l) masked-scores
-    formulation measured the staging copies cheaper than the g x
-    softmax/scores waste (docs/PERF.md r4)."""
-    dt = x_ref.dtype
-    xb = x_ref[...]
+def _attn_body_compact(xb, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
+                       bk_ref, wv_ref, bv_ref, wo_ref, bo_ref,
+                       qp_ref, kp_ref, vp_ref, ap_ref, att_ref, *,
+                       g: int, l: int, lp: int, heads: int,
+                       causal: bool, eps: float):
+    """Compact attention-sublayer math on one row chunk, shared by
+    _kernel_compact and _block_kernel_compact (ONE site owns the
+    invariants: k/v pad-row zeroing — garbage there turns
+    exp(-1e30)*NaN into NaN — the block-diagonal mask, and the lp
+    staging copies).  Returns y = x + W_o·attn(LN(x)) as a value."""
+    dt = xb.dtype
     ln = _ln_f32(xb, lns_ref[...], lnb_ref[...], eps)
     q = (jnp.dot(ln, wq_ref[...], preferred_element_type=jnp.float32)
          + bq_ref[...].astype(jnp.float32)).astype(dt)
@@ -307,10 +300,30 @@ def _kernel_compact(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
     for s in range(g):
         att_ref[s * l:(s + 1) * l, :] = ap_ref[s * lp:s * lp + l, :]
 
-    y = (jnp.dot(att_ref[...], wo_ref[...],
-                 preferred_element_type=jnp.float32)
-         + bo_ref[...].astype(jnp.float32)).astype(dt) + xb
-    o_ref[...] = y
+    return (jnp.dot(att_ref[...], wo_ref[...],
+                    preferred_element_type=jnp.float32)
+            + bo_ref[...].astype(jnp.float32)).astype(dt) + xb
+
+
+def _kernel_compact(x_ref, lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref,
+                    bk_ref, wv_ref, bv_ref, wo_ref, bo_ref, o_ref,
+                    qp_ref, kp_ref, vp_ref, ap_ref, att_ref, *,
+                    g: int, l: int, lp: int, heads: int, causal: bool,
+                    eps: float):
+    """Compact-rows variant: the row block holds g whole sequences of l
+    tokens with NO pad rows, so the LN, the four projection GEMMs and
+    the HBM traffic cover exactly the useful rows (at L=50 the padded
+    kernel wastes 28% of both).  Only the small per-head attention
+    needs 16-row alignment: q/k/v are staged into a sublane-padded
+    VMEM scratch, attended per sequence exactly like the padded
+    kernel, and un-padded back before the output projection.  The
+    on-chip A/B vs a block-diagonal (g*l, g*l) masked-scores
+    formulation measured the staging copies cheaper than the g x
+    softmax/scores waste (docs/PERF.md r4)."""
+    o_ref[...] = _attn_body_compact(
+        x_ref[...], lns_ref, lnb_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+        wv_ref, bv_ref, wo_ref, bo_ref, qp_ref, kp_ref, vp_ref, ap_ref,
+        att_ref, g=g, l=l, lp=lp, heads=heads, causal=causal, eps=eps)
 
 
 def _attn_pallas_compact(x, ln_scale, ln_bias, wq, bq, wk, bk, wv, bv,
@@ -555,54 +568,14 @@ def _block_kernel_compact(x_ref, ln1s_ref, ln1b_ref, wq_ref, bq_ref,
                           b2_ref, o_ref, qp_ref, kp_ref, vp_ref, ap_ref,
                           att_ref, *, g: int, l: int, lp: int,
                           heads: int, causal: bool, eps: float):
-    """One transformer block on a compact row chunk: y1 = attn sublayer
-    exactly as _kernel_compact, then the _mlp_kernel math on y1 — x is
-    read once and y written once per LAYER instead of per sublayer."""
+    """One transformer block on a compact row chunk: y1 = the shared
+    _attn_body_compact, then the _mlp_kernel math on y1 — x is read
+    once and y written once per LAYER instead of per sublayer."""
     dt = x_ref.dtype
-    xb = x_ref[...]
-    ln = _ln_f32(xb, ln1s_ref[...], ln1b_ref[...], eps)
-    q = (jnp.dot(ln, wq_ref[...], preferred_element_type=jnp.float32)
-         + bq_ref[...].astype(jnp.float32)).astype(dt)
-    k = (jnp.dot(ln, wk_ref[...], preferred_element_type=jnp.float32)
-         + bk_ref[...].astype(jnp.float32)).astype(dt)
-    v = (jnp.dot(ln, wv_ref[...], preferred_element_type=jnp.float32)
-         + bv_ref[...].astype(jnp.float32)).astype(dt)
-
-    zero = jnp.zeros_like(kp_ref)
-    kp_ref[...] = zero
-    vp_ref[...] = zero
-    for s in range(g):
-        qp_ref[s * lp:s * lp + l, :] = q[s * l:(s + 1) * l, :]
-        kp_ref[s * lp:s * lp + l, :] = k[s * l:(s + 1) * l, :]
-        vp_ref[s * lp:s * lp + l, :] = v[s * l:(s + 1) * l, :]
-
-    d = q.shape[-1]
-    hd = d // heads
-    scale = jnp.float32(1.0 / np.sqrt(hd))
-    col = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 1)
-    mask = jnp.where(col < l, 0.0, -1e30).astype(jnp.float32)
-    if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (lp, lp), 0)
-        mask = mask + jnp.where(col <= row, 0.0, -1e30)
-
-    for s in range(g):
-        rows = slice(s * lp, (s + 1) * lp)
-        for h in range(heads):
-            cols = slice(h * hd, (h + 1) * hd)
-            qs, ks, vs = (qp_ref[rows, cols], kp_ref[rows, cols],
-                          vp_ref[rows, cols])
-            sc = jax.lax.dot_general(
-                qs, ks, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale
-            pr = jax.nn.softmax(sc + mask, axis=-1).astype(dt)
-            ap_ref[rows, cols] = jnp.dot(
-                pr, vs, preferred_element_type=jnp.float32).astype(dt)
-    for s in range(g):
-        att_ref[s * l:(s + 1) * l, :] = ap_ref[s * lp:s * lp + l, :]
-
-    y1 = (jnp.dot(att_ref[...], wo_ref[...],
-                  preferred_element_type=jnp.float32)
-          + bo_ref[...].astype(jnp.float32)).astype(dt) + xb
+    y1 = _attn_body_compact(
+        x_ref[...], ln1s_ref, ln1b_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+        wv_ref, bv_ref, wo_ref, bo_ref, qp_ref, kp_ref, vp_ref, ap_ref,
+        att_ref, g=g, l=l, lp=lp, heads=heads, causal=causal, eps=eps)
 
     # -- MLP half (== _mlp_kernel on y1, no HBM round-trip in between)
     ln2 = _ln_f32(y1, ln2s_ref[...], ln2b_ref[...], eps)

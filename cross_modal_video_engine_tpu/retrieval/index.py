@@ -210,10 +210,19 @@ class RetrievalIndex:
                ) -> Tuple[np.ndarray, np.ndarray]:
         """Return (scores, indices): top-k cosine scores per query row."""
         k = min(k, self.n_active)     # never return padding/tombstones
-        q = jnp.asarray(np.asarray(queries, np.float32))
+        qh = np.asarray(queries, np.float32)
+        nq = qh.shape[0]
+        if nq < 8:
+            # M<8 GEMV pathology: XLA lays a single-query dot against a
+            # multi-GB row matrix out so badly it measured ~4x slower
+            # than a whole 8-row wave (bench_serve r5) — pad every
+            # caller to the MXU sublane here, not just the serve route
+            qh = np.concatenate(
+                [qh, np.zeros((8 - nq, qh.shape[1]), np.float32)])
+        q = jnp.asarray(qh)
         qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         vals, idx = self._search(self.emb, self.scales, self.valid, qn, k)
-        return np.asarray(vals), np.asarray(idx)
+        return np.asarray(vals)[:nq], np.asarray(idx)[:nq]
 
     def search_ids(self, queries: np.ndarray, k: int = 10):
         vals, idx = self.search(queries, k)

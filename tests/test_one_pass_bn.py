@@ -90,3 +90,30 @@ def test_swaps_into_yolo_bn_factory():
     # identical param tree to the stock module -> same checkpoints work
     v_ref = yolo.ConvBnSiLU(out=16, k=3).init(jax.random.key(0), x)
     assert jax.tree.structure(v_ref) == jax.tree.structure(v)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_gradient_parity_with_flax(dtype):
+    """profile_bn_ab differentiates through the variadic lax.reduce
+    inside train steps — pin grads (x + scale/bias) to nn.BatchNorm's."""
+    x = jnp.asarray(rng.standard_normal((4, 6, 6, 24)), dtype)
+    variables = _vars()
+    ref, new = _pair(momentum=0.9, eps=1e-5, train=True)
+
+    def loss(mod):
+        def f(xx, params):
+            v = {"params": params,
+                 "batch_stats": variables["batch_stats"]}
+            y, _ = mod.apply(v, xx, mutable=["batch_stats"])
+            return jnp.sum(jnp.sin(y.astype(jnp.float32)))
+        return f
+
+    gr = jax.grad(loss(ref), argnums=(0, 1))(x, variables["params"])
+    gn = jax.grad(loss(new), argnums=(0, 1))(x, variables["params"])
+    # bf16 x-cotangents quantize to bf16: mean-vs-sum/n rounding can
+    # flip one ULP (~4e-3 relative) on isolated elements
+    tol = 2e-4 if dtype == jnp.float32 else 1e-2
+    for a, b in zip(jax.tree.leaves(gn), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=tol, atol=tol)
